@@ -1,0 +1,43 @@
+"""The local correctness gate: every registered query with an oracle is
+hash-compared against DuckDB at sf0.001, mirroring the driver's t2
+check (row count + column names + order-insensitive values)."""
+
+import os
+
+import duckdb
+import pytest
+
+from tools.check_oracle import TABLES, norm_rows
+from tmp_parquet_merge_spark.queries import REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for tname in TABLES:
+        p = os.path.join(sf_dir, f"{tname}.parquet")
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert norm_rows(scols, srows) == norm_rows(ocols, orows)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = REGISTRY[name].build(spark, sf_dir)
+    assert df.count() >= 0 and len(df.schema.fields) > 0

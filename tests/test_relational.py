@@ -1,0 +1,55 @@
+"""Unit tests for the composed relational operators (as-of join, range
+join, top-k) on small hand-checkable inputs."""
+
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.operators.relational import (
+    asof_join,
+    grouped_top_k,
+    range_join,
+    top_k,
+)
+from tmp_parquet_merge_spark.sources import fixtures
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3")],
+        "k: int, t: int, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 500.0)],
+        "k: int, rt: int, price: double",
+    )
+    out = {
+        r.tag: r.price
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_values=["price"],
+        ).collect()
+    }
+    # t=10 matches rt=10 (<= inclusive); t=25 matches rt=20; t=5 has no
+    # earlier right row -> NULL
+    assert out == {"e1": 100.0, "e2": 200.0, "e3": None}
+
+
+def test_range_join_bands(spark):
+    fact = spark.createDataFrame([(1, 5), (2, 10), (3, 99)], "id: int, v: int")
+    bands = fixtures.size_bands_df(spark)
+    got = {r.id: r.band for r in range_join(fact, bands, "v").collect()}
+    assert got == {1: "small", 2: "medium", 3: "large"}  # lo <= v < hi
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame([(i % 3, i) for i in range(30)], "v: int, id: int")
+    rows = top_k(df, [F.col("v").desc(), F.col("id")], 4).collect()
+    assert [(r.v, r.id) for r in rows] == [(2, 2), (2, 5), (2, 8), (2, 11)]
+
+
+def test_grouped_top_k(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 7)], "g: int, v: int"
+    )
+    rows = grouped_top_k(df, ["g"], [F.col("v").desc()], 2).collect()
+    got = sorted((r.g, r.v) for r in rows)
+    assert got == [(1, 20), (1, 30), (2, 7)]

@@ -1,0 +1,122 @@
+"""Relational operators Spark lacks as single built-ins.
+
+The reference slice has no relational operators at all (SURVEY.md §0 —
+verified absence of join/group/sort/window); everything here is
+Spark-first composition, designed for 100 TB:
+
+  * as-of join: the union-merge formulation — ONE shuffle on the key,
+    no row explosion, no driver loops.  The naive alternative
+    (inequality join + groupBy max) explodes to |L|·|R| per key.
+  * range join: broadcast the (small) band table so the big side never
+    shuffles.
+  * top-k: orderBy(...).limit(k) — Spark plans TakeOrderedAndProject,
+    a per-partition heap + driver merge, not a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    *,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` (direction="backward") sharing the key.
+
+    Implementation: tag both sides, union, then a single window
+    ``partitionBy(key).orderBy(time, side)`` carrying the right side's
+    values forward with ``last(..., ignorenulls=True)``.  Cost: one
+    shuffle of |L|+|R| rows on the key — scale-safe for 100 TB because
+    nothing is ever multiplied out per key.  Ties (equal timestamps)
+    order the right row first, so a right row at exactly left_time
+    matches, like DuckDB/pandas ASOF semantics.
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lcols = left.columns
+    right_sel = keys + [right_time] + list(right_values)
+    r = right.select(*right_sel).withColumn("__side", F.lit(0))
+    r = r.withColumnRenamed(right_time, "__t")
+    l = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_time))
+    for c in right_values:
+        if c in l.columns:
+            raise ValueError(f"column collision on {c!r}; rename right_values first")
+        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    # align column order for union
+    ordered = keys + ["__t", "__side"] + list(right_values)
+    lpad = l.select(*ordered, *[c for c in lcols if c not in ordered])
+    rpad = r.select(*ordered, *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in lcols if c not in ordered])
+    u = lpad.unionByName(rpad)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *keys,
+        "__t",
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values],
+        *[c for c in lcols if c not in ordered],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side", "__t")
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Join a fact table to interval bands: lo <= value < hi.
+
+    Bands are broadcast (dimension-sized by construction), so the fact
+    side streams through a BroadcastNestedLoopJoin — no shuffle of the
+    big side, which is the only viable plan at 100 TB fact scale.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    cond = (v >= F.col(lo)) & (v < F.col(hi))
+    return fact.join(F.broadcast(bands), cond, how)
+
+
+def top_k(
+    df: DataFrame, order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Global top-k.  Spark compiles orderBy+limit to
+    TakeOrderedAndProject (per-partition heaps, driver merge of k·P
+    rows) — no global sort, so k=10 over 100 TB is cheap.
+    Callers must pass a total order (include a unique tiebreaker) for
+    deterministic results."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k per group via row_number window — one shuffle on the group
+    key; with many groups this parallelizes across executors."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,717 @@
+"""Declared query registry — SURVEY.md §2's operator inventory.
+
+Each entry binds a name to (a) a Spark DataFrame builder taking
+``(spark, sf_dir)`` and (b) a DuckDB oracle SQL string (or ``None`` for
+rows-only checks).  ``__spark_entry__.py`` exposes the registry to the
+driver, which hash-compares Spark vs DuckDB results at sf0.01.
+
+Determinism conventions (see functions/deterministic.py):
+  * double aggregates go through DECIMAL(18,6) on both sides;
+  * every LIMIT has a total order (unique tiebreaker);
+  * ``events.ts`` is nanosecond-precision parquet — Spark truncates to
+    micros on read, so oracle SQL always ``CAST(ts AS TIMESTAMP)``;
+  * integer-ish oracle outputs are cast to match Spark types
+    (DuckDB count()→BIGINT matches Spark long; DuckDB length()→BIGINT
+    is cast to INTEGER to match Spark's int, etc.).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.functions.deterministic import (
+    davg,
+    dsum,
+    dsum_expr,
+)
+from tmp_parquet_merge_spark.operators.relational import (
+    asof_join,
+    grouped_top_k,
+    range_join,
+    top_k,
+)
+from tmp_parquet_merge_spark.sources import fixtures, parquet_io
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` usable in Spark.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS,false), which
+    Spark's vectorized reader rejects outright.  We read the column as
+    raw int64 nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and
+    convert to TIMESTAMP_NTZ at microsecond precision — TIMESTAMP_NTZ so
+    collection never passes through driver-local timezone conversion,
+    matching DuckDB's naive timestamps (oracle side uses
+    ``CAST(ts AS TIMESTAMP)`` which truncates ns→µs identically).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.A scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query("q_scan_full", oracle="SELECT * FROM lineitem")
+def q_scan_full(spark, sf_dir):
+    """Full-file scan, all columns — FileReader::ReadTable
+    (parquet-arrow/src/reader-writer.cc:61-74)."""
+    return t(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_count",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def q_scan_count(spark, sf_dir):
+    """Timed whole-file scan row count — ScanFileContents
+    (cpp/tools/parquet/parquet-scan.cc:60-71).  Catalyst answers this
+    from parquet footer statistics (aggregate pushdown)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("q_project_one", oracle="SELECT l_orderkey FROM lineitem")
+def q_project_one(spark, sf_dir):
+    """Single-column read — reader->ReadColumn(0)
+    (parquet-arrow/src/reader-writer.cc:93-106); Catalyst prunes the
+    parquet scan to one column (ReadSchema in .explain)."""
+    return t(spark, sf_dir, "lineitem").select("l_orderkey")
+
+
+@query(
+    "q_project_subset",
+    oracle="SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
+)
+def q_project_subset(spark, sf_dir):
+    """Multi-column ordinal projection — parquet-scan --columns=i,j
+    (cpp/tools/parquet/parquet-scan.cc:36-49), by name."""
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+
+
+@query(
+    "q_merge_files",
+    oracle="SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem",
+)
+def q_merge_files(spark, sf_dir):
+    """Multi-file merge read (repo namesake): one DataFrame over many
+    parquet paths — spark.read.parquet(f1, f2, ...)."""
+    p = os.path.join(sf_dir, "lineitem.parquet")
+    return spark.read.parquet(p, p)
+
+
+@query("q_roundtrip")
+def q_roundtrip(spark, sf_dir):
+    """Write→read roundtrip of the 8-type reference schema with snappy
+    + 16 MiB row groups (reader-writer.cc:57-74, reader-writer2.cc:46).
+    Rows-only: content is deterministic, oracle can't write files."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_rt_"), "alltypes")
+    df = fixtures.alltypes_df(spark, 500)
+    parquet_io.write_parquet(
+        df, out, block_size_bytes=16 * 1024 * 1024, compression="snappy"
+    )
+    return spark.read.parquet(out).drop("int96_field")  # ts tz-display only
+
+
+@query("q_merge_schema_evolution")
+def q_merge_schema_evolution(spark, sf_dir):
+    """Schema-evolution merge: two file generations, second adds a
+    column; mergeSchema read unions the schemas (missing → NULL).
+    Rows-only (writes temp files)."""
+    base = tempfile.mkdtemp(prefix="tpms_evo_")
+    f1, f2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    v1 = fixtures.int_str_df(spark)
+    v2 = v1.withColumn("extra", F.col("int") * 10)
+    parquet_io.write_parquet(v1, f1)
+    parquet_io.write_parquet(v2, f2)
+    return parquet_io.read_parquet(spark, f1, f2, merge_schema=True)
+
+
+@query("q_rowgroup_read")
+def q_rowgroup_read(spark, sf_dir):
+    """Single row-group read — reader->RowGroup(0)->ReadTable
+    (parquet-arrow/src/reader-writer.cc:77-90).  Rows-only (row-group
+    addressing is not SQL)."""
+    return parquet_io.read_row_group(
+        spark,
+        os.path.join(sf_dir, "nation.parquet"),
+        row_group=0,
+    )
+
+
+@query("q_schema_dump")
+def q_schema_dump(spark, sf_dir):
+    """Schema tree dump — parquet-dump-schema.cc:23-36. Rows-only."""
+    return parquet_io.schema_dump(spark, os.path.join(sf_dir, "lineitem.parquet"))
+
+
+@query("q_metadata_stats")
+def q_metadata_stats(spark, sf_dir):
+    """Footer metadata dump (file/row-group/column counts, sizes,
+    key-value metadata) — parquet_reader.cc:44-72.  Distributed footer
+    reads via mapInPandas.  Rows-only (byte sizes aren't SQL-visible)."""
+    return parquet_io.metadata_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.B projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_pushdown",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_quantity < 10
+    """,
+)
+def q_filter_pushdown(spark, sf_dir):
+    """Predicate pushdown to the parquet scan (range + numeric filters
+    land in PushedFilters; row-group min/max stats skip groups)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@query(
+    "q_filter_nulls",
+    oracle="""
+        SELECT doc_id, NULLIF(lang, 'en') AS lang_or_null
+        FROM documents
+        WHERE NULLIF(lang, 'en') IS NULL
+    """,
+)
+def q_filter_nulls(spark, sf_dir):
+    """NULL semantics: OPTIONAL-column handling (def-level 0 ⇔ NULL,
+    reader-writer.cc:147-150,371-375) surfaced as isNull filtering."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "lang_or_null", F.when(F.col("lang") != "en", F.col("lang"))
+    )
+    return d.filter(F.col("lang_or_null").isNull()).select("doc_id", "lang_or_null")
+
+
+# ---------------------------------------------------------------------------
+# §2.C metadata-ish / json
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_to_json",
+    oracle="""
+        SELECT r_regionkey,
+               to_json(struct_pack(r_regionkey := r_regionkey,
+                                   r_name := r_name)) AS js
+        FROM region
+    """,
+)
+def q_to_json(spark, sf_dir):
+    """JSON output mode — parquet_reader.cc:50-51 JSONPrint."""
+    r = t(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.to_json(F.struct("r_regionkey", "r_name")).alias("js"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E relational: aggregation
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_basic", oracle=_Q1_ORACLE)
+def q_agg_basic(spark, sf_dir):
+    """TPC-H Q1-style hash aggregation: scan → pushed filter → partial
+    (map-side) agg → final agg.  The flagship query."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum_expr(disc_price).alias("sum_disc_price"),
+        dsum_expr(charge).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """Distinct aggregation (expand + two-phase agg in Spark).  Exact
+    countDistinct, not approx, for oracle hash parity."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical grouping-sets aggregation (rollup)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E relational: joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """Equi-join fact→dimension.  Customer is broadcast so the orders
+    side never shuffles — the only sane plan when orders is 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """TPC-H Q5-style star join: one big fact (lineitem) + broadcast
+    dims.  lineitem⋈orders shuffles on orderkey; every other join is a
+    broadcast, so the fact table is shuffled exactly once."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        dsum_expr(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, o.last_orderkey,
+               o.o_orderdate AS last_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: latest order at or before each event, per user.
+    Union-merge formulation (operators/relational.py): ONE shuffle on
+    the key, no per-key row explosion — scale-safe where an
+    inequality-join + argmax would blow up."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+        .withColumn("last_orderdate", F.col("o_orderdate"))
+        .drop("o_orderdate")
+        .withColumn("__rt", F.col("last_orderdate"))
+    )
+    return asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="__rt",
+        right_values=["last_orderkey", "last_orderdate"],
+    ).select("event_id", "user_id", "last_orderkey", "last_orderdate")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+        SELECT p.p_partkey, p.p_size, b.band
+        FROM part p
+        JOIN (VALUES (0, 10, 'small'), (10, 25, 'medium'), (25, 100, 'large'))
+             AS b(lo, hi, band)
+          ON p.p_size >= b.lo AND p.p_size < b.hi
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Interval/range join against a broadcast band dimension — the
+    fact side streams through BroadcastNestedLoopJoin, no shuffle."""
+    p = t(spark, sf_dir, "part")
+    bands = fixtures.size_bands_df(spark)
+    return range_join(p, bands, "p_size").select("p_partkey", "p_size", "band")
+
+
+# ---------------------------------------------------------------------------
+# §2.E relational: windows / sort / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders per customer via row_number window — one shuffle on
+    the partition key, heap-friendly per group."""
+    return grouped_top_k(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_qty
+        FROM lineitem
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Running sum per supplier over a total order (unique tiebreakers
+    make the frame deterministic)."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@query(
+    "q_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    """Global top-k — TakeOrderedAndProject (per-partition heaps), not a
+    full sort; unique tiebreaker for determinism."""
+    return top_k(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    """Set intersection (distinct semantics both engines)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_set_except(spark, sf_dir):
+    """Set difference (distinct semantics both engines)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# §2.E scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               substring(p_type, 1, 5) AS type_prefix,
+               p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+)
+def q_scalar_string(spark, sf_dir):
+    """String scalar functions (lower/substring/concat/length)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INTEGER) AS days_to_y2k
+        FROM orders
+    """,
+)
+def q_scalar_date(spark, sf_dir):
+    """Date/time scalar functions (year/month/trunc/datediff)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+        WHERE vec_id < 100
+    """,
+)
+def q_scalar_array(spark, sf_dir):
+    """Array explode with position — repeated-field (def/rep level)
+    semantics surfaced as posexplode (SURVEY §1.3)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@query(
+    "q_scalar_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
+)
+def q_scalar_json(spark, sf_dir):
+    """JSON field extraction from the events.props payload column."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E streaming semantics (batch-mode for oracle parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation — the batch twin of
+    the Structured Streaming pipeline in streaming/windows.py (same
+    F.window expression there, plus watermarking)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -1,0 +1,265 @@
+"""Parquet sources & sinks — the reference's core capability surface.
+
+Reference parity (cites are files under /root/reference):
+  * open/read            — ParquetFileReader::OpenFile / ReadTable
+                           (cpp/examples/parquet/parquet-arrow/src/reader-writer.cc:61-74,
+                            cpp/tools/parquet/parquet-scan.cc:63-66)
+  * write w/ row-group sizing & compression
+                         — AppendRowGroup / AppendBufferedRowGroup, 16 MiB
+                           budget, Snappy (cpp/examples/parquet/low-level-api/
+                           reader-writer.cc:57-74, reader-writer2.cc:46,74-101)
+  * merge (repo namesake)— implied by the tools; here: multi-path /
+                           schema-evolution read → compacted write
+  * schema dump          — parquet-dump-schema.cc:23-36
+  * metadata dump        — parquet_reader.cc:63-72 (file / row-group /
+                           column-chunk metadata)
+  * row-group read       — reader->RowGroup(i)->ReadTable
+                           (parquet-arrow/src/reader-writer.cc:77-90)
+
+Scale notes: reads/writes are plain DataFrame ops, so they distribute
+(one task per split, column pruning + predicate pushdown reach the
+scan).  Footer introspection is distributed too: the file list is
+parallelized and footers are read executor-side via mapInPandas —
+at 100 TB / ~1e6 files the driver never holds more than the file list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession,
+    *paths: str,
+    merge_schema: bool = False,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Read one or more Parquet paths (file, directory, or glob).
+
+    ``columns`` projects early so Catalyst prunes the Parquet scan to the
+    selected columns (the reference's --columns ordinal projection,
+    cpp/tools/parquet/parquet-scan.cc:36-49, by name instead of index).
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "snappy",
+    block_size_bytes: int | None = None,
+    max_records_per_file: int | None = None,
+    partition_by: Sequence[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write Parquet with explicit layout control.
+
+    ``block_size_bytes`` is the row-group byte budget — the engine analog
+    of the reference's 16 MiB buffered row-group rotation
+    (reader-writer2.cc:46,88-93).  ``max_records_per_file`` mirrors the
+    fixed-row AppendRowGroup sizing (reader-writer.cc:45,73-74) at file
+    granularity.  ``num_files`` compacts via coalesce (no shuffle).
+    """
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    writer = df.write.mode(mode).option("compression", compression)
+    if block_size_bytes is not None:
+        writer = writer.option("parquet.block.size", str(block_size_bytes))
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def merge_files(
+    spark: SparkSession,
+    inputs: Sequence[str],
+    output: str,
+    *,
+    merge_schema: bool = True,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    block_size_bytes: int = 16 * 1024 * 1024,
+) -> DataFrame:
+    """Merge many Parquet files into a compacted dataset (repo namesake).
+
+    Schema evolution is handled by ``mergeSchema`` (missing columns become
+    NULL).  Output file count is sized from the input bytes so merged
+    files land near ``target_file_size_bytes`` — at 100 TB this is the
+    small-files compaction pattern (many tasks read, AQE-coalesced write).
+    The 16 MiB default row-group budget matches the reference
+    (reader-writer2.cc:46).
+    """
+    df = read_parquet(spark, *inputs, merge_schema=merge_schema)
+    total_bytes = sum(
+        int(r.size)
+        for p in inputs
+        for r in _list_files(spark, p)
+    )
+    n_files = max(1, -(-total_bytes // target_file_size_bytes))  # ceil
+    write_parquet(
+        df,
+        output,
+        num_files=n_files,
+        block_size_bytes=block_size_bytes,
+    )
+    return spark.read.parquet(output)
+
+
+def _list_files(spark: SparkSession, path: str):
+    """List (path, size) via the Hadoop FS client — works for any scheme."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    out = []
+    it = fs.listFiles(hpath, True) if fs.isDirectory(hpath) else None
+    if it is None:
+        status = fs.getFileStatus(hpath)
+        return [type("S", (), {"size": status.getLen()})()]
+    while it.hasNext():
+        s = it.next()
+        if s.getPath().getName().endswith(".parquet"):
+            out.append(type("S", (), {"size": s.getLen()})())
+    return out
+
+
+def schema_dump(spark: SparkSession, path: str) -> DataFrame:
+    """Schema of a Parquet dataset as a one-row DataFrame.
+
+    Engine analog of PrintSchema over the schema tree
+    (cpp/tools/parquet/parquet-dump-schema.cc:23-36): Spark recovers the
+    schema from the self-describing footer; we emit both the tree form
+    and simpleString so it is assertable/oracle-able.
+    """
+    schema = spark.read.parquet(path).schema
+    return spark.createDataFrame(
+        [(schema.simpleString(), schema.treeString())],
+        T.StructType(
+            [
+                T.StructField("simple_string", T.StringType(), False),
+                T.StructField("tree_string", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+_FOOTER_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("num_row_groups", T.IntegerType(), False),
+        T.StructField("num_columns", T.IntegerType(), False),
+        T.StructField("total_byte_size", T.LongType(), False),
+        T.StructField("total_compressed_size", T.LongType(), False),
+        T.StructField("max_row_group_bytes", T.LongType(), False),
+        T.StructField("created_by", T.StringType(), True),
+        T.StructField("key_value_metadata", T.StringType(), True),
+    ]
+)
+
+
+def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
+    """Per-file footer metadata as a DataFrame.
+
+    Engine analog of ParquetFilePrinter::DebugPrint (file-level,
+    per-row-group, per-column-chunk metadata + key-value metadata;
+    cpp/tools/parquet/parquet_reader.cc:44-72, reader-writer2.cc:222).
+    Footer reads run executor-side over a parallelized file list
+    (mapInPandas), so a million-file lake doesn't bottleneck the driver.
+    """
+    files = [
+        f for p in paths for f in _expand_parquet_paths(spark, p)
+    ]
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], T.StructType([T.StructField("file", T.StringType(), False)])
+    )
+    if len(files) > 64:  # distribute footer reads only when worth the workers
+        files_df = files_df.repartition(min(len(files) // 8, 512))
+
+    def scan_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(_strip_scheme(fname)).metadata
+                rg = [md.row_group(i) for i in range(md.num_row_groups)]
+                kv = md.metadata or {}
+                rows.append(
+                    {
+                        "file": fname,
+                        "num_rows": md.num_rows,
+                        "num_row_groups": md.num_row_groups,
+                        "num_columns": md.num_columns,
+                        "total_byte_size": sum(g.total_byte_size for g in rg),
+                        "total_compressed_size": sum(
+                            g.column(c).total_compressed_size
+                            for g in rg
+                            for c in range(g.num_columns)
+                        ),
+                        "max_row_group_bytes": max(
+                            (g.total_byte_size for g in rg), default=0
+                        ),
+                        "created_by": md.created_by,
+                        "key_value_metadata": json.dumps(
+                            {
+                                k.decode("utf8", "replace"): v.decode("utf8", "replace")[:200]
+                                for k, v in kv.items()
+                            },
+                            sort_keys=True,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FOOTER_SCHEMA])
+
+    return files_df.mapInPandas(scan_footers, schema=_FOOTER_SCHEMA)
+
+
+def _expand_parquet_paths(spark: SparkSession, path: str) -> list[str]:
+    import glob as _glob
+    import os as _os
+
+    p = _strip_scheme(path)
+    if _os.path.isdir(p):
+        return sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True))
+    return sorted(_glob.glob(p)) or [p]
+
+
+def _strip_scheme(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+def read_row_group(
+    spark: SparkSession, path: str, row_group: int = 0, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Read a single row group (optionally one column) as a DataFrame.
+
+    Spark has no row-group-number API (splits are byte-ranged), so this
+    edge op reads the row group with pyarrow and re-enters Spark via
+    Arrow — the analog of reader->RowGroup(i)->ReadTable / ->Column(j)
+    (parquet-arrow/src/reader-writer.cc:77-125).  Intended for
+    inspection of a single group, not bulk reads (those use
+    read_parquet, where Spark's own row-group skipping applies).
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.ParquetFile(_strip_scheme(path)).read_row_group(
+        row_group, columns=list(columns) if columns else None
+    )
+    return spark.createDataFrame(table.to_pandas())

@@ -1,0 +1,93 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+Engine analog of the reference's self-timing scan tool
+(cpp/tools/parquet/parquet-scan.cc:61-71): wall-clock around fully
+materialized query execution.  Results are forced with a noop-format
+write (executors compute everything, nothing funnels to the driver),
+so timings measure the distributed plan, not collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tmp_parquet_merge_spark.queries import REGISTRY  # noqa: E402
+from tmp_parquet_merge_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every operator family, excluding the quadratic
+# all-pairs verify stages (q_dedup_ngram / q_dedup_embedding — they are
+# correctness-gate queries; their scalable twins ARE benched).
+HEADLINE = [
+    "q_scan_count",
+    "q_scan_full",
+    "q_filter_pushdown",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_running",
+    "q_topk_orders",
+    "q_window_tumbling",
+    "q_window_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_topk_similarity",
+    "q_ann_lsh",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_token_count",
+    "q_doc_fingerprint",
+]
+
+
+def run_query(name: str, spark, sf_dir: str) -> float:
+    df = REGISTRY[name].build(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+    names = [n for n in (sys.argv[2:] or HEADLINE) if n in REGISTRY]
+    spark = get_spark("bench")
+    # Warm up the JVM/session (JIT, codegen caches, FS client) so the
+    # first measured query isn't charged for session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(name, spark, sf_dir), 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

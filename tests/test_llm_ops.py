@@ -1,0 +1,170 @@
+"""LLM-pipeline operator tests: dedup recall, similarity correctness,
+text analysis, multimodal plumbing.  Oracle parity for the SQL-checkable
+queries is covered by test_oracle_parity; these tests assert the
+*semantic* properties the oracle can't (LSH recall vs exact, ANN recall
+vs brute force, stub plumbing shapes)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    assert out.agg(F.sum("n_dupes")).collect()[0][0] == docs.count()
+    # dedup of a corpus duplicated twice halves back to the original
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    out2 = dedup.exact_dedup(doubled, "text", "doc_id")
+    assert out2.count() == out.count()
+    assert out2.filter(F.col("n_dupes") < 2).count() == 0
+
+
+def test_shingle_rows_matches_array_form(spark, docs):
+    rows = dedup.shingle_rows(docs.limit(50), "text", "doc_id", n=3)
+    arr = docs.limit(50).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(dedup.word_shingles("text", 3)).alias("s"),
+    ).distinct()
+    assert rows.exceptAll(arr).count() == 0
+    assert arr.exceptAll(rows).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7)
+    lsh = dedup.minhash_dedup_pairs(docs, "text", "doc_id", verify_threshold=0.7)
+    exact_pairs = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    # LSH+verify ⊆ exact always; at jaccard≥0.7 with 16×4 bands the
+    # S-curve gives ≳99% per-pair recall
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs) >= 0.8 * len(exact_pairs)
+
+
+def test_simhash_detects_identical_docs(spark, docs):
+    base = docs.limit(20)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = base.unionAll(dup)
+    pairs = dedup.simhash_dedup_pairs(both, "text", "doc_id", max_hamming=0)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 100000) for r in base.collect()}
+    assert expected <= found
+
+
+def test_brute_force_topk_shape_and_selfexclusion(spark, emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r.n_vec != r.q_vec for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_vec, []).append(r.sim)
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.q_vec, r.n_vec) for r in similarity.ann_topk(emb, q, dim=64, k=10).collect()
+    }
+    # uniform-random vectors are SRP-LSH's statistical worst case (top
+    # neighbors only reach cos≈0.3, where a 4×4-bit band collides ~40%
+    # of the time); just require meaningfully-better-than-chance here —
+    # the clustered-data test below asserts real recall
+    assert len(approx & exact) / len(exact) >= 0.1
+
+
+def test_ann_lsh_recall_clustered(spark):
+    # 20 clusters × 25 members: cluster center ± small noise — the
+    # structure real embedding corpora have, where LSH must deliver
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for c in range(20):
+        center = [rnd.gauss(0, 1) for _ in range(64)]
+        for m in range(25):
+            vec = [x + rnd.gauss(0, 0.15) for x in center]
+            rows.append((c * 25 + m, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = df.filter(F.col("vec_id") % 25 == 0)  # one query per cluster
+    exact = {
+        (r.q_vec, r.n_vec) for r in similarity.brute_force_topk(df, q, k=10).collect()
+    }
+    approx = {
+        (r.q_vec, r.n_vec) for r in similarity.ann_topk(df, q, dim=64, k=10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_ivf_topk_runs_and_ranks(spark, emb):
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=5).collect()
+    assert {r.q_vec for r in out} == {0, 1}
+    assert all(-1.0 <= r.sim <= 1.0 for r in out)
+
+
+def test_language_id_on_known_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in the house"),
+            (2, "der hund ist ein tier und die katze ist auch ein tier"),
+            (3, "le chat est dans la maison et les chiens sont dans le jardin"),
+            (4, "zzz qqq xxx yyy www"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.pred_lang for r in text.language_id(df, "text", "doc_id").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_flags_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "a a a a a a a a a a a a a a a a a a a a a a a a a"),
+            (3, "word"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in text.quality_score(df, "text", "doc_id").collect()}
+    assert got[1].quality == 1.0
+    assert got[2].s_diversity == 0.0
+    assert got[3].s_length == 0.0
+
+
+def test_multimodal_features_shape(spark, sf_dir):
+    media = multimodal.media_table(spark, sf_dir)
+    feats = multimodal.extract_features(media, bins=16)
+    rows = feats.limit(20).collect()
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in rows)
+    assert feats.count() == media.count()
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_frame_sample_offsets(spark, sf_dir):
+    media = multimodal.media_table(spark, sf_dir).limit(10)
+    frames = multimodal.frame_sample(media, every_n_bytes=64, max_frames=8)
+    rows = frames.collect()
+    assert all(r.byte_offset == r.frame_idx * 64 for r in rows)
+    assert all(len(r.frame_bytes) <= 16 for r in rows)

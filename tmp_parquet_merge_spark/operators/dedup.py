@@ -1,0 +1,341 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+The reference slice has no dedup (SURVEY.md §0); these are mandated by
+the north star (BASELINE.json: "dedup, similarity search, multimodal
+columns, text analysis").  All Spark-first, designed for 100 TB:
+
+  * exact dedup       — group by sha2(normalized text): only a 32-byte
+                        digest shuffles, never the document body.
+  * n-gram Jaccard    — exact near-dup verification over candidate
+                        pairs that share ≥1 shingle (the verify stage
+                        of a candidate-generation pipeline).
+  * MinHash + LSH     — the scale path: K seeded murmur3 minima →
+                        B banded keys → self-join on band buckets.
+                        Shuffle volume is O(docs × B), independent of
+                        document length; candidate pairs are verified
+                        with true Jaccard so false positives drop out.
+  * SimHash           — 64-bit signature via per-bit majority vote of
+                        token hashes, computed entirely JVM-side (one
+                        explode + one groupBy; no Python).
+
+Everything below stays in built-in pyspark.sql.functions (whole-stage
+codegen); there are no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, trim, collapse runs of
+    whitespace.  Keep in sync with the DuckDB oracle spelling
+    ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def words(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array.
+
+    Short docs (< n words) produce their single full-text shingle, so
+    every document has ≥1 shingle and can never silently drop out of a
+    near-dup pipeline.
+
+    NOTE: array-lambda expressions are interpreted per element (and
+    ``array_distinct`` is O(n²) per row), so hot paths should use
+    :func:`shingle_rows` (codegen explode/window/hash-agg) instead;
+    this column form exists for per-candidate verify joins where the
+    whole array is needed in one row.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ws = words(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles as (doc, s) rows — the codegen
+    formulation: posexplode words → n-1 ``lead``s over (doc, pos) →
+    concat → distinct via hash-agg.  Everything whole-stage-codegens;
+    the one shuffle (by doc) is reused by downstream per-doc
+    aggregations.  Semantics identical to :func:`word_shingles`
+    (``concat_ws`` skips trailing NULL leads, covering short docs)."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words(text_col)).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    sh = ex.select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", *leads).alias("s"),
+        F.lead("w", n - 1).over(w).alias("__full"),
+    )
+    # keep full n-grams; position 1 survives unconditionally so short
+    # docs (< n words) contribute their single partial shingle
+    sh = sh.filter(F.col("__full").isNotNull() | (F.col("pos") == 0))
+    return sh.select("doc", "s").distinct()
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, keep_text: bool = False
+) -> DataFrame:
+    """Exact duplicate grouping over normalized text.
+
+    Returns one row per distinct content with the minimum id as the
+    representative and the duplicate count.  Grouping key is
+    ``sha2(normalized, 256)`` so at 100 TB the shuffle carries 32-byte
+    digests, not document bodies (collision odds ~2^-128 — the standard
+    content-hash dedup contract).
+    """
+    h = F.sha2(normalize_text(text_col), 256)
+    g = (
+        df.select(F.col(id_col), h.alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+    return g
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1
+    shingle; keeps pairs with similarity ≥ threshold.
+
+    Plan: explode distinct shingles → self-equi-join on the shingle
+    (ordinary shuffled hash join Catalyst handles; hot shingles are the
+    skew risk, mitigated by AQE skew-join and by the upstream
+    MinHash-LSH candidate cut at real scale — this operator is the
+    exact *verify* stage, not the candidate generator).
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|); one double division at the end,
+    rounded to 6 places for cross-engine determinism.
+    """
+    sh = shingle_rows(df, text_col, id_col, n=n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (doc, sig array<int>) — permutation i is
+    murmur3 with the lane index mixed into the input
+    (``F.hash(shingle, lit(i))``); the min over shingles estimates
+    h_min of permutation i.
+
+    Shaped as explode → hash-agg (NOT an array ``transform`` lambda):
+    projections and min-aggregates run under whole-stage codegen,
+    whereas higher-order-function lambdas are interpreted per element
+    — measured ~20× slower at sf0.1.  One shuffle keyed by doc id with
+    map-side partial mins."""
+    sh = shingle_rows(df, text_col, id_col, n=shingle_n)
+    agg = sh.groupBy("doc").agg(
+        *[F.min(F.hash("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return agg.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Split a MinHash signature into ``bands`` keys of ``rows`` lanes
+    each; each key is murmur3 of the band's lane slice.  Two docs land
+    in the same (band, key) bucket iff that band's lanes all match."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice(sig, b * rows + 1, rows)).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs, optionally verified
+    with exact shingle Jaccard.
+
+    bands=16 × rows=4 over 64 perms ⇒ S-curve threshold ≈ (1/16)^(1/4)
+    ≈ 0.5 Jaccard.  Pipeline: signature (narrow) → explode band keys
+    (docs×16 rows) → self-join on (band, key) → distinct pairs →
+    [verify].  At 100 TB the shuffle carries (band,key,id) triples only;
+    document text never moves.  Degenerate buckets (identical boiler-
+    plate) are the skew risk — AQE skew-join splits them, and the
+    verify join is on doc ids, which are uniform.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
+    )
+    banded = sigs.select(
+        "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    ).select("doc", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    # Verify ONLY the candidates: join their shingle sets back and
+    # compute exact Jaccard per pair.  (Running the full all-pairs
+    # ngram join here would defeat the entire point of LSH.)
+    sets_ = (
+        shingle_rows(df, text_col, id_col, n=shingle_n)
+        .groupBy("doc")
+        .agg(F.collect_set("s").alias("sh"))
+    )
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash signature per document.
+
+    Each token votes ±1 on every bit of its xxhash64; bits with a
+    positive total are set.  Implementation is one explode + one
+    groupBy with ``bits`` conditional sums — all JVM built-ins, a
+    single shuffle keyed by doc id.  Near-dup candidates are then
+    found by Hamming distance (e.g. banding the signature into 4×16-bit
+    chunks and joining on any equal chunk)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    # bit 63 of a signed long is the sign bit: its contribution is the
+    # negative 2^63, everything else is the plain power of two.
+    def bit_val(b: int) -> int:
+        return -(1 << 63) if b == 63 else 1 << b
+
+    sig = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(bit_val(b))).otherwise(0)
+            for b in range(bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4 16-bit
+    chunks (pigeonhole: Hamming ≤ 3 guarantees an exact chunk match;
+    wider distances are still mostly caught), join on any matching
+    chunk, then filter by exact Hamming distance ≤ ``max_hamming``."""
+    sigs = simhash(df, text_col, id_col)
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.key")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

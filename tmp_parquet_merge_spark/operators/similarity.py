@@ -1,0 +1,330 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star mandated (BASELINE.json).  Two tiers:
+
+  * brute-force cosine top-k — the exact baseline: broadcast the query
+    set, stream the corpus through one narrow projection, rank with a
+    per-group window.  At 100 TB corpus scale this is a single pass,
+    no corpus shuffle except the final (tiny) top-k per query.
+  * LSH-bucketed ANN (random hyperplanes) — the scale path: each
+    vector gets a ``nbits``-bit signature from sign(v·h_j); bucket-join
+    query/corpus on the signature prefix bands and rank within buckets.
+    Probes a fraction of the corpus at the cost of recall.
+  * IVF (inverted-file) ANN — centroid-assign + probe nearest cells;
+    centroids here are a deterministic sample (a k-means fit would
+    slot in the same shape).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side sequential
+folds, deterministic order (matters for oracle parity), no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double dot product of two float-array columns
+    (left-to-right fold, so both engines sum in index order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit_udf():
+    """Arrow-vectorized unit normalization (numpy, per batch).
+
+    Deliberately a pandas_udf rather than a ``transform`` lambda:
+    Catalyst's CollapseProject inlines lambda-built columns into every
+    downstream projection, so an expression-tree ``x / l2_norm(v)``
+    gets re-evaluated per ELEMENT per consumer (observed 14× blowup on
+    the similarity join).  The UDF is an ArrowEvalPython barrier —
+    normalization happens exactly once per row, in C-speed numpy."""
+
+    @pandas_udf("array<double>")
+    def _unit(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return pd.Series(list(X / n))
+
+    return _unit
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The 100 TB plan: the query matrix is broadcast to executors, the
+    corpus streams through ``mapInPandas`` once — each Arrow batch is
+    scored against ALL queries with one BLAS matmul and pruned to its
+    local top-k per query, so only ~k rows per (query, batch) ever
+    leave the scan.  No corpus shuffle; the final rank merges the tiny
+    pruned set.  Similarity is rounded before ranking so ranking ties
+    resolve identically in any engine, then ``n_vec`` breaks them
+    totally.
+    """
+    qpdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_ids = np.array(qpdf[id_col], dtype=np.int64)
+    Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def score(batches):
+        q_ids, Qn = bq.value
+        for pdf in batches:
+            ids = np.array(pdf[id_col], dtype=np.int64)
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = np.round(Xn @ Qn.T, round_to)  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                # exact (sim desc, id asc) order, batch-local top-k
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                pick = cand_idx[order]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(ids[pick])
+                out_s.extend(col[pick])
+            yield pd.DataFrame({"q_vec": out_q, "n_vec": out_n, "sim": out_s})
+
+    sims = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema="q_vec long, n_vec long, sim double"
+    )
+    from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(
+        sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold, a<b).
+
+    This exact all-pairs form is the verify stage / small-side tool; at
+    corpus scale candidates come from :func:`lsh_bucket_candidates`
+    first, and only candidates pay the cosine.
+    """
+    normed = df.select(
+        F.col(id_col).alias("__id"), unit_udf()(F.col(vec_col)).alias("__u")
+    )
+    a = normed.select(F.col("__id").alias("vec_a"), F.col("__u").alias("emb_a"))
+    b = normed.select(F.col("__id").alias("vec_b"), F.col("__u").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# --- LSH (random hyperplane / SRP) ------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    splitmix-ish integer stream — plain Python, evaluated once on the
+    driver and inlined as literals into the plan)."""
+
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        return x ^ (x >> 31)
+
+    planes = []
+    for j in range(nbits):
+        v = []
+        for i in range(0, dim, 2):
+            u1 = (mix(seed + j * dim + i) % (10**9) + 1) / (10**9 + 1)
+            u2 = (mix(seed * 31 + j * dim + i + 1) % (10**9)) / 10**9
+            r = math.sqrt(-2 * math.log(u1))
+            v.extend([r * math.cos(2 * math.pi * u2), r * math.sin(2 * math.pi * u2)])
+        planes.append(v[:dim])
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bit signature as an int array (one int
+    per plane, 1 if v·h > 0).  All JVM expression trees."""
+    return F.array(
+        *[
+            (
+                dot(vec, F.array(*[F.lit(x) for x in p])) > 0
+            ).cast("int")
+            for p in planes
+        ]
+    )
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """ANN candidate pairs: equal signature band ⇒ candidate.
+
+    ``nbits`` bits split into ``bands`` keys; a candidate needs one
+    whole band equal (OR over bands), so recall degrades gracefully.
+    Shuffle volume is O((corpus+queries) × bands) int keys.
+    """
+    planes = _hyperplanes(dim, nbits)
+    rows = nbits // bands
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = srp_signature(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(f"{role}_vec"),
+            F.col(vec_col).alias(f"{role}_emb"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(F.slice(sig, b * rows + 1, rows)).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{role}_vec", f"{role}_emb", "bk.band", "bk.key")
+
+    c, q = banded(corpus, "n"), banded(queries, "q")
+    return (
+        c.join(q, ["band", "key"])
+        .filter(F.col("n_vec") != F.col("q_vec"))
+        .select("q_vec", "q_emb", "n_vec", "n_emb")
+        .distinct()
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    nbits: int = 16,
+    bands: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: LSH candidates → exact cosine → per-query rank.
+    Same output shape as :func:`brute_force_topk`; recall < 1 by design."""
+    corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    cand = lsh_bucket_candidates(
+        corpus, queries, id_col=id_col, vec_col=vec_col, dim=dim, nbits=nbits,
+        bands=bands,
+    )
+    sims = cand.select(
+        "q_vec",
+        "n_vec",
+        F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
+    )
+    from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k)
+
+
+# --- IVF ---------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inverted-file ANN: assign corpus vectors to their nearest
+    centroid cell (build side, one corpus pass), then each query probes
+    its ``n_probe`` nearest cells and ranks only those vectors.
+
+    Centroids are a deterministic corpus sample (lowest ``n_cells``
+    ids) — the partition/probe machinery is identical to a k-means
+    build, which could replace the sampler without touching the plan.
+    Corpus is shuffled once on cell id; queries broadcast.
+    """
+    from pyspark.sql import Window
+
+    corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(Window.orderBy(id_col)))
+        .select("cell", F.col(vec_col).alias("c_emb"))
+    )
+
+    def nearest_cells(df: DataFrame, role: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(f"{role}_vec"),
+            F.col(vec_col).alias(f"{role}_emb"),
+            "cell",
+            F.round(dot(F.col(vec_col), F.col("c_emb")), 9).alias("c_sim"),
+        )
+        from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+        return grouped_top_k(
+            scored, [f"{role}_vec"], [F.col("c_sim").desc(), F.col("cell")], n_keep
+        ).drop("c_sim")
+
+    c_assigned = nearest_cells(corpus, "n", 1)
+    q_probes = nearest_cells(queries, "q", n_probe)
+    sims = (
+        c_assigned.join(q_probes, "cell")
+        .filter(F.col("n_vec") != F.col("q_vec"))
+        .select(
+            "q_vec",
+            "n_vec",
+            F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
+        )
+        .distinct()
+    )
+    from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k)

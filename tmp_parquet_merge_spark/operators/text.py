@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+North-star mandated (BASELINE.json): language ID, quality scoring,
+token counting, document fingerprinting.  Everything is built-in
+pyspark.sql.functions — string/regex/array expressions inside
+whole-stage codegen, zero Python in the row path — so these run at
+scan speed over a 100 TB documents table.
+
+Cross-engine determinism: every double output is a single division /
+rounding at the end (``F.round(x, 6)``), matching the DuckDB oracle
+spelling exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.operators.dedup import normalize_text, words
+
+# Tiny embedded stopword lists — a deterministic n-gram/stopword
+# heuristic, not a learned model (those would be an external artifact;
+# the heuristic is the classic langid baseline).
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "in", "and", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"],
+}
+
+# BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation —
+# the GPT-2 pre-tokenizer family's shape, as a pure regex.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    ws = words(text)
+    hits = F.size(
+        F.filter(ws, lambda w: w.isin(*STOPWORDS[lang]))
+    )
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document surface statistics: chars, words, distinct words,
+    mean word length, punctuation density."""
+    norm = normalize_text(text_col)
+    ws = words(text_col)
+    n_words = F.size(ws)
+    return df.select(
+        F.col(id_col),
+        F.length(norm).alias("n_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.round(
+            F.aggregate(
+                ws, F.lit(0), lambda acc, w: acc + F.length(w)
+            )
+            / F.greatest(n_words, F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)"))
+            / F.greatest(F.length(norm), F.lit(1)).cast("double"),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit
+    ratios; 'und' (undetermined) when no language clears 2%."""
+    ratios = {lang: stopword_ratio(text_col, lang) for lang in STOPWORDS}
+    best_lang, best_ratio = None, None
+    for lang, r in ratios.items():
+        if best_lang is None:
+            best_lang, best_ratio = F.lit(lang), r
+        else:
+            swap = r > best_ratio
+            best_lang = F.when(swap, F.lit(lang)).otherwise(best_lang)
+            best_ratio = F.when(swap, r).otherwise(best_ratio)
+    pred = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best_ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality score in [0,1]: mean of four heuristic
+    subscores (length band, mean-word-length band, stopword presence,
+    lexical diversity) — the Gopher-rules family of filters as one
+    scan-speed expression."""
+    ws = words(text_col)
+    n_words = F.size(ws).cast("double")
+    awl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.greatest(
+        F.size(ws), F.lit(1)
+    ).cast("double")
+    diversity = F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1)).cast(
+        "double"
+    )
+    s_len = F.when((n_words >= 20) & (n_words <= 5000), 1.0).otherwise(0.0)
+    s_awl = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+    s_stop = F.when(stopword_ratio(text_col, "en") >= 0.01, 1.0).otherwise(0.0)
+    s_div = F.when(diversity >= 0.1, 1.0).otherwise(0.0)
+    score = F.round((s_len + s_awl + s_stop + s_div) / 4.0, 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("quality"),
+        s_len.alias("s_length"),
+        s_awl.alias("s_word_len"),
+        s_stop.alias("s_stopwords"),
+        s_div.alias("s_diversity"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish pre-tokenizer count (words /
+    digit runs / punctuation singles) — the budget columns a training
+    pipeline partitions on."""
+    # Spark SQL string literals eat unknown escapes ('\s' → 's'), so the
+    # regex must be double-escaped when inlined into F.expr.
+    sql_re = TOKEN_RE.replace("\\", "\\\\")
+    return df.select(
+        F.col(id_col),
+        F.size(words(text_col)).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{sql_re}', 0)")
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3, k: int = 4
+) -> DataFrame:
+    """Bottom-k document fingerprint: the k lexicographically smallest
+    md5 digests over the document's distinct word shingles (a winnowing
+    /bottom-k sketch).  Equal fingerprints ⇒ near-identical shingle
+    sets; md5 is available verbatim in DuckDB so the sketch is
+    oracle-checkable."""
+    from tmp_parquet_merge_spark.operators.dedup import shingle_rows
+
+    # shingle_rows + md5 in a flat projection (whole-stage codegen) →
+    # one hash-agg; an array-lambda formulation (transform(shingles,
+    # md5) over word_shingles) is interpreted per element and measured
+    # ~50× slower at sf0.1.
+    ex = shingle_rows(df, text_col, id_col, n=shingle_n).select(
+        F.col("doc").alias(id_col), F.md5("s").alias("h")
+    )
+    return ex.groupBy(id_col).agg(
+        F.array_join(F.slice(F.array_sort(F.collect_set("h")), 1, k), "|").alias(
+            "fingerprint"
+        )
+    )

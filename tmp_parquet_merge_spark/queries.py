@@ -19,10 +19,8 @@ from __future__ import annotations
 
 import os
 import tempfile
-from collections.abc import Callable
-from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tmp_parquet_merge_spark.functions.deterministic import (
@@ -36,50 +34,14 @@ from tmp_parquet_merge_spark.operators.relational import (
     range_join,
     top_k,
 )
+from tmp_parquet_merge_spark.registry import (  # noqa: F401  (re-exported)
+    REGISTRY,
+    Query,
+    events_table,
+    query,
+    t,
+)
 from tmp_parquet_merge_spark.sources import fixtures, parquet_io
-
-
-@dataclass(frozen=True)
-class Query:
-    name: str
-    build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    doc: str
-
-
-REGISTRY: dict[str, Query] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
-        return fn
-
-    return deco
-
-
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` usable in Spark.
-
-    The driver's events.parquet stores TIMESTAMP(NANOS,false), which
-    Spark's vectorized reader rejects outright.  We read the column as
-    raw int64 nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and
-    convert to TIMESTAMP_NTZ at microsecond precision — TIMESTAMP_NTZ so
-    collection never passes through driver-local timezone conversion,
-    matching DuckDB's naive timestamps (oracle side uses
-    ``CAST(ts AS TIMESTAMP)`` which truncates ns→µs identically).
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -715,3 +677,9 @@ def q_window_tumbling(spark, sf_dir):
             F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
         )
     )
+
+
+# Registration side-effect imports: each module adds its queries to
+# REGISTRY on import (LLM-pipeline extensions, streaming batch twins).
+from tmp_parquet_merge_spark import queries_llm  # noqa: E402,F401
+from tmp_parquet_merge_spark import queries_streaming  # noqa: E402,F401

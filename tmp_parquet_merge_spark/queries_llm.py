@@ -1,0 +1,352 @@
+"""LLM-data-pipeline queries (north star, BASELINE.json): dedup,
+similarity search, text analysis, multimodal columns.
+
+Registered into the shared REGISTRY; oracle SQL mirrors each Spark
+expression step-for-step (same normalization, same rounding) so the
+driver's hash compare is exact.  Approximate/sketch operators
+(MinHash-LSH, SimHash, SRP-LSH, IVF) are rows-only by nature — their
+exact *verify* stages are the oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.operators import dedup, multimodal, similarity, text
+from tmp_parquet_merge_spark.registry import query, t
+
+# Shared DuckDB fragments — the oracle spelling of normalize_text /
+# words / word_shingles (operators/dedup.py) over the documents table.
+_W = r"""
+    w AS (
+        SELECT doc_id, text,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    )
+"""
+_SH = r"""
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shingles
+        FROM w
+    )
+"""
+# Deterministic double dot product over float lists (index-order fold,
+# matching operators/similarity.py::dot's zip_with+aggregate).
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+        WITH {_W}
+        SELECT sha256(norm) AS content_sha,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dupes
+        FROM w GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: group by sha2(normalized text), keep min doc_id.
+    Only 32-byte digests shuffle — document bodies never move."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+        WITH {_W}, {_SH},
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+        FROM p
+        JOIN n na ON na.doc_id = doc_a
+        JOIN n nb ON nb.doc_id = doc_b
+        WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (sim ≥ 0.5) — the
+    verify stage of the near-dup pipeline, oracle-checked."""
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands × 4 rows ⇒ ~0.5 Jaccard S-curve knee)
+    candidate pairs, verified with exact shingle Jaccard.  Rows-only:
+    murmur3 seeding isn't reproducible in SQL; the verify stage is the
+    oracle-checked q_dedup_ngram."""
+    return dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        verify_threshold=0.5,
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +
+    Hamming ≤ 8 — all-JVM bit arithmetic, one shuffle.  Rows-only
+    (xxhash64 isn't reproducible in SQL)."""
+    return dedup.simhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+        WITH a AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   round({_cos("x.embedding", "y.embedding")}, 6) AS sim
+            FROM a x JOIN a y ON x.vec_id < y.vec_id
+        )
+        SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sim ≥ 0.4) — exact all-pairs
+    verify stage; at scale candidates come from SRP-LSH (q_ann_lsh)."""
+    return similarity.embedding_dedup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk_similarity",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_vec, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS n_vec, embedding AS n_emb FROM embeddings),
+        sims AS (
+            SELECT q_vec, n_vec, round({_cos("q_emb", "n_emb")}, 6) AS sim
+            FROM c, q WHERE n_vec != q_vec
+        ),
+        r AS (
+            SELECT q_vec, n_vec, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec
+                                      ORDER BY sim DESC, n_vec) AS rn
+            FROM sims
+        )
+        SELECT q_vec, n_vec, sim FROM r WHERE rn <= 10
+    """,
+)
+def q_topk_similarity(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors: broadcast
+    queries, one corpus pass, per-query heap — the exact ANN baseline.
+    Similarity rounded before ranking so both engines rank identically."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("q_ann_lsh")
+def q_ann_lsh(spark, sf_dir):
+    """Approximate top-k via sign-random-projection LSH buckets
+    (16 bits, 4 bands): candidates share a signature band, then exact
+    cosine + rank.  Rows-only (approximate recall by design); the
+    exact twin q_topk_similarity is the oracle-checked baseline."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        e, e.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=16, bands=4
+    )
+
+
+@query("q_ann_ivf")
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: corpus assigned to nearest of 16 deterministic
+    centroids, queries probe their 4 nearest cells.  Rows-only
+    (approximate by design)."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), n_cells=16, n_probe=4, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+        WITH {_W}
+        SELECT doc_id,
+               CAST(length(norm) AS INTEGER) AS n_chars,
+               CAST(len(ws) AS INTEGER) AS n_words,
+               CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_words,
+               round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                     / greatest(len(ws), 1), 6) AS avg_word_len,
+               round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS DOUBLE)
+                     / greatest(length(norm), 1), 6) AS punct_ratio
+        FROM w
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-document surface stats (chars/words/distinct/mean word
+    length/punctuation density) — scan-speed JVM expressions."""
+    return text.text_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in text.STOPWORDS.items()
+}
+_RATIO = (
+    "(CAST(len(list_filter(ws, x -> x IN ({stop}))) AS DOUBLE)"
+    " / greatest(len(ws), 1))"
+)
+_R_EN = _RATIO.format(stop=_STOP_SQL["en"])
+_R_DE = _RATIO.format(stop=_STOP_SQL["de"])
+_R_FR = _RATIO.format(stop=_STOP_SQL["fr"])
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+        WITH {_W},
+        r AS (
+            SELECT doc_id, {_R_EN} AS r_en, {_R_DE} AS r_de, {_R_FR} AS r_fr
+            FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(r_en, r_de, r_fr) >= 0.02 THEN
+                    CASE WHEN r_fr > greatest(r_en, r_de) THEN 'fr'
+                         WHEN r_de > r_en THEN 'de'
+                         ELSE 'en' END
+               ELSE 'und' END AS pred_lang,
+               round(greatest(r_en, r_de, r_fr), 6) AS stopword_ratio
+        FROM r
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID: argmax of per-language stopword ratios
+    (en/de/fr), 'und' below 2% — the classic n-gram/stopword baseline."""
+    return text.language_id(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+        WITH {_W},
+        m AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS DOUBLE) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / greatest(len(ws), 1) AS awl,
+                   CAST(len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1)
+                       AS diversity,
+                   {_R_EN} AS r_en
+            FROM w
+        )
+        SELECT doc_id,
+               round((CASE WHEN n_words >= 20 AND n_words <= 5000 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN diversity >= 0.1 THEN 1.0 ELSE 0.0 END)
+                   / CAST(4.0 AS DOUBLE), 6) AS quality,
+               CAST(CASE WHEN n_words >= 20 AND n_words <= 5000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS s_length,
+               CAST(CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS s_word_len,
+               CAST(CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS s_stopwords,
+               CAST(CASE WHEN diversity >= 0.1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS s_diversity
+        FROM m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Gopher-style quality heuristics as one scan-speed expression:
+    length band, mean word length band, stopword presence, diversity."""
+    return text.quality_score(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+        WITH {_W}
+        SELECT doc_id,
+               CAST(len(ws) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER)
+                   AS bpe_ish_tokens
+        FROM w
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Token budgeting: whitespace tokens + BPE-ish pre-tokenizer
+    (word/digit/punct regex) counts."""
+    return text.token_counts(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+        WITH {_W}, {_SH}
+        SELECT doc_id,
+               array_to_string(
+                   list_sort(list_transform(shingles, s -> md5(s)))[1:4],
+                   '|') AS fingerprint
+        FROM sh
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Bottom-4 md5 sketch over word-3-gram shingles (winnowing-style
+    document fingerprint; md5 spells identically in DuckDB so the
+    sketch itself is oracle-checked)."""
+    return text.fingerprint(
+        t(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, k=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata struct →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    standing in for the decode step — codecs absent in this env).
+    Rows-only (binary payload pipelines aren't SQL)."""
+    return multimodal.extract_features(multimodal.media_table(spark, sf_dir))
+
+
+@query("q_frame_sample")
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: posexplode sampled byte offsets of each
+    payload, slice bytes per frame — pure JVM, no Python.  Rows-only."""
+    return multimodal.frame_sample(multimodal.media_table(spark, sf_dir))

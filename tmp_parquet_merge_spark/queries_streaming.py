@@ -1,0 +1,67 @@
+"""Batch twins of the Structured Streaming pipelines (streaming/windows.py).
+
+Each builder calls the SAME transformation function the streaming
+pipeline uses (tumbling/sliding/session windows) on the batch events
+table, so the DuckDB oracle checks the exact logic that runs under
+readStream; tests/test_streaming.py separately asserts
+stream(availableNow) ≡ batch on identical input.
+"""
+
+from __future__ import annotations
+
+from tmp_parquet_merge_spark.registry import query, t
+from tmp_parquet_merge_spark.streaming.windows import sessionized, sliding_counts
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                   - CAST(k AS INTEGER) * INTERVAL 30 MINUTE AS w_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM e CROSS JOIN (VALUES (0), (1)) AS off(k)
+        GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding 1-hour windows hopping every 30 minutes: each event in
+    exactly 2 epoch-aligned windows (oracle enumerates both hops)."""
+    return sliding_counts(
+        t(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+@query(
+    "q_window_session",
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER win IS NULL
+                             OR ts - LAG(ts) OVER win >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+)
+def q_window_session(spark, sf_dir):
+    """Session windows (30-minute gap) per user — Spark's native
+    session_window; oracle is the equivalent gaps-and-islands SQL
+    (new session when the gap from the previous event is ≥ 30 min;
+    session end = last event + gap, matching Spark's semantics)."""
+    return sessionized(t(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,59 @@
+"""Query registry core — shared by every query module.
+
+Each registered query binds a name to (a) a Spark DataFrame builder
+taking ``(spark, sf_dir)`` and (b) a DuckDB oracle SQL string (or
+``None`` for rows-only checks).  ``__spark_entry__.py`` exposes the
+registry to the driver, which hash-compares Spark vs DuckDB results.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` usable in Spark.
+
+    The driver's events.parquet stores TIMESTAMP(NANOS,false), which
+    Spark's vectorized reader rejects outright.  We read the column as
+    raw int64 nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and
+    convert to TIMESTAMP_NTZ at microsecond precision — TIMESTAMP_NTZ so
+    collection never passes through driver-local timezone conversion,
+    matching DuckDB's naive timestamps (oracle side uses
+    ``CAST(ts AS TIMESTAMP)`` which truncates ns→µs identically).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+    )

@@ -1,0 +1,141 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming (SURVEY.md §0); this is the §2.E
+extension, built the idiomatic way: ``readStream`` → event-time
+windowed aggregation with watermarks → sink.  Each transformation is
+written against a plain DataFrame so the SAME function serves both the
+streaming pipeline and its batch twin — the batch twins are what the
+DuckDB oracle checks (queries_streaming.py), and the streaming tests
+assert stream(availableNow) ≡ batch on identical input.
+
+Scale notes: windowed aggs shuffle on (window, key) with state kept in
+the state store, bounded by the watermark; session windows use Spark's
+native ``session_window`` state merging.  At 100 TB/day the knobs are
+partition count on the source and watermark delay — the plan shape
+here is already the right one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tmp_parquet_merge_spark.functions.deterministic import dsum
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # µs truncation like registry.events_table, but kept as TIMESTAMP:
+    # EventTimeWatermark rejects TIMESTAMP_NTZ.  The session timezone
+    # is pinned to UTC, so values match the batch table's NTZ ones; the
+    # window functions cast their OUTPUT timestamps to NTZ so stream
+    # and batch twins still produce byte-identical schemas.
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet (ns timestamps read
+    as int64 then converted, same convention as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a directory basePath; select the events
+    # file(s) from the table directory with a glob filter.
+    return _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts/sums.  On a stream the
+    watermark bounds state and admits late data up to its delay; on a
+    batch DataFrame withWatermark is a no-op, so this one body is both
+    the pipeline and its oracle-checkable twin."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping windows."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge into one session (native session_window state merging)."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming aggregation with trigger(availableNow) into an
+    in-memory table and return it as a DataFrame (test/driver harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

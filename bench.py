@@ -35,6 +35,10 @@ HEADLINE = [
     "q_filter_pushdown",
     "q_agg_basic",
     "q_agg_distinct",
+    "q_agg_cube",
+    "q_percentiles",
+    "q_pivot",
+    "q_sql_tpch_q3",
     "q_join_inner",
     "q_join_multiway",
     "q_join_asof",

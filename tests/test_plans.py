@@ -1,0 +1,131 @@
+"""Physical-plan audits — the scale contract.
+
+Correctness says the right rows come back; these tests pin the plan
+properties that decide whether the same query survives 100 TB:
+column pruning reaches the scan, filters are pushed, dim joins
+broadcast, top-k avoids global sorts, partition pruning works, and
+bucketed joins run without exchanges.  A regression here would pass
+every value check and still melt a 1000-executor cluster.
+"""
+
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.plans.explain import (
+    codegen_plan,
+    executes_before,
+    formatted_plan,
+    has_broadcast_join,
+    plan_tree,
+    pushed_filters,
+    read_schema_columns,
+)
+from tmp_parquet_merge_spark.queries import REGISTRY
+
+
+def build(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = build("q_project_one", spark, sf_dir)
+    assert read_schema_columns(df) == ["l_orderkey"]
+
+
+def test_agg_prunes_to_needed_columns(spark, sf_dir):
+    df = build("q_agg_basic", spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    # 11-column table; Q1 needs only 7
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    df = build("q_filter_pushdown", spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(build("q_join_inner", spark, sf_dir))
+
+
+def test_multiway_join_all_broadcast_at_local_scale(spark, sf_dir):
+    # at test scale every dim fits the broadcast threshold: zero
+    # shuffle joins at all
+    tree = plan_tree(build("q_join_multiway", spark, sf_dir))
+    assert tree.count("BroadcastHashJoin") == 4
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 0
+
+
+def test_multiway_join_shuffles_fact_once_at_scale(spark, sf_dir):
+    # the 100 TB shape: auto-broadcast off (orders no longer "small"),
+    # explicit hints keep the true dims broadcast — the fact table
+    # shuffles exactly once (lineitem⋈orders)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tree = plan_tree(build("q_join_multiway", spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert tree.count("BroadcastHashJoin") == 3
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 1
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = formatted_plan(build("q_topk_orders", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    df = build("q_partition_pruning", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    df = build("q_bucketed_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = formatted_plan(build("q_join_asof", spark, sf_dir))
+    # union-merge as-of: exactly one hash exchange for the window (the
+    # orders-side pre-agg adds its own); crucially NO join operator at
+    # all — nothing can explode per key
+    assert "Join" not in plan.replace("JoinedRow", "")
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    df = build("q_join_range", spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_scan_count_reads_zero_columns(spark, sf_dir):
+    plan = formatted_plan(build("q_scan_count", spark, sf_dir))
+    # COUNT(*) materializes no columns — the scan's ReadSchema is empty
+    # (parquet v1 path; row counts come from row-group headers)
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_similarity_prunes_before_shuffle(spark, sf_dir):
+    df = build("q_topk_similarity", spark, sf_dir)
+    # the BLAS scoring pass and the per-batch WindowGroupLimit prune
+    # both run BEFORE the single exchange: only ~k rows per (query,
+    # batch) ever shuffle
+    assert executes_before(df, "Scan parquet", "Exchange")
+    assert executes_before(df, "MapInPandas", "Exchange")
+    assert executes_before(df, "WindowGroupLimit", "Exchange")
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # AQE wraps the plan in AdaptiveSparkPlan and reports 0 codegen
+    # subtrees until execution — disable it for this static probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q_agg_basic", "q_text_stats", "q_dedup_exact"):
+            plan = codegen_plan(build(name, spark, sf_dir))
+            assert "Found 0 WholeStageCodegen" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -20,6 +20,41 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def simple_plan(df: DataFrame) -> str:
+    """Simple-mode physical plan (shows WholeStageCodegen spans)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def plan_tree(df: DataFrame) -> str:
+    """Just the operator tree of the formatted plan (each physical
+    operator appears exactly once — count nodes here, not in the full
+    formatted output, which repeats each operator in its detail block)."""
+    return formatted_plan(df).split("\n\n", 1)[0]
+
+
+def executes_before(df: DataFrame, first: str, second: str) -> bool:
+    """True if some ``first`` operator runs before (deeper in the tree
+    than) the outermost ``second``.  The formatted tree prints parents
+    first, so executing earlier means appearing LATER in the text;
+    ``rfind`` picks the deepest occurrence of ``first`` (an operator
+    like WindowGroupLimit can legitimately appear on both sides of an
+    exchange — partial + final)."""
+    tree = plan_tree(df)
+    i, j = tree.rfind(first), tree.find(second)
+    return i >= 0 and j >= 0 and i > j
+
+
+def codegen_plan(df: DataFrame) -> str:
+    """Codegen-mode explain ("Found N WholeStageCodegen subtrees") —
+    the reliable codegen probe under AQE, which hides codegen spans in
+    simple/formatted output until the final plan."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the Parquet scan (PushedFilters: [...])."""
     plan = formatted_plan(df)

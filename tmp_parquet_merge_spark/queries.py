@@ -680,6 +680,8 @@ def q_window_tumbling(spark, sf_dir):
 
 
 # Registration side-effect imports: each module adds its queries to
-# REGISTRY on import (LLM-pipeline extensions, streaming batch twins).
+# REGISTRY on import (LLM-pipeline extensions, streaming batch twins,
+# extended relational coverage).
 from tmp_parquet_merge_spark import queries_llm  # noqa: E402,F401
+from tmp_parquet_merge_spark import queries_relational_ext  # noqa: E402,F401
 from tmp_parquet_merge_spark import queries_streaming  # noqa: E402,F401

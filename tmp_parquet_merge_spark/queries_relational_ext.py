@@ -1,0 +1,386 @@
+"""Extended relational coverage: cube, statistical aggregates, outer
+joins, pivot, percentiles, scalar-math/regex/conditional functions,
+collect aggregates, SQL-interface queries (scalar subquery, TPC-H Q3),
+and physical-layout operators (partitioned writes with partition
+pruning, bucketed co-located joins).
+
+All are Spark built-ins (SURVEY.md §2.E: the reference has no
+relational operators; Spark supplies them); the work is oracle parity
+and — for the layout operators — proving the scan/exchange behavior
+that matters at 100 TB (partition pruning, shuffle-free joins).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.functions.deterministic import dsum
+from tmp_parquet_merge_spark.registry import query, t
+from tmp_parquet_merge_spark.sources import parquet_io
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE grouping sets: all 4 combinations of the two keys."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qty_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/covariance/correlation).
+    Rounded to absorb merge-order float drift between engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile ≙ DuckDB
+    quantile_cont).  At 100 TB the approx_percentile sketch replaces
+    this plan shape 1:1 when exactness can be traded for memory."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", q), 6).alias(f"p{int(q*100)}_price")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(DISTINCT n_name)) AS nations
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """Collect-to-array aggregation, sorted for determinism."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'error')    AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'view')     AS view
+        FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event-type counts.  Explicit value
+    list so no discovery pass is needed (the 100 TB-friendly form)."""
+    e = t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, ["click", "error", "purchase", "signup", "view"])
+
+
+# ---------------------------------------------------------------------------
+# Join extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    """Left outer join with a join-side predicate (unmatched rows keep
+    NULLs — the predicate must live in the join condition, not a
+    post-filter)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_quantity), 6) AS sqrt_qty,
+               round(ln(l_extendedprice), 6) AS ln_price,
+               round(pow(1.0 + l_discount, 2), 6) AS disc_sq,
+               abs(l_quantity - 25.0) AS dev_from_25,
+               CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket
+        FROM lineitem
+    """,
+)
+def q_scalar_math(spark, sf_dir):
+    """Math scalar functions (sqrt/ln/pow/abs/ceil)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dev_from_25"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_bucket"),
+    )
+
+
+@query(
+    "q_scalar_regex",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+               CAST(p_name LIKE '%green%' AS BOOLEAN) AS has_green,
+               CAST(len(string_split(p_type, ' ')) AS INTEGER) AS type_words
+        FROM part
+    """,
+)
+def q_scalar_regex(spark, sf_dir):
+    """Regex scalar functions (extract/replace/like/split)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+@query(
+    "q_scalar_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'),
+                        'unspecified') AS priority,
+               CAST(o_totalprice >= 300000 AS BOOLEAN) AS is_high
+        FROM orders
+    """,
+)
+def q_scalar_conditional(spark, sf_dir):
+    """Conditional scalar functions (CASE/when, nullif, coalesce)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("unspecified"),
+        ).alias("priority"),
+        (F.col("o_totalprice") >= 300000).alias("is_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL interface (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "q_sql_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 2 * AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    """Scalar subquery through the SQL interface — Catalyst plans the
+    subquery once and broadcasts the scalar."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 2 * AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-03-15'
+          AND l.l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def q_sql_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) verbatim through spark.sql — the
+    full SQL surface: multi-join, agg, order, limit in one statement."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-03-15'
+          AND l.l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physical layout: partitioned writes (pruning) & bucketed joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_partition_pruning",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def q_partition_pruning(spark, sf_dir):
+    """Hive-style partitioned write + partition-pruned read: the year
+    filter is resolved against directory names (PartitionFilters), so
+    non-matching partitions are never opened — at 100 TB this is the
+    difference between scanning one year and scanning the lake."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_part_"), "orders_by_year")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    parquet_io.write_parquet(
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_year"),
+        out,
+        partition_by=["o_year"],
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_year").cast("int").alias("o_year"),
+        )
+    )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 200000
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: both sides bucketed by the join key at
+    write time, so the join needs NO exchange at read time (SortMergeJoin
+    over pre-bucketed scans).  This is the 100 TB recipe for repeated
+    fact⋈fact joins where broadcast is impossible and per-query shuffles
+    are the dominant cost."""
+    from tmp_parquet_merge_spark.sources.bucketing import bucketed_join_tables
+
+    joined = bucketed_join_tables(
+        spark,
+        left=t(spark, sf_dir, "orders"),
+        right=t(spark, sf_dir, "customer"),
+        left_name="orders_b",
+        right_name="customer_b",
+        key_left="o_custkey",
+        key_right="c_custkey",
+        n_buckets=8,
+    )
+    return joined.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name"
+    )

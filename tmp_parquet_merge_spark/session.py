@@ -42,6 +42,10 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # managed-table scratch space (bucketed tables); keep the repo and
+    # cwd clean of spark-warehouse/ and metastore_db/ litter
+    "spark.sql.warehouse.dir": "/tmp/tpms_warehouse",
+    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/tpms_derby",
 }
 
 

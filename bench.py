@@ -38,6 +38,8 @@ HEADLINE = [
     "q_agg_cube",
     "q_percentiles",
     "q_pivot",
+    "q_grouped_apply",
+    "q_udf_pandas",
     "q_sql_tpch_q3",
     "q_join_inner",
     "q_join_multiway",

@@ -85,3 +85,19 @@ def test_compression_is_snappy(roundtrip):
     f = glob.glob(out + "/*.parquet")[0]
     md = pq.ParquetFile(f).metadata
     assert md.row_group(0).column(0).compression == "SNAPPY"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TPMS_STRESS"),
+    reason="2.5M-row stress roundtrip (reader-writer2.cc:45); set TPMS_STRESS=1",
+)
+def test_stress_roundtrip_2_5m(spark, tmp_path):
+    """The reference's full stress scale: 2,500,000 rows × 8 columns,
+    16 MiB row groups, write → read → exact equality + count
+    conservation across row groups (reader-writer2.cc:45-46,214-420)."""
+    out = str(tmp_path / "stress")
+    df = fixtures.alltypes_df(spark, 2_500_000)
+    parquet_io.write_parquet(df, out, block_size_bytes=16 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    assert back.count() == 2_500_000
+    assert df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()

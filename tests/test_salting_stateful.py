@@ -1,0 +1,72 @@
+"""Salted-join equivalence and custom stateful streaming."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.operators.relational import salted_join
+from tmp_parquet_merge_spark.registry import events_table
+from tmp_parquet_merge_spark.streaming import read_events_stream
+from tmp_parquet_merge_spark.streaming.stateful import user_profiles
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_custkey")
+        .collect()
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", "c_custkey", salt=4)
+        .select("o_orderkey", "c_custkey")
+        .collect()
+    )
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key (all left rows identical) still joins right
+    left = spark.range(1000).select(F.lit(7).alias("k"), F.col("id"))
+    right = spark.createDataFrame([(7, "hot"), (8, "cold")], "k2: long, tag: string")
+    out = salted_join(left, right, "k", "k2", salt=8)
+    assert out.count() == 1000
+    assert out.select("tag").distinct().collect()[0][0] == "hot"
+
+
+def test_stateful_user_profiles_stream(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink may hold one row per micro-batch per
+    # user; the LAST update per user must equal the batch aggregate
+    got = (
+        spark.table("t_profiles")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    expect = (
+        events_table(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == expect["n_events"]).all()
+    pd.testing.assert_series_equal(
+        got["sum_value"], expect["sum_value"], rtol=1e-9
+    )

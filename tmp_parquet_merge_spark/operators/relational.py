@@ -120,3 +120,35 @@ def grouped_top_k(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    random salt in [0, salt); the right side is replicated salt× via a
+    literal salt array explode.  A hot key's rows then spread over
+    ``salt`` reducers instead of melting one.
+
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is the escape hatch for pathological keys (a null-heavy
+    foreign key, a celebrity user) where one key exceeds a single
+    executor.  Semantics are identical to the plain join — asserted in
+    tests.
+    """
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l.join(
+        r,
+        (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

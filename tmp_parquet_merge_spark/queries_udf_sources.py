@@ -1,0 +1,136 @@
+"""SURVEY §2 inventory closers: set-op union, vectorized pandas UDFs,
+grouped custom aggregation (applyInPandas), and non-parquet sources
+(CSV / JSON lines) — the full source/sink matrix Spark gives the
+engine beyond the reference's parquet-only surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from tmp_parquet_merge_spark.registry import query, t
+
+
+@query(
+    "q_union_files",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer
+        UNION
+        SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_union_files(spark, sf_dir):
+    """Set-op UNION (distinct) across two sources — with q_merge_files
+    (UNION ALL of file reads) this completes the union family."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.union(o).distinct()
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                   AS charge
+        FROM lineitem
+    """,
+)
+def q_udf_pandas(spark, sf_dir):
+    """Vectorized (Arrow) pandas UDF — the idiomatic descendant of the
+    reference's Arrow interop (parquet-arrow/src/reader-writer.cc):
+    whole columnar batches cross to numpy, compute vectorized, return.
+    Same row math as the JVM expression, so it IS oracle-checkable —
+    demonstrating the UDF boundary costs no correctness."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.round(price.values * (1 - disc.values) * (1 + tax.values), 6)
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@query(
+    "q_grouped_apply",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS base_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_apply(spark, sf_dir):
+    """Custom grouped aggregation via applyInPandas (a UDAF Spark lacks
+    as a built-in composition here: per-group OLS fit).  Each group's
+    rows stream to one worker as Arrow batches; at 100 TB this holds
+    when groups are bounded (or pre-aggregated moments make it a plain
+    groupBy — the moment-based twin is what regr_slope does)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["l_quantity"].values, pdf["l_extendedprice"].values
+        slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "price_per_qty": [round(float(slope), 4)],
+                "base_price": [round(float(intercept), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(
+        fit,
+        schema="l_returnflag string, price_per_qty double, base_price double, n long",
+    )
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink+source roundtrip (header, schema re-applied on read) —
+    the text-format leg of the source/sink matrix.  Oracle compares the
+    roundtripped rows against the original table."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_csv_"), "nation_csv")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    return (
+        spark.read.option("header", "true")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .csv(out)
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+    """,
+)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink+source roundtrip — the semi-structured leg of
+    the source/sink matrix."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_json_"), "region_json")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").json(out)
+    return spark.read.schema("r_regionkey bigint, r_name string").json(out)

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in windowed aggregations (streaming/windows.py) cover
+time-bucketed state; this module is the arbitrary-state path — the
+Spark-idiomatic replacement for a hand-written stateful operator in a
+native engine.  Demonstrated operator: per-user running activity
+profile (event count, value sum, last-seen timestamp) maintained
+across micro-batches with a processing-time timeout.
+
+Scale notes: state lives in the state store keyed by user (RocksDB
+provider on clusters), partitioned by the groupBy key — one shuffle
+per micro-batch, state size O(active users), bounded by the timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, s double, last long"
+
+
+def _make_update(timeout_ms: int | None):
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, s, last))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [s],
+                "last_ts": [pd.Timestamp(last)],
+            }
+        )
+
+    return update
+
+
+def user_profiles(events: DataFrame, *, timeout_ms: int | None = None) -> DataFrame:
+    """Running per-user profiles over a stream of events (ts, user_id,
+    value).  Each micro-batch emits the updated profile of every user
+    it touched.
+
+    ``timeout_ms`` evicts idle users' state (the unbounded-key
+    protection on a long-running cluster job).  Leave None for finite
+    replays: with a timeout configured, trigger(availableNow) never
+    terminates — Spark keeps scheduling state-cleanup micro-batches
+    ("no new data but cleaning up state") until the timeout fires.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(timeout_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

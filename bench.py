@@ -72,7 +72,19 @@ def run_query(name: str, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
     names = [n for n in (sys.argv[2:] or HEADLINE) if n in REGISTRY]
-    spark = get_spark("bench")
+    # local testdata is one small file per table, so the default 128 MB
+    # split size gives single-task scans; smaller splits restore the
+    # parallelism a real (many-file / large-file) dataset has natively.
+    # On a cluster keep the 128 MB default — 4 MB splits at 100 TB
+    # would mean 25M tasks.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MPB", "4m"
+            )
+        },
+    )
     # Warm up the JVM/session (JIT, codegen caches, FS client) so the
     # first measured query isn't charged for session startup.
     spark.range(1_000_000).selectExpr("sum(id)").write.mode(

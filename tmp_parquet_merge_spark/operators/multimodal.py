@@ -102,9 +102,21 @@ def extract_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
     drops the payload so downstream stages shuffle features, not bytes.
     """
 
+    # self-contained closure: executor workers may not have this repo
+    # importable (cloudpickle serializes module-level functions as
+    # imports), so the stub featurizer is defined inside
+    def featurize(payload: bytes, nbins: int) -> list[float]:
+        if not payload:
+            return [0.0] * nbins
+        hist = [0] * nbins
+        for b in payload:
+            hist[b * nbins // 256] += 1
+        n = len(payload)
+        return [h / n for h in hist]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p, bins) for p in pdf["payload"]]
+            feats = [featurize(p, bins) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

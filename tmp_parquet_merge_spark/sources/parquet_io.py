@@ -190,6 +190,12 @@ def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
     if len(files) > 64:  # distribute footer reads only when worth the workers
         files_df = files_df.repartition(min(len(files) // 8, 512))
 
+    # NB: the closure must be self-contained (no references to names in
+    # this package) — executor Python workers may not have the repo on
+    # their import path, and cloudpickle serializes module-level
+    # references as imports.
+    out_columns = [f.name for f in _FOOTER_SCHEMA]
+
     def scan_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
 
@@ -198,7 +204,8 @@ def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fname in pdf["file"]:
-                md = pq.ParquetFile(_strip_scheme(fname)).metadata
+                local = fname[5:] if fname.startswith("file:") else fname
+                md = pq.ParquetFile(local).metadata
                 rg = [md.row_group(i) for i in range(md.num_row_groups)]
                 kv = md.metadata or {}
                 rows.append(
@@ -226,7 +233,7 @@ def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
                         ),
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in _FOOTER_SCHEMA])
+            yield pd.DataFrame(rows, columns=out_columns)
 
     return files_df.mapInPandas(scan_footers, schema=_FOOTER_SCHEMA)
 

@@ -27,8 +27,10 @@ from tmp_parquet_merge_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: every operator family, excluding the quadratic
-# all-pairs verify stages (q_dedup_ngram / q_dedup_embedding — they are
-# correctness-gate queries; their scalable twins ARE benched).
+# all-pairs verify stages (q_dedup_ngram / q_dedup_embedding /
+# q_dedup_cluster, whose oracle-checkable edge set is the all-pairs
+# ngram join — they are correctness-gate queries; their scalable twins
+# ARE benched).
 HEADLINE = [
     "q_scan_count",
     "q_scan_full",
@@ -59,12 +61,17 @@ HEADLINE = [
     "q_quality_score",
     "q_token_count",
     "q_doc_fingerprint",
+    "q_tfidf",
+    "q_split_assign",
 ]
 
 
 def run_query(name: str, spark, sf_dir: str) -> float:
-    df = REGISTRY[name].build(spark, sf_dir)
+    # the timer covers build() as well: plan construction is normally
+    # free, but iterative operators (q_dedup_cluster) execute eager
+    # checkpoints inside build — excluding it would under-report them
     t0 = time.perf_counter()
+    df = REGISTRY[name].build(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
 

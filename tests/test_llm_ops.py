@@ -168,3 +168,71 @@ def test_frame_sample_offsets(spark, sf_dir):
     rows = frames.collect()
     assert all(r.byte_offset == r.frame_idx * 64 for r in rows)
     assert all(len(r.frame_bytes) <= 16 for r in rows)
+
+
+def test_dedup_clusters_components(spark):
+    # crafted graph: chain 1-2-3, pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a: long, doc_b: long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id: long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 20-node path is the worst case for min-label propagation:
+    # needs O(diameter) rounds, still must converge under max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "doc_a: long, doc_b: long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id: long")
+    out = dedup.dedup_clusters(pairs, nodes, "doc_id")
+    assert out.select("cluster_id").distinct().collect()[0][0] == 1
+    assert out.count() == 20
+
+
+def test_split_assign_deterministic_partition(spark, docs):
+    from tmp_parquet_merge_spark.operators import curation
+
+    a = curation.split_assign(docs, "doc_id")
+    # total partition: every doc exactly once, only the three labels
+    assert a.count() == docs.count()
+    labels = {r.split for r in a.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # deterministic: a second evaluation is row-identical
+    b = curation.split_assign(docs, "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # ~81/12/6 split within loose bounds
+    n = docs.count()
+    frac = {
+        r.split: r["cnt"] / n
+        for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert 0.6 < frac.get("train", 0) < 0.95
+
+
+def test_tfidf_surfaces_distinctive_term(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the bird flew over the log"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = text.tfidf_top_terms(df, "text", "doc_id", k=2)
+    rows = out.collect()
+    # ≤ k rows per doc, and every doc's top term is unique to it
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= 2 for v in per_doc.values())
+    top = {d: max(v, key=lambda r: r.tfidf).term for d, v in per_doc.items()}
+    assert top[1] in {"cat", "mat"}
+    assert top[3] in {"bird", "flew", "over"}
+    # shared-by-all terms score exactly 0 (ln N/N)
+    assert all(r.tfidf >= 0 for r in rows)

@@ -130,6 +130,44 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df)).
+
+    Plan shape: explode words → (doc, term) hash-agg for tf → term
+    hash-agg for document frequency → join back.  The document count N
+    rides along as a broadcast 1-row aggregate (crossJoin) so the whole
+    computation is one lazy plan — no driver-side ``.count()`` action,
+    no recomputation of the input.  Scores are rounded to 6 places
+    BEFORE ranking so both engines rank identically; ties break on the
+    term for full determinism.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3, k: int = 4
 ) -> DataFrame:

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tmp_parquet_merge_spark.operators import dedup, multimodal, similarity, text
+from tmp_parquet_merge_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from tmp_parquet_merge_spark.registry import query, t
 
 # Shared DuckDB fragments — the oracle spelling of normalize_text /
@@ -121,6 +127,66 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_pairs(
         t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
     )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=f"""
+        WITH RECURSIVE {_W}, {_SH},
+        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pj AS (
+            SELECT doc_a, doc_b FROM p
+            JOIN n na ON na.doc_id = doc_a
+            JOIN n nb ON nb.doc_id = doc_b
+            WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
+        ),
+        ed AS (
+            SELECT doc_a AS a, doc_b AS b FROM pj
+            UNION ALL
+            SELECT doc_b, doc_a FROM pj
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def q_dedup_cluster(spark, sf_dir):
+    """Connected components over the word-3-gram near-dup pairs — the
+    dedup pipeline's final stage: every document labelled with its
+    component's min doc_id (singletons label themselves).  Iterative
+    min-label propagation with per-round lineage truncation; the DuckDB
+    oracle is a recursive CTE over the identical edge set."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return dedup.dedup_clusters(pairs, docs, "doc_id")
+
+
+@query(
+    "q_split_assign",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by the first hex nibble
+    of md5(doc_id): 13/2/1 sixteenths.  Stable under corpus growth —
+    a pure function of the row, no RNG, no shuffle."""
+    return curation.split_assign(t(spark, sf_dir, "documents"), "doc_id")
 
 
 @query(
@@ -309,6 +375,38 @@ def q_token_count(spark, sf_dir):
     """Token budgeting: whitespace tokens + BPE-ish pre-tokenizer
     (word/digit/punct regex) counts."""
     return text.token_counts(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        s AS (
+            SELECT doc_id, term,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        ),
+        r AS (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rn
+            FROM s
+        )
+        SELECT doc_id, term, tfidf FROM r WHERE rn <= 5
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Top-5 terms per document by tf·idf (idf = ln(N/df)) — explode →
+    two hash-aggs → broadcast N → per-doc window top-k.  Scores rounded
+    before ranking, ties broken on the term, so both engines rank
+    identically."""
+    return text.tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=5
+    )
 
 
 @query(

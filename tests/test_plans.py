@@ -129,3 +129,13 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
             assert "Found 0 WholeStageCodegen" not in plan, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_global_sort_range_partitions(spark, sf_dir):
+    df = build("q_sort_global", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    # and the output really is totally ordered
+    rows = df.collect()
+    keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
+    assert keys == sorted(keys)

@@ -530,6 +530,25 @@ def q_topk_orders(spark, sf_dir):
 
 
 @query(
+    "q_sort_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q_sort_global(spark, sf_dir):
+    """Full global sort: range-partitioned exchange (sampled bounds ⇒
+    balanced partitions at any scale) + per-partition sort.  The heap
+    twin for bounded output is q_topk_orders; this is the unbounded
+    ORDER BY path (exports, sorted sinks)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
     "q_set_intersect",
     oracle="""
         SELECT c_custkey AS custkey FROM customer

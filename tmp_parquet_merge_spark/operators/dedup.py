@@ -176,6 +176,10 @@ def minhash_signatures(
     — measured ~20× slower at sf0.1.  One shuffle keyed by doc id with
     map-side partial mins."""
     sh = shingle_rows(df, text_col, id_col, n=shingle_n)
+    return _signatures_from_shingle_rows(sh, num_perm)
+
+
+def _signatures_from_shingle_rows(sh: DataFrame, num_perm: int) -> DataFrame:
     agg = sh.groupBy("doc").agg(
         *[F.min(F.hash("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
@@ -221,9 +225,15 @@ def minhash_dedup_pairs(
     verify join is on doc ids, which are uniform.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_perm=num_perm, shingle_n=shingle_n
-    )
+    # the shingle pipeline (explode → window → distinct) feeds BOTH the
+    # signature stage and the verify stage; Catalyst does not fuse the
+    # two subplans, so materialize it once (lazy local checkpoint:
+    # computed on first use, executor-cached for the second — bounded
+    # by corpus token count, the same data both branches must read)
+    sh = shingle_rows(df, text_col, id_col, n=shingle_n)
+    if verify_threshold is not None:
+        sh = sh.localCheckpoint(eager=False)
+    sigs = _signatures_from_shingle_rows(sh, num_perm)
     banded = sigs.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
@@ -243,11 +253,7 @@ def minhash_dedup_pairs(
     # Verify ONLY the candidates: join their shingle sets back and
     # compute exact Jaccard per pair.  (Running the full all-pairs
     # ngram join here would defeat the entire point of LSH.)
-    sets_ = (
-        shingle_rows(df, text_col, id_col, n=shingle_n)
-        .groupBy("doc")
-        .agg(F.collect_set("s").alias("sh"))
-    )
+    sets_ = sh.groupBy("doc").agg(F.collect_set("s").alias("sh"))
     sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -311,31 +311,37 @@ def ivf_topk(
     Centroids are a deterministic corpus sample (lowest ``n_cells``
     ids) — the partition/probe machinery is identical to a k-means
     build, which could replace the sampler without touching the plan.
-    Corpus is shuffled once on cell id; queries broadcast.
+    The (tiny) centroid matrix is collected once and broadcast; each
+    corpus/query row finds its nearest cells with one numpy matmul per
+    Arrow batch (the expression-tree alternative pays corpus × n_cells
+    interpreted lambda folds — the known array-HOF hotspot).  Corpus is
+    shuffled once on cell id; queries broadcast.
     """
-    from pyspark.sql import Window
-
     corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
     queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(Window.orderBy(id_col)))
-        .select("cell", F.col(vec_col).alias("c_emb"))
+    cents_pdf = (
+        corpus.orderBy(id_col).limit(n_cells).select(F.col(vec_col)).toPandas()
     )
+    C = np.array(cents_pdf[vec_col].tolist(), dtype=np.float64).T  # (dim, cells)
+    bc = corpus.sparkSession.sparkContext.broadcast(C)
 
     def nearest_cells(df: DataFrame, role: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
+        @pandas_udf("array<int>")
+        def _cells(v: pd.Series) -> pd.Series:
+            C = bc.value
+            X = np.array(v.tolist(), dtype=np.float64)
+            S = np.round(X @ C, 9)  # (batch, cells)
+            # exact (sim desc, cell asc) order, like the window form
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(S.shape[1]), S.shape), -S), axis=1
+            )[:, :n_keep]
+            return pd.Series(list((order + 1).astype(np.int32)))
+
+        return df.select(
             F.col(id_col).alias(f"{role}_vec"),
             F.col(vec_col).alias(f"{role}_emb"),
-            "cell",
-            F.round(dot(F.col(vec_col), F.col("c_emb")), 9).alias("c_sim"),
+            F.explode(_cells(F.col(vec_col))).alias("cell"),
         )
-        from tmp_parquet_merge_spark.operators.relational import grouped_top_k
-
-        return grouped_top_k(
-            scored, [f"{role}_vec"], [F.col("c_sim").desc(), F.col("cell")], n_keep
-        ).drop("c_sim")
 
     c_assigned = nearest_cells(corpus, "n", 1)
     q_probes = nearest_cells(queries, "q", n_probe)

@@ -513,6 +513,34 @@ def q_window_running(spark, sf_dir):
 
 
 @query(
+    "q_window_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ), o_orderdate) AS INTEGER) AS days_since_prev,
+               LEAD(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS next_orderkey
+        FROM orders
+    """,
+)
+def q_window_lag(spark, sf_dir):
+    """lag/lead offset windows: per-customer days since previous order
+    and next order key — one shuffle by customer, sorted once, both
+    offsets computed in the same window pass."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
     "q_topk_orders",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""The namesake tool: merge many Parquet files/datasets into one
+compacted dataset (wesm/tmp-parquet-merge's reason to exist, expressed
+as Spark's read → AQE-coalesced write; see
+tmp_parquet_merge_spark/sources/parquet_io.py::merge_files).
+
+Usage:
+    python tools/parquet_merge.py [options] OUTPUT_DIR INPUT [INPUT ...]
+
+Options:
+    --target-size-mb=N   aim for merged files near N MiB (default 128)
+    --block-size-mb=N    parquet row-group budget (default 16, the
+                         reference's ROW_GROUP_SIZE, reader-writer2.cc:46)
+    --no-merge-schema    require identical schemas instead of evolving
+                         (missing columns otherwise become NULL)
+
+Prints "<N> rows merged into <F> files in <T> seconds." and exits 0.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(argv: list[str]) -> int:
+    target_mb, block_mb, merge_schema = 128, 16, True
+    paths: list[str] = []
+    for arg in argv:
+        if arg.startswith("--target-size-mb="):
+            target_mb = int(arg.removeprefix("--target-size-mb="))
+        elif arg.startswith("--block-size-mb="):
+            block_mb = int(arg.removeprefix("--block-size-mb="))
+        elif arg == "--no-merge-schema":
+            merge_schema = False
+        elif arg.startswith("--"):
+            print(f"unknown option: {arg}", file=sys.stderr)
+            return 1
+        else:
+            paths.append(arg)
+    if len(paths) < 2:
+        print(__doc__, file=sys.stderr)
+        return 1
+    output, inputs = paths[0], paths[1:]
+
+    from tmp_parquet_merge_spark.session import get_spark
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    spark = get_spark("parquet-merge")
+    t0 = time.time()
+    merged = parquet_io.merge_files(
+        spark,
+        inputs,
+        output,
+        merge_schema=merge_schema,
+        target_file_size_bytes=target_mb * 1024 * 1024,
+        block_size_bytes=block_mb * 1024 * 1024,
+    )
+    n_rows = merged.count()
+    n_files = len([f for f in parquet_io._list_files(spark, output)])
+    print(f"{n_rows} rows merged into {n_files} files in {time.time() - t0:.2f} seconds.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

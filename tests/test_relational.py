@@ -53,3 +53,29 @@ def test_grouped_top_k(spark):
     rows = grouped_top_k(df, ["g"], [F.col("v").desc()], 2).collect()
     got = sorted((r.g, r.v) for r in rows)
     assert got == [(1, 20), (1, 30), (2, 7)]
+
+
+def test_sketch_aggs_within_error_bounds(spark, sf_dir):
+    """HLL++ (rsd=2%) and GK percentile sketches must land near their
+    exact twins — the property that justifies the 100 TB substitution."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    sketch = {
+        r.l_returnflag: r
+        for r in REGISTRY["q_agg_sketch"].build(spark, sf_dir).collect()
+    }
+    for flag, ex in exact.items():
+        sk = sketch[flag]
+        assert abs(sk.approx_parts - ex.nd) / ex.nd < 0.1
+        # GK sketch with accuracy 10000 is near-exact at this scale
+        assert abs(sk.p50_sketch - ex.p50) / ex.p50 < 0.05

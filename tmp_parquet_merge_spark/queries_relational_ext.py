@@ -97,6 +97,22 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+@query("q_agg_sketch")
+def q_agg_sketch(spark, sf_dir):
+    """The 100 TB twins of q_agg_distinct / q_percentiles: HyperLogLog++
+    distinct-count and GK quantile sketches.  Bounded memory per group,
+    map-side mergeable partials (one narrow shuffle of sketch state
+    instead of all distinct values / a per-group sort).  Rows-only:
+    sketch internals are engine-specific by design; error bounds vs the
+    exact twins are asserted in tests/test_relational.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_sketch"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_sketch"),
+    )
+
+
 @query(
     "q_agg_collect",
     oracle="""

@@ -139,3 +139,9 @@ def test_global_sort_range_partitions(spark, sf_dir):
     rows = df.collect()
     keys = [(-r.o_totalprice, r.o_orderkey) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_dpp_join_prunes_dynamically(spark, sf_dir):
+    df = build("q_dpp_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()

@@ -372,6 +372,49 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_dpp_join",
+    oracle="""
+        WITH y AS (
+            SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y
+            FROM orders
+        ),
+        recent AS (SELECT y FROM y WHERE y >= 1997)
+        SELECT o_orderkey, o_totalprice,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders JOIN recent ON year(o_orderdate) = recent.y
+    """,
+)
+def q_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning: the fact table carries NO static
+    filter on its partition column — the surviving partitions are
+    decided at runtime from the (broadcast) filtered dim side, and the
+    fact scan's PartitionFilters gains a dynamicpruning subquery.  At
+    100 TB this is how a date-dim filter avoids scanning the whole
+    fact lake; the static twin is q_partition_pruning."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_dpp_"), "orders_by_year")
+    o = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    parquet_io.write_parquet(
+        o.select("o_orderkey", "o_totalprice", "o_year"), out,
+        partition_by=["o_year"],
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .filter(F.col("y") >= 1997)
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.y)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_year").cast("int").alias("o_year"),
+        )
+    )
+
+
+@query(
     "q_bucketed_join",
     oracle="""
         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name

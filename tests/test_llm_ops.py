@@ -236,3 +236,31 @@ def test_tfidf_surfaces_distinctive_term(spark):
     assert top[3] in {"bird", "flew", "over"}
     # shared-by-all terms score exactly 0 (ln N/N)
     assert all(r.tfidf >= 0 for r in rows)
+
+
+def test_stratified_sample_rates_and_edges(spark, docs):
+    from tmp_parquet_merge_spark.operators import curation
+
+    base = docs.select("doc_id", "source")
+    # rate 1.0 keeps everything; rate 0.0 keeps nothing
+    all_src = [r.source for r in base.select("source").distinct().collect()]
+    keep_all = curation.stratified_sample(
+        base, "doc_id", "source", {}, default_rate=1.0
+    )
+    assert keep_all.count() == base.count()
+    drop_all = curation.stratified_sample(
+        base, "doc_id", "source", {s: 0.0 for s in all_src}, default_rate=0.0
+    )
+    assert drop_all.count() == 0
+    # a 25% stratum keeps roughly a quarter (loose bound at small n)
+    some = curation.stratified_sample(
+        base, "doc_id", "source", {}, default_rate=0.25
+    )
+    frac = some.count() / base.count()
+    assert 0.05 < frac < 0.5
+    # sampling is a subset of the input and deterministic
+    again = curation.stratified_sample(
+        base, "doc_id", "source", {}, default_rate=0.25
+    )
+    assert some.exceptAll(again).count() == 0
+    assert some.join(base, ["doc_id", "source"], "left_anti").count() == 0

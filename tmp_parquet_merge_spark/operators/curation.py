@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff the first
+    two hex nibbles of ``md5(id)`` fall under its stratum's threshold
+    (rate quantized to /256).  This is corpus mixing — downweight
+    overrepresented sources to a target mixture — as a pure row
+    function: scan-speed, shuffle-free, stable under corpus growth,
+    and reproducible across engines (md5 + lexicographic hex compare).
+    """
+
+    def thresh(rate: float) -> str:
+        n = max(0, min(256, round(rate * 256)))
+        return format(n - 1, "02x") if n > 0 else ""
+
+    nib = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        branch = F.when(F.col(strata_col) == stratum, F.lit(thresh(rate)))
+        expr = branch if expr is None else expr.when(
+            F.col(strata_col) == stratum, F.lit(thresh(rate))
+        )
+    cut = (
+        expr.otherwise(F.lit(thresh(default_rate)))
+        if expr is not None
+        else F.lit(thresh(default_rate))
+    )
+    return df.filter(nib <= cut)
+
+
 def split_assign(df: DataFrame, id_col: str) -> DataFrame:
     """Assign each row to train/val/test by the first hex nibble of
     ``md5(id)``: nibbles 0–c → train (13/16), d–e → val (2/16),

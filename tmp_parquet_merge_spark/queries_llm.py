@@ -429,6 +429,108 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "q_corpus_mix",
+    oracle="""
+        WITH d AS (
+            SELECT source,
+                   len(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')) AS ntok
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE)
+                     / (SELECT SUM(n_tokens) FROM agg), 6) AS token_share
+        FROM agg
+    """,
+)
+def q_corpus_mix(spark, sf_dir):
+    """Corpus mixture report: docs, tokens and token share per source —
+    the planning input for mixture reweighting.  One hash-agg; the
+    total rides as a broadcast 1-row aggregate."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(dedup.words("text")).cast("long").alias("ntok")
+    )
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+              CASE source WHEN 'src0' THEN 'ff'
+                          WHEN 'src1' THEN '7f'
+                          WHEN 'src2' THEN '3f'
+                          ELSE '1f' END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source downsampling (corpus mixing): keep
+    100% of src0, 50% of src1, 25% of src2, 12.5% elsewhere, decided
+    by an md5-prefix threshold — reproducible, shuffle-free, stable
+    under corpus growth."""
+    return curation.stratified_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.125,
+    )
+
+
+@query(
+    "q_lang_id_eval",
+    oracle=f"""
+        WITH {_W},
+        r AS (
+            SELECT doc_id, {_R_EN} AS r_en, {_R_DE} AS r_de, {_R_FR} AS r_fr
+            FROM w
+        ),
+        pred AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(r_en, r_de, r_fr) >= 0.02 THEN
+                        CASE WHEN r_fr > greatest(r_en, r_de) THEN 'fr'
+                             WHEN r_de > r_en THEN 'de'
+                             ELSE 'en' END
+                   ELSE 'und' END AS pred_lang
+            FROM r
+        )
+        SELECT d.lang, p.pred_lang, COUNT(*) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
+    """,
+)
+def q_lang_id_eval(spark, sf_dir):
+    """Confusion matrix of the heuristic language-ID against the
+    corpus's ground-truth ``lang`` column — the eval loop every
+    classifier-driven curation step needs.  Join on doc_id, one
+    hash-agg."""
+    docs = t(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "text", "doc_id").select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

@@ -46,3 +46,16 @@ def test_sliding_stream_equals_batch(spark, stream_events, batch_events):
 def test_session_stream_equals_batch(spark, stream_events, batch_events):
     out = run_to_memory_sink(sessionized(stream_events), "t_session")
     _assert_stream_equals_batch(out, sessionized(batch_events))
+
+
+def test_dedup_stream_equals_batch(spark, stream_events, batch_events):
+    from tmp_parquet_merge_spark.streaming import dedup_events
+
+    cols = ["event_id", "event_type", "value"]
+    # a doubled feed (at-least-once delivery) dedupes back to one row
+    # per event_id; append mode — dedup is not an aggregation
+    doubled = stream_events.unionAll(stream_events)
+    out = run_to_memory_sink(
+        dedup_events(doubled).select(*cols), "t_dedup", output_mode="append"
+    )
+    _assert_stream_equals_batch(out, batch_events.select(*cols))

@@ -241,6 +241,63 @@ def q_topk_similarity(spark, sf_dir):
     return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+@query(
+    "q_knn_classify",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_vec, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS n_vec, embedding AS n_emb, label
+              FROM embeddings),
+        sims AS (
+            SELECT q_vec, n_vec, label,
+                   round({_cos("q_emb", "n_emb")}, 6) AS sim
+            FROM c, q WHERE n_vec != q_vec
+        ),
+        r AS (
+            SELECT q_vec, label, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec
+                                      ORDER BY sim DESC, n_vec) AS rn
+            FROM sims
+        ),
+        votes AS (
+            SELECT q_vec, label, COUNT(*) AS n_votes
+            FROM r WHERE rn <= 10 GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT q_vec, label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec
+                                      ORDER BY n_votes DESC, label) AS vr
+            FROM votes
+        )
+        SELECT q_vec, CAST(label AS INTEGER) AS pred_label, n_votes
+        FROM ranked WHERE vr = 1
+    """,
+)
+def q_knn_classify(spark, sf_dir):
+    """kNN classification over the embedding column: exact cosine
+    top-10 neighbors per query (broadcast queries, one corpus pass),
+    majority vote over neighbor labels (ties → smallest label).  The
+    eval loop for embedding-space labelers, all built-in ops."""
+    e = t(spark, sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 20), k=10)
+    labeled = topk.join(
+        e.select(F.col("vec_id").alias("n_vec"), "label"), "n_vec"
+    )
+    votes = labeled.groupBy("q_vec", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_vec").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_vec", F.col("label").cast("int").alias("pred_label"), "n_votes"
+        )
+    )
+
+
 @query("q_ann_lsh")
 def q_ann_lsh(spark, sf_dir):
     """Approximate top-k via sign-random-projection LSH buckets

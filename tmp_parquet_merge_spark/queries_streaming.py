@@ -10,7 +10,11 @@ stream(availableNow) ≡ batch on identical input.
 from __future__ import annotations
 
 from tmp_parquet_merge_spark.registry import query, t
-from tmp_parquet_merge_spark.streaming.windows import sessionized, sliding_counts
+from tmp_parquet_merge_spark.streaming.windows import (
+    dedup_events,
+    sessionized,
+    sliding_counts,
+)
 
 
 @query(
@@ -31,6 +35,23 @@ def q_window_sliding(spark, sf_dir):
     return sliding_counts(
         t(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
     )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_id, event_type, value FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Exactly-once repair: a doubled event feed deduped back to one
+    row per event_id — the batch twin of
+    ``dropDuplicatesWithinWatermark`` (same ``dedup_events`` body runs
+    under readStream; tests assert stream ≡ batch).  Oracle: doubling
+    then deduping is the identity over the unique-keyed events table."""
+    e = t(spark, sf_dir, "events")
+    doubled = e.unionAll(e)
+    return dedup_events(doubled).select("event_id", "event_type", "value")
 
 
 @query(

@@ -1,4 +1,5 @@
 from tmp_parquet_merge_spark.streaming.windows import (  # noqa: F401
+    dedup_events,
     read_events_stream,
     run_to_memory_sink,
     sessionized,

@@ -125,6 +125,21 @@ def sessionized(
     )
 
 
+def dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup (exactly-once repair for at-least-once
+    sources): drop repeated event_ids with
+    ``dropDuplicatesWithinWatermark`` — the dedup state store holds one
+    key per event inside the watermark horizon and is evicted past it,
+    so state is bounded by event-rate × delay, not stream lifetime.
+    On a batch DataFrame the same body is a plain ``dropDuplicates``
+    (the oracle-checkable twin)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, *, output_mode: str = "complete"
 ) -> DataFrame:

@@ -152,3 +152,47 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: users who performed stage k strictly
+    after their first completion of stage k-1, one row per stage with
+    the surviving user count.
+
+    Plan: per stage a filtered hash-agg (min ts per user) joined to the
+    previous stage's survivors — k narrow shuffles on user_id, each
+    input already pruned by the stage predicate before it shuffles.
+    The survivor sets shrink monotonically, so later stages are
+    progressively cheaper; no window over the full event stream is
+    ever needed.
+    """
+    cur = None
+    counts = []
+    for i, stage in enumerate(stages):
+        e = events.filter(F.col(type_col) == stage)
+        if cur is None:
+            cur = e.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                e.join(cur.select(user_col, "__t"), user_col)
+                .filter(F.col(ts_col) > F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        label = " > ".join(stages[: i + 1])
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(label).alias("stage"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

@@ -130,6 +130,32 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_ratio(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 3
+) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word n-gram
+    shingles (Gopher-style boilerplate/loop signal; 0 = no repeated
+    n-grams).  Distinct counts ride the existing shingle pipeline's
+    doc-keyed shuffle; totals are a scan-speed expression."""
+    from tmp_parquet_merge_spark.operators.dedup import shingle_rows, words
+
+    total = df.select(
+        F.col(id_col),
+        F.greatest(F.size(words(text_col)) - (n - 1), F.lit(1)).alias("n_total"),
+    )
+    dist = (
+        shingle_rows(df, text_col, id_col, n=n)
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return total.join(dist, id_col).select(
+        id_col,
+        F.round(1.0 - F.col("n_distinct") / F.col("n_total"), 6).alias(
+            "rep_ratio"
+        ),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 5
 ) -> DataFrame:

@@ -467,6 +467,26 @@ def q_tfidf(spark, sf_dir):
 
 
 @query(
+    "q_repetition",
+    oracle=f"""
+        WITH {_W}, {_SH}
+        SELECT w.doc_id,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(len(shingles) AS DOUBLE)
+                       / greatest(len(ws) - 2, 1), 6) AS rep_ratio
+        FROM w JOIN sh ON w.doc_id = sh.doc_id
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition ratio (1 − distinct/total word-3-gram
+    shingles) — the Gopher boilerplate signal, reusing the shingle
+    pipeline's doc-keyed shuffle."""
+    return text.repetition_ratio(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+@query(
     "q_doc_fingerprint",
     oracle=f"""
         WITH {_W}, {_SH}

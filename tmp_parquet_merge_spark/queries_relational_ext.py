@@ -372,6 +372,36 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_funnel",
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                   FROM events),
+        v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL
+        SELECT 'view > click', COUNT(*) FROM c
+        UNION ALL
+        SELECT 'view > click > purchase', COUNT(*) FROM p
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: stage-k
+    events must follow the user's first stage-(k-1) completion.  Each
+    stage is a filtered min-ts hash-agg joined to the shrinking
+    survivor set — no full-stream window."""
+    from tmp_parquet_merge_spark.operators.relational import funnel
+
+    return funnel(
+        t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@query(
     "q_dpp_join",
     oracle="""
         WITH y AS (

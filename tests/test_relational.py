@@ -79,3 +79,20 @@ def test_sketch_aggs_within_error_bounds(spark, sf_dir):
         assert abs(sk.approx_parts - ex.nd) / ex.nd < 0.1
         # GK sketch with accuracy 10000 is near-exact at this scale
         assert abs(sk.p50_sketch - ex.p50) / ex.p50 < 0.05
+
+
+def test_upsert_semantics(spark):
+    from tmp_parquet_merge_spark.operators.relational import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k: long, s: string, v: long"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99), (4, "d", 40)], "k: long, s: string, v: long"
+    )
+    got = {r.k: (r.s, r.v) for r in upsert(target, updates, ["k"]).collect()}
+    assert got[1] == ("a", 10)          # untouched
+    assert got[2] == (None, 99)         # update wins, NULL is a real value
+    assert got[3] == ("c", 30)          # untouched
+    assert got[4] == ("d", 40)          # insert
+    assert len(got) == 4

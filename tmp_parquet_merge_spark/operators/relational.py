@@ -196,3 +196,42 @@ def funnel(
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE / CDC-apply without a table format: rows from ``updates``
+    replace same-key rows in ``target``; unmatched update rows insert.
+
+    Full-outer join on the key, then a row-wise winner pick (update
+    side wins when its key is present — per-column COALESCE would
+    corrupt legitimately-NULL update values).  One shuffle per side on
+    the key; at lake scale the same plan runs per partition after
+    partition pruning on the key range, which is how a table-format
+    MERGE schedules it too.
+    """
+    # string-qualified references survive self-joins (updates often
+    # derive from the target, which trips Spark's ambiguity check on
+    # DataFrame-object column references)
+    t, u = target.alias("__t"), updates.alias("__u")
+
+    def tc(name):
+        return F.col(f"__t.{name}")
+
+    def uc(name):
+        return F.col(f"__u.{name}")
+
+    cond = None
+    for k in keys:
+        c = tc(k).eqNullSafe(uc(k))
+        cond = c if cond is None else cond & c
+    matched = uc(keys[0]).isNotNull()
+    out_cols = []
+    for name in target.columns:
+        if name in keys:
+            out_cols.append(F.coalesce(uc(name), tc(name)).alias(name))
+        else:
+            ucol = uc(name) if name in updates.columns else F.lit(None)
+            out_cols.append(
+                F.when(matched, ucol).otherwise(tc(name)).alias(name)
+            )
+    return t.join(u, cond, "full_outer").select(*out_cols)

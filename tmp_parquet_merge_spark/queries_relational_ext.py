@@ -372,6 +372,37 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_upsert",
+    oracle="""
+        WITH u AS (
+            SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_totalprice > 200000
+        )
+        SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                    ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) t
+        FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def q_upsert(spark, sf_dir):
+    """MERGE/CDC-apply: a change feed (price adjustments on big orders)
+    upserted into the orders table — full-outer join on the key with a
+    row-wise winner pick; the no-table-format MERGE."""
+    from tmp_parquet_merge_spark.operators.relational import upsert
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_totalprice") > 200000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return upsert(o, updates, ["o_orderkey"])
+
+
+@query(
     "q_funnel",
     oracle="""
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type

@@ -151,6 +151,20 @@ def q_metadata_stats(spark, sf_dir):
     return parquet_io.metadata_stats(spark, sf_dir)
 
 
+@query("q_column_stats")
+def q_column_stats(spark, sf_dir):
+    """Per-column-chunk footer stats (min/max/null_count/sizes/
+    encodings) — the per-column sections of parquet_reader.cc's
+    DebugPrint (:63-72) and the inputs to row-group skipping.
+    Distributed footer reads via mapInPandas.  Rows-only (footer
+    internals aren't SQL-visible)."""
+    import os as _os
+
+    return parquet_io.column_stats(
+        spark, _os.path.join(sf_dir, "lineitem.parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.B projections / filters
 # ---------------------------------------------------------------------------

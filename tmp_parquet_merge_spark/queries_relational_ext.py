@@ -372,6 +372,45 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_table_diff",
+    oracle="""
+        WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000
+                        THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 != 0
+        )
+        SELECT 'removed' AS change, o_orderkey, o_totalprice
+        FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM v2)
+        UNION ALL
+        SELECT 'added', o_orderkey, o_totalprice
+        FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM t)
+    """,
+)
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff between two table versions (deletes + price
+    changes): symmetric EXCEPT ALL labelled added/removed — the
+    change-detection primitive for incremental pipelines.  Both sides
+    hash-partition once on all columns; no full-row sort."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_totalprice") > 200000, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    removed = o.exceptAll(v2).select(
+        F.lit("removed").alias("change"), "o_orderkey", "o_totalprice"
+    )
+    added = v2.exceptAll(o).select(
+        F.lit("added").alias("change"), "o_orderkey", "o_totalprice"
+    )
+    return removed.unionAll(added)
+
+
+@query(
     "q_upsert",
     oracle="""
         WITH u AS (

@@ -270,3 +270,90 @@ def read_row_group(
         row_group, columns=list(columns) if columns else None
     )
     return spark.createDataFrame(table.to_pandas())
+
+
+_COLUMN_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("row_group", T.IntegerType(), False),
+        T.StructField("column", T.StringType(), False),
+        T.StructField("physical_type", T.StringType(), False),
+        T.StructField("num_values", T.LongType(), False),
+        T.StructField("null_count", T.LongType(), True),
+        T.StructField("min_value", T.StringType(), True),
+        T.StructField("max_value", T.StringType(), True),
+        T.StructField("compressed_bytes", T.LongType(), False),
+        T.StructField("uncompressed_bytes", T.LongType(), False),
+        T.StructField("encodings", T.StringType(), False),
+    ]
+)
+
+
+def column_stats(spark: SparkSession, *paths: str) -> DataFrame:
+    """Per-column-chunk footer statistics (min/max/null_count/sizes/
+    encodings) as a DataFrame — the stats the reader's row-group
+    skipping consults, surfaced for layout diagnostics.  Engine analog
+    of the per-column sections of ParquetFilePrinter::DebugPrint
+    (cpp/tools/parquet/parquet_reader.cc:63-72).
+
+    Footers are read executor-side over the parallelized file list
+    (mapInPandas), same pattern as :func:`metadata_stats`; min/max are
+    stringified so one uniform schema covers all physical types.
+    """
+    files = [f for p in paths for f in _expand_parquet_paths(spark, p)]
+    files_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("file", T.StringType(), False)]),
+    )
+    if len(files) > 64:
+        files_df = files_df.repartition(min(len(files) // 8, 512))
+
+    out_columns = [f.name for f in _COLUMN_STATS_SCHEMA]
+
+    # self-contained closure (executor workers may not have this repo
+    # importable; see scan_footers above)
+    def scan_column_chunks(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fname in pdf["file"]:
+                local = fname[5:] if fname.startswith("file:") else fname
+                md = pq.ParquetFile(local).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        st = col.statistics
+                        rows.append(
+                            {
+                                "file": fname,
+                                "row_group": g,
+                                "column": col.path_in_schema,
+                                "physical_type": col.physical_type,
+                                "num_values": col.num_values,
+                                "null_count": (
+                                    st.null_count
+                                    if st is not None and st.has_null_count
+                                    else None
+                                ),
+                                "min_value": (
+                                    str(st.min)
+                                    if st is not None and st.has_min_max
+                                    else None
+                                ),
+                                "max_value": (
+                                    str(st.max)
+                                    if st is not None and st.has_min_max
+                                    else None
+                                ),
+                                "compressed_bytes": col.total_compressed_size,
+                                "uncompressed_bytes": col.total_uncompressed_size,
+                                "encodings": ",".join(col.encodings),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=out_columns)
+
+    return files_df.mapInPandas(scan_column_chunks, schema=_COLUMN_STATS_SCHEMA)

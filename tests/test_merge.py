@@ -52,3 +52,56 @@ def test_row_group_read(spark, sf_dir):
         spark, sf_dir + "/nation.parquet", 0, columns=["n_name"]
     )
     assert one_col.columns == ["n_name"]
+
+
+def test_zorder_prunes_secondary_dimension(spark, sf_dir, tmp_path):
+    """A layout sorted only by l_partkey cannot prune row groups for a
+    l_suppkey predicate; the z-ordered layout must.  Candidate groups
+    are counted from footer min/max (column_stats) for a point-ish
+    range on the secondary dimension."""
+    from pyspark.sql import functions as F
+
+    from tmp_parquet_merge_spark.sources import parquet_io
+    from tmp_parquet_merge_spark.sources.zorder import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    lin_path = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(2, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.option("parquet.block.size", 8 * 1024)
+        .parquet(lin_path)
+    )
+    z = zorder_write(
+        li, ("l_partkey", "l_suppkey"), str(tmp_path / "zorder"),
+        num_files=2, block_size_bytes=8 * 1024,
+    )
+    assert z.count() == li.count()
+
+    lo, hi = 3, 4  # secondary-dimension range predicate
+
+    def candidate_fraction(path):
+        st = (
+            parquet_io.column_stats(spark, path)
+            .filter(F.col("column") == "l_suppkey")
+            .select("min_value", "max_value")
+            .collect()
+        )
+        n_cand = sum(
+            1
+            for r in st
+            if int(r.min_value) <= hi and int(r.max_value) >= lo
+        )
+        return n_cand / len(st), len(st)
+
+    f_lin, n_lin = candidate_fraction(lin_path)
+    f_z, n_z = candidate_fraction(str(tmp_path / "zorder"))
+    # enough row groups for pruning to be meaningful on both layouts
+    assert n_lin >= 8 and n_z >= 8
+    # the partkey-sorted layout is blind on suppkey (≈ all groups
+    # match); z-order must skip a majority of groups
+    assert f_lin > 0.9
+    assert f_z < 0.5

@@ -372,6 +372,32 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_zorder_layout",
+    oracle="""
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               CAST(l_quantity AS DOUBLE) AS l_quantity
+        FROM lineitem
+    """,
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustered rewrite of lineitem on (l_partkey, l_suppkey):
+    Morton-interleaved 16-bit dims → range-partitioned sort → bounded
+    row groups.  Content is unchanged (the oracle checks that); the
+    layout win — narrow per-row-group min/max on BOTH dims — is
+    asserted in tests/test_merge.py via footer stats."""
+    from tmp_parquet_merge_spark.sources.zorder import zorder_write
+
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_zorder_"), "lineitem_z")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    return zorder_write(li, ("l_partkey", "l_suppkey"), out)
+
+
+@query(
     "q_table_diff",
     oracle="""
         WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -264,3 +264,24 @@ def test_stratified_sample_rates_and_edges(spark, docs):
     )
     assert some.exceptAll(again).count() == 0
     assert some.join(base, ["doc_id", "source"], "left_anti").count() == 0
+
+
+def test_kmeans_clusters_separated_blobs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for c, center in enumerate([0.0, 10.0, -10.0]):
+        for i in range(30):
+            rows.append(
+                (c * 30 + i, (center + rng.randn(4) * 0.1).tolist())
+            )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = similarity.kmeans_fit(df, k=3, max_iter=10).collect()
+    by_true = {}
+    for r in got:
+        by_true.setdefault(r.vec_id // 30, set()).add(r.cluster)
+    # three well-separated blobs → each maps to exactly one cluster,
+    # and no two blobs share one
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(set.union(*by_true.values())) == 3

@@ -290,6 +290,67 @@ def ann_topk(
     return grouped_top_k(sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, returning the final
+    (vec, cluster) assignment.  Deterministic init (lowest-id vectors),
+    so runs are reproducible without RNG.
+
+    Each round is the classic two-step, all distributed: the (tiny)
+    centroid matrix broadcasts, assignment is one numpy matmul per
+    Arrow batch (no per-element lambdas), and the centroid update is a
+    posexplode → (cluster, dim) hash-agg — partial aggregation
+    map-side, so the shuffle carries k × dim partial sums, independent
+    of corpus size.  Convergence = max centroid shift < ``tol``
+    (driver-side on k×dim floats).  This is the fit that replaces
+    :func:`ivf_topk`'s deterministic sampler for a real IVF index.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    C = np.array(
+        base.orderBy(id_col).limit(k).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    sc = df.sparkSession.sparkContext
+    assigned = None
+    for _ in range(max_iter):
+        bc = sc.broadcast(C)
+
+        @pandas_udf("int")
+        def _nearest(v: pd.Series) -> pd.Series:
+            X = np.array(v.tolist(), dtype=np.float64)
+            Cm = bc.value
+            # squared euclidean via the expansion trick; one BLAS call
+            d = -2.0 * (X @ Cm.T) + (Cm * Cm).sum(axis=1)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        assigned = base.withColumn("cluster", _nearest(F.col(vec_col)))
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        counts = {}
+        for r in sums:
+            newC[r.cluster, r.dim] = r.s / r.n
+            counts[r.cluster] = r.n
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return assigned.select(id_col, "cluster")
+
+
 # --- IVF ---------------------------------------------------------------------
 
 

@@ -310,6 +310,17 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+@query("q_kmeans")
+def q_kmeans(spark, sf_dir):
+    """Lloyd's k-means (k=8) over the embeddings: broadcast centroids,
+    Arrow-matmul assignment, map-side-combined centroid update —
+    the iterative fit behind a real IVF index.  Rows-only (iterative
+    floating-point fit isn't SQL-expressible)."""
+    return similarity.kmeans_fit(
+        t(spark, sf_dir, "embeddings"), k=8, max_iter=10
+    )
+
+
 @query("q_ann_ivf")
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: corpus assigned to nearest of 16 deterministic

@@ -63,6 +63,17 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_tfidf",
     "q_split_assign",
+    "q_sort_global",
+    "q_window_lag",
+    "q_funnel",
+    "q_upsert",
+    "q_table_diff",
+    "q_stream_dedup",
+    "q_corpus_mix",
+    "q_sample_stratified",
+    "q_repetition",
+    "q_lang_id_eval",
+    "q_knn_classify",
 ]
 
 

@@ -96,3 +96,28 @@ def test_upsert_semantics(spark):
     assert got[3] == ("c", 30)          # untouched
     assert got[4] == ("d", 40)          # insert
     assert len(got) == 4
+
+
+def test_register_tables_sql_surface(spark, sf_dir):
+    from tmp_parquet_merge_spark.registry import TABLES, register_tables
+
+    register_tables(spark, sf_dir)
+    for name in TABLES:
+        assert spark.sql(f"SELECT * FROM {name} LIMIT 1").count() >= 0
+    joined = spark.sql(
+        """SELECT r_name, count(*) AS n
+           FROM region JOIN nation ON n_regionkey = r_regionkey
+           GROUP BY r_name"""
+    )
+    assert joined.count() == 5
+    # events view carries the normalized µs timestamp
+    assert spark.sql("SELECT max(ts) FROM events").collect()[0][0] is not None
+
+
+def test_compression_codecs_roundtrip(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for codec in ("snappy", "zstd", "gzip", "lz4", "none"):
+        p = str(tmp_path / f"c_{codec}")
+        df.write.option("compression", codec).parquet(p)
+        back = spark.read.parquet(p)
+        assert back.exceptAll(df).count() == 0 and back.count() == df.count()

@@ -41,6 +41,29 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so users can work
+    purely in SQL (``spark.sql("SELECT ... FROM lineitem")``) — the
+    same names the DuckDB oracle sees.  ``events`` gets the ns→µs
+    timestamp normalization."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` usable in Spark.
 

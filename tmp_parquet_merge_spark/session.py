@@ -43,9 +43,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # managed-table scratch space (bucketed tables); keep the repo and
-    # cwd clean of spark-warehouse/ and metastore_db/ litter
-    "spark.sql.warehouse.dir": "/tmp/tpms_warehouse",
-    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/tpms_derby",
+    # cwd clean of spark-warehouse/ and metastore_db/ litter.  Per-PID
+    # dirs: concurrent processes (test suite + bench) must not share a
+    # Derby metastore or fight over managed-table locations.
+    "spark.sql.warehouse.dir": f"/tmp/tpms_warehouse_{os.getpid()}",
+    "spark.driver.extraJavaOptions": f"-Dderby.system.home=/tmp/tpms_derby_{os.getpid()}",
 }
 
 

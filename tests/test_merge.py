@@ -105,3 +105,28 @@ def test_zorder_prunes_secondary_dimension(spark, sf_dir, tmp_path):
     # match); z-order must skip a majority of groups
     assert f_lin > 0.9
     assert f_z < 0.5
+
+
+def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
+    """Lake resilience: a garbage file inside the dataset directory is
+    skipped under ignoreCorruptFiles instead of failing the scan."""
+    import shutil
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", d / "part-0.parquet")
+    (d / "part-1.parquet").write_bytes(b"this is not parquet at all")
+    good = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    with pytest.raises(Py4JJavaError):
+        spark.read.parquet(str(d)).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = spark.read.parquet(str(d))
+        assert back.count() == good.count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")

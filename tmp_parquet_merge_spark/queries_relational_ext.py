@@ -372,6 +372,43 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_incremental_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental rollup: the table arrives as two batches, each is
+    aggregated to PARTIAL state (sum/count per key) and persisted;
+    merging = union of partials + one re-aggregation.  The oracle is
+    the one-shot aggregate over everything — proving partial-state
+    merging is lossless.  At 100 TB this is the daily-rollup pattern:
+    each day's data is aggregated once, and reports re-aggregate tiny
+    state files instead of rescanning the lake."""
+    li = t(spark, sf_dir, "lineitem")
+    batch1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    batch2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = tempfile.mkdtemp(prefix="tpms_incr_")
+
+    def partial(df, name):
+        p = os.path.join(out, name)
+        df.groupBy("l_returnflag", "l_linestatus").agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    merged = partial(batch1, "day1").unionAll(partial(batch2, "day2"))
+    return merged.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("sum_qty"), 6).alias("sum_qty"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+@query(
     "q_zorder_layout",
     oracle="""
         SELECT l_orderkey, l_partkey, l_suppkey,

@@ -619,6 +619,106 @@ def q_lang_id_eval(spark, sf_dir):
     )
 
 
+@query(
+    "q_redact",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+                   AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^ ]+', 0))
+                   AS INTEGER) AS n_urls
+        FROM documents
+    """,
+)
+def q_redact(spark, sf_dir):
+    """PII scrub: emails and URLs replaced with typed placeholder
+    tokens, with per-doc match counts — the cleaning step before
+    training-data release.  Scan-speed regexp_replace, no shuffle."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(url), F.lit(0))).alias(
+            "n_urls"
+        ),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER)
+                   AS bucket
+            FROM orders
+        )
+        SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of order value (10 × 50k buckets, last
+    open-ended) — the profiling primitive; one scan + tiny hash-agg."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_profile",
+    oracle="""
+        SELECT 'o_totalprice' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(o_totalprice) AS n_nonnull,
+               COUNT(DISTINCT o_totalprice) AS n_distinct,
+               round(MIN(o_totalprice), 6) AS min_v,
+               round(MAX(o_totalprice), 6) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               round(MIN(o_custkey), 6), round(MAX(o_custkey), 6)
+        FROM orders
+    """,
+)
+def q_profile(spark, sf_dir):
+    """Column profiler (rows / non-null / distinct / min / max per
+    column) — the data-quality report, one aggregate pass per column
+    batch.  Exact distincts here; the sketch twin is q_agg_sketch."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(c):
+        return o.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c).cast("double"), 6).alias("min_v"),
+            F.round(F.max(c).cast("double"), 6).alias("max_v"),
+        )
+
+    return prof("o_totalprice").unionAll(prof("o_custkey"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

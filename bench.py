@@ -74,6 +74,11 @@ HEADLINE = [
     "q_repetition",
     "q_lang_id_eval",
     "q_knn_classify",
+    "q_redact",
+    "q_histogram",
+    "q_profile",
+    "q_incremental_agg",
+    "q_resample_ffill",
 ]
 
 

@@ -372,6 +372,95 @@ def q_partition_pruning(spark, sf_dir):
 
 
 @query(
+    "q_resample_ffill",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE user_id < 10
+        ),
+        bounds AS (
+            SELECT CAST(to_timestamp(floor(epoch(MIN(ts)) / 3600) * 3600)
+                        AS TIMESTAMP) AS t0,
+                   CAST(to_timestamp(floor(epoch(MAX(ts)) / 3600) * 3600)
+                        AS TIMESTAMP) AS t1
+            FROM e
+        ),
+        grid AS (
+            SELECT u.user_id, g.slot
+            FROM (SELECT DISTINCT user_id FROM e) u
+            CROSS JOIN (
+                SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+                FROM bounds
+            ) g
+        ),
+        slotted AS (
+            SELECT user_id,
+                   CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600)
+                        AS TIMESTAMP) AS slot,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM e GROUP BY 1, 2
+        )
+        SELECT g.user_id, g.slot,
+               round(COALESCE(
+                   last_value(s.v IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.slot
+                       ROWS UNBOUNDED PRECEDING
+                   ), 0.0), 6) AS filled_value
+        FROM grid g LEFT JOIN slotted s
+          ON s.user_id = g.user_id AND s.slot = g.slot
+    """,
+)
+def q_resample_ffill(spark, sf_dir):
+    """Time-series resample to an hourly grid with forward-fill: the
+    gap-filling op behind feature stores and monitoring rollups.  The
+    per-user grid is a broadcast sequence-explode (no skew), slot sums
+    are one hash-agg, and the fill is `last(ignorenulls)` over the
+    grid window — one shuffle by user.  Values rounded before compare;
+    leading gaps coalesce to 0."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    slot = F.timestamp_seconds(
+        (F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).cast("long")
+        * 3600
+    ).cast("timestamp_ntz")
+    bounds = e.agg(
+        F.min(slot.cast("timestamp")).alias("t0"),
+        F.max(slot.cast("timestamp")).alias("t1"),
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+        .withColumn("slot", F.col("slot").cast("timestamp_ntz"))
+    )
+    slotted = e.groupBy("user_id", slot.alias("slot")).agg(
+        dsum("value").alias("v")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(slotted, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            "slot",
+            F.round(
+                F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 6
+            ).alias("filled_value"),
+        )
+    )
+
+
+@query(
     "q_incremental_agg",
     oracle="""
         SELECT l_returnflag, l_linestatus,

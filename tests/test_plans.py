@@ -145,3 +145,20 @@ def test_dpp_join_prunes_dynamically(spark, sf_dir):
     df = build("q_dpp_join", spark, sf_dir)
     plan = formatted_plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_tfidf_doc_count_broadcasts(spark, sf_dir):
+    # N rides as a broadcast 1-row aggregate — a shuffle here would
+    # serialize the whole corpus through one reducer
+    plan = formatted_plan(build("q_tfidf", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_resample_grid_broadcasts(spark, sf_dir):
+    plan = formatted_plan(build("q_resample_ffill", spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_corpus_mix_total_broadcasts(spark, sf_dir):
+    plan = formatted_plan(build("q_corpus_mix", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

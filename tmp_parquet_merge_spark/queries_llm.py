@@ -620,6 +620,65 @@ def q_lang_id_eval(spark, sf_dir):
 
 
 @query(
+    "q_contamination",
+    oracle=f"""
+        WITH {_W}, {_SH},
+        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pj AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+            FROM p
+            JOIN n na ON na.doc_id = doc_a
+            JOIN n nb ON nb.doc_id = doc_b
+            WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT pj.doc_a, sa.split AS split_a,
+               pj.doc_b, sb.split AS split_b, pj.jaccard
+        FROM pj
+        JOIN s sa ON sa.doc_id = pj.doc_a
+        JOIN s sb ON sb.doc_id = pj.doc_b
+        WHERE sa.split != sb.split
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Train/eval contamination detection: near-duplicate pairs
+    (word-3-gram Jaccard ≥ 0.5) whose members fall in DIFFERENT
+    splits — the leakage check run before any eval is trusted.
+    Composes the near-dup pair generator with the deterministic split
+    assignment; at scale the pair source is MinHash-LSH."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    splits = curation.split_assign(docs, "doc_id")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
+
+
+@query(
     "q_redact",
     oracle=r"""
         SELECT doc_id,

@@ -52,6 +52,22 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
         assert len(lsh_pairs) >= 0.8 * len(exact_pairs)
 
 
+def test_minhash_verified_equals_exact_at_half(spark, docs):
+    """q_dedup_cluster / q_contamination feed their (scale-safe)
+    MinHash-LSH pair generator into oracles spelled over the exact
+    all-pairs edge set — valid only while the verified LSH output IS
+    the exact output at threshold 0.5 on this corpus (near-dup pairs
+    sit far above the S-curve knee).  This test is that precondition."""
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    lsh = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
+    )
+    e = {(r.doc_a, r.doc_b, r.jaccard) for r in exact.collect()}
+    m = {(r.doc_a, r.doc_b, r.jaccard) for r in lsh.collect()}
+    assert e, "corpus should contain near-dup pairs"
+    assert m == e
+
+
 def test_simhash_detects_identical_docs(spark, docs):
     base = docs.limit(20)
     dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
@@ -117,6 +133,57 @@ def test_ivf_topk_runs_and_ranks(spark, emb):
     out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=5).collect()
     assert {r.q_vec for r in out} == {0, 1}
     assert all(-1.0 <= r.sim <= 1.0 for r in out)
+
+
+def test_ivf_kmeans_centroids_lift_recall(spark):
+    # clustered corpus (the IVF use case): k-means-fitted cells must
+    # beat the raw lowest-id corpus sample (fit_iters=0, the round-1
+    # sampler) and deliver real recall
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(16):
+        center = [rnd.gauss(0, 1) for _ in range(32)]
+        for m in range(30):
+            vec = [x + rnd.gauss(0, 0.15) for x in center]
+            rows.append((c * 30 + m, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = df.filter(F.col("vec_id") % 30 == 0)
+    exact = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.brute_force_topk(df, q, k=10).collect()
+    }
+
+    def recall(fit_iters):
+        got = {
+            (r.q_vec, r.n_vec)
+            for r in similarity.ivf_topk(
+                df, q, n_cells=16, n_probe=2, k=10, fit_iters=fit_iters
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_fit, r_sample = recall(5), recall(0)
+    assert r_fit >= r_sample
+    assert r_fit >= 0.8
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, emb):
+    exact = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    # candidates are verified with the same exact cosine, so LSH output
+    # is a strict subset; recall floor is loose (uniform-ish vectors at
+    # cos 0.4 are the SRP S-curve's hard regime)
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2
 
 
 def test_language_id_on_known_text(spark):

@@ -54,6 +54,29 @@ def test_row_group_read(spark, sf_dir):
     assert one_col.columns == ["n_name"]
 
 
+def test_row_group_read_refuses_oversized_group(spark, sf_dir):
+    # inspection-only contract: a group over the byte ceiling is
+    # refused with a pointer at the distributed read path
+    import pytest
+
+    with pytest.raises(ValueError, match="read_parquet"):
+        parquet_io.read_row_group(
+            spark, sf_dir + "/nation.parquet", 0, max_bytes=16
+        )
+
+
+def test_merge_files_accepts_glob_inputs(spark, sf_dir, tmp_path):
+    # read_parquet advertises glob support; merge_files must size its
+    # output from glob inputs instead of crashing on getFileStatus
+    out = str(tmp_path / "glob_merged")
+    merged = parquet_io.merge_files(
+        spark, [sf_dir + "/nation.parquet", sf_dir + "/regio*.parquet"], out
+    )
+    n_nation = spark.read.parquet(sf_dir + "/nation.parquet").count()
+    n_region = spark.read.parquet(sf_dir + "/region.parquet").count()
+    assert merged.count() == n_nation + n_region
+
+
 def test_zorder_prunes_secondary_dimension(spark, sf_dir, tmp_path):
     """A layout sorted only by l_partkey cannot prune row groups for a
     l_suppkey predicate; the z-ordered layout must.  Candidate groups

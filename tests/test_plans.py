@@ -89,6 +89,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
 
 
+def test_embedding_lsh_dedup_avoids_cartesian(spark, sf_dir):
+    # the scale twin of q_dedup_embedding: candidates come from a
+    # bucket equi-join on (band, key), never an all-pairs product
+    tree = plan_tree(build("q_dedup_embedding_lsh", spark, sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_tpch_q6_filters_all_pushed(spark, sf_dir):
+    df = build("q_sql_tpch_q6", spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     plan = formatted_plan(build("q_join_asof", spark, sf_dir))
     # union-merge as-of: exactly one hash exchange for the window (the

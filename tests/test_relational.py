@@ -33,6 +33,37 @@ def test_asof_join_backward(spark):
     assert out == {"e1": 100.0, "e2": 200.0, "e3": None}
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 60, "e3")],
+        "k: int, t: int, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 50, 500.0)],
+        "k: int, rt: int, price: double",
+    )
+    out = {
+        r.tag: r.price
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_values=["price"], direction="forward",
+        ).collect()
+    }
+    # t=10 matches rt=10 (>= inclusive); t=25 has no later right row ->
+    # NULL; t=60 is past rt=50 -> NULL
+    assert out == {"e1": 100.0, "e2": None, "e3": None}
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "k: int, t: int")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df.withColumnRenamed("t", "rt"), on="k",
+                  left_time="t", right_time="rt", right_values=[],
+                  direction="nearest")
+
+
 def test_range_join_bands(spark):
     fact = spark.createDataFrame([(1, 5), (2, 10), (3, 99)], "id: int, v: int")
     bands = fixtures.size_bands_df(spark)
@@ -96,6 +127,24 @@ def test_upsert_semantics(spark):
     assert got[3] == ("c", 30)          # untouched
     assert got[4] == ("d", 40)          # insert
     assert len(got) == 4
+
+
+def test_upsert_null_key_update_wins(spark):
+    # the join is eqNullSafe, so a NULL-keyed update row matches a
+    # NULL-keyed target row — and must WIN, not silently keep the
+    # target's values (matched is a marker column, not key-nullness)
+    from tmp_parquet_merge_spark.operators.relational import upsert
+
+    target = spark.createDataFrame(
+        [(None, "old", 1), (7, "x", 2)], "k: long, s: string, v: long"
+    )
+    updates = spark.createDataFrame(
+        [(None, "new", 9)], "k: long, s: string, v: long"
+    )
+    got = {r.k: (r.s, r.v) for r in upsert(target, updates, ["k"]).collect()}
+    assert got[None] == ("new", 9)
+    assert got[7] == ("x", 2)
+    assert len(got) == 2
 
 
 def test_register_tables_sql_surface(spark, sf_dir):

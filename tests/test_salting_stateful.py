@@ -34,6 +34,43 @@ def test_salted_join_spreads_hot_key(spark):
     assert out.select("tag").distinct().collect()[0][0] == "hot"
 
 
+def test_salted_join_left_outer_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: long, lv: string"
+    )
+    right = spark.createDataFrame([(1, "x"), (1, "y")], "k2: long, rv: string")
+    plain = sorted(
+        map(tuple, left.join(right, left.k == right.k2, "left").collect())
+    )
+    salted = sorted(
+        map(tuple, salted_join(left, right, "k", "k2", salt=4, how="left").collect())
+    )
+    assert salted == plain
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    left = spark.range(3).select(F.col("id").alias("k"))
+    right = spark.range(3).select(F.col("id").alias("k2"))
+    for how in ("right", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, right, "k", "k2", how=how)
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    # retry-safety: the salt is a row hash, not rand() — two plans over
+    # the same rows salt identically, so a task retry can't diverge
+    left = spark.range(100).select(F.col("id").alias("k"), F.col("id"))
+    a = salted_join(left, left.select(F.col("k").alias("k2")), "k", "k2").collect()
+    b = salted_join(left, left.select(F.col("k").alias("k2")), "k", "k2").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    plan = salted_join(
+        left, left.select(F.col("k").alias("k2")), "k", "k2"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "rand(" not in plan
+
+
 def test_stateful_user_profiles_stream(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     q = (

@@ -304,6 +304,7 @@ def dedup_clusters(
     )
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(lab, edges.src == lab.node)
@@ -323,8 +324,19 @@ def dedup_clusters(
         # labels only ever decrease, so an unchanged sum ⇔ a fixpoint
         cur_sum = lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters hit max_iter={max_iter} before the label "
+            "fixpoint: a component with diameter > max_iter would carry "
+            "unconverged cluster_ids. Re-run with a larger max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

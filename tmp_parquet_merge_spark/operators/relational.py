@@ -32,7 +32,9 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_time <= left_time`` (direction="backward") sharing the key.
+    ``right_time <= left_time`` (direction="backward"), or the earliest
+    right row with ``right_time >= left_time`` (direction="forward"),
+    sharing the key.
 
     Implementation: tag both sides, union, then a single window
     ``partitionBy(key).orderBy(time, side)`` carrying the right side's
@@ -40,10 +42,13 @@ def asof_join(
     shuffle of |L|+|R| rows on the key — scale-safe for 100 TB because
     nothing is ever multiplied out per key.  Ties (equal timestamps)
     order the right row first, so a right row at exactly left_time
-    matches, like DuckDB/pandas ASOF semantics.
+    matches in both directions, like DuckDB/pandas ASOF semantics.
+    Forward is the same plan with the time (and tie) sort descending —
+    "earliest at-or-after" is "latest at-or-before" under a reversed
+    clock.
     """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
     lcols = left.columns
@@ -61,9 +66,10 @@ def asof_join(
     rpad = r.select(*ordered, *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in lcols if c not in ordered])
     u = lpad.unionByName(rpad)
 
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -139,10 +145,26 @@ def salted_join(
     AQE's skew-join split handles moderate skew automatically; explicit
     salting is the escape hatch for pathological keys (a null-heavy
     foreign key, a celebrity user) where one key exceeds a single
-    executor.  Semantics are identical to the plain join — asserted in
-    tests.
+    executor.  For inner/left joins the semantics are identical to the
+    plain join — asserted in tests.  Right/full-outer joins are
+    rejected: the replicated right side would emit every unmatched
+    right key ``salt`` times.
+
+    The salt is a deterministic hash of the whole left row
+    (``xxhash64(*columns)``), NOT ``F.rand`` — rand is partition-order
+    dependent, so a task retry could re-salt rows differently mid-job
+    and lose/duplicate matches.  A row hash spreads a hot key across
+    all ``salt`` reducers just as uniformly and is retry-stable.
     """
-    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the salt-replicated right side would duplicate unmatched "
+            "right rows under right/full outer semantics"
+        )
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -203,8 +225,10 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     replace same-key rows in ``target``; unmatched update rows insert.
 
     Full-outer join on the key, then a row-wise winner pick (update
-    side wins when its key is present — per-column COALESCE would
-    corrupt legitimately-NULL update values).  One shuffle per side on
+    side wins whenever an update row joined, detected via a constant
+    marker column — per-column COALESCE would corrupt legitimately-NULL
+    update values, and testing the key for NULL would misclassify a
+    NULL-keyed update row).  One shuffle per side on
     the key; at lake scale the same plan runs per partition after
     partition pruning on the key range, which is how a table-format
     MERGE schedules it too.
@@ -212,7 +236,11 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     # string-qualified references survive self-joins (updates often
     # derive from the target, which trips Spark's ambiguity check on
     # DataFrame-object column references)
-    t, u = target.alias("__t"), updates.alias("__u")
+    t = target.alias("__t")
+    # non-null marker: the join is eqNullSafe (NULL keys match NULL
+    # keys), so "matched" must not be derived from key nullness — an
+    # update row whose key IS NULL still matches and must win
+    u = updates.withColumn("__upd", F.lit(True)).alias("__u")
 
     def tc(name):
         return F.col(f"__t.{name}")
@@ -224,7 +252,7 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     for k in keys:
         c = tc(k).eqNullSafe(uc(k))
         cond = c if cond is None else cond & c
-    matched = uc(keys[0]).isNotNull()
+    matched = uc("__upd").isNotNull()
     out_cols = []
     for name in target.columns:
         if name in keys:

@@ -47,6 +47,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _safe_norm(X: np.ndarray) -> np.ndarray:
+    """Row norms with zeros mapped to 1 — a zero embedding scores 0
+    against everything instead of poisoning rankings with NaN."""
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return n
+
+
 def unit_udf():
     """Arrow-vectorized unit normalization (numpy, per batch).
 
@@ -90,7 +98,7 @@ def brute_force_topk(
     qpdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
     q_ids = np.array(qpdf[id_col], dtype=np.int64)
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / _safe_norm(Q)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
 
     def score(batches):
@@ -98,7 +106,11 @@ def brute_force_topk(
         for pdf in batches:
             ids = np.array(pdf[id_col], dtype=np.int64)
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            # inline zero-norm guard (the closure must stay
+            # self-contained for cloudpickle; see unit_udf)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            Xn = X / n
             S = np.round(Xn @ Qn.T, round_to)  # (batch, n_queries)
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
@@ -148,6 +160,41 @@ def embedding_dedup_pairs(
             "vec_a",
             "vec_b",
             F.round(dot(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_dedup_pairs_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    nbits: int = 16,
+    bands: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH candidates —
+    the 100 TB path: bucket-join on signature bands (shuffle is
+    O(vectors × bands) int keys, never all-pairs), then exact cosine
+    only on candidates.  Same output schema as
+    :func:`embedding_dedup_pairs`; recall < 1 by the LSH S-curve (a
+    pair at cosine c collides per band with prob (1-acos(c)/π)^rows),
+    so this is the approximate scale twin, not the oracle twin.
+    """
+    normed = df.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    cand = lsh_bucket_candidates(
+        normed, normed, id_col=id_col, vec_col=vec_col,
+        dim=dim, nbits=nbits, bands=bands,
+    )
+    return (
+        cand.filter(F.col("q_vec") < F.col("n_vec"))
+        .select(
+            F.col("q_vec").alias("vec_a"),
+            F.col("n_vec").alias("vec_b"),
+            F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -309,9 +356,39 @@ def kmeans_fit(
     posexplode → (cluster, dim) hash-agg — partial aggregation
     map-side, so the shuffle carries k × dim partial sums, independent
     of corpus size.  Convergence = max centroid shift < ``tol``
-    (driver-side on k×dim floats).  This is the fit that replaces
-    :func:`ivf_topk`'s deterministic sampler for a real IVF index.
+    (driver-side on k×dim floats).  This is the fit behind
+    :func:`ivf_topk`'s index build (see :func:`kmeans_centroids`).
     """
+    assigned, _ = _lloyd(
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol
+    )
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """The fitted (k × dim) centroid matrix from the same Lloyd loop as
+    :func:`kmeans_fit` — the build artifact an IVF index partitions on."""
+    _, C = _lloyd(df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol)
+    return C
+
+
+def _lloyd(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int,
+    tol: float,
+) -> tuple[DataFrame, np.ndarray]:
     base = df.select(F.col(id_col), F.col(vec_col))
     C = np.array(
         base.orderBy(id_col).limit(k).toPandas()[vec_col].tolist(),
@@ -340,15 +417,13 @@ def kmeans_fit(
             .collect()
         )
         newC = C.copy()
-        counts = {}
         for r in sums:
             newC[r.cluster, r.dim] = r.s / r.n
-            counts[r.cluster] = r.n
         shift = float(np.abs(newC - C).max())
         C = newC
         if shift < tol:
             break
-    return assigned.select(id_col, "cluster")
+    return assigned, C
 
 
 # --- IVF ---------------------------------------------------------------------
@@ -364,26 +439,40 @@ def ivf_topk(
     n_probe: int = 4,
     k: int = 10,
     round_to: int = 6,
+    fit_iters: int = 5,
 ) -> DataFrame:
     """Inverted-file ANN: assign corpus vectors to their nearest
     centroid cell (build side, one corpus pass), then each query probes
     its ``n_probe`` nearest cells and ranks only those vectors.
 
-    Centroids are a deterministic corpus sample (lowest ``n_cells``
-    ids) — the partition/probe machinery is identical to a k-means
-    build, which could replace the sampler without touching the plan.
-    The (tiny) centroid matrix is collected once and broadcast; each
-    corpus/query row finds its nearest cells with one numpy matmul per
-    Arrow batch (the expression-tree alternative pays corpus × n_cells
-    interpreted lambda folds — the known array-HOF hotspot).  Corpus is
-    shuffled once on cell id; queries broadcast.
+    Centroids come from a k-means fit over the unit-normalized corpus
+    (:func:`kmeans_centroids`, ``fit_iters`` Lloyd rounds from a
+    deterministic lowest-id init), re-normalized to the unit sphere so
+    the dot-product cell probe is the true nearest-centroid rule —
+    fitted cells track the corpus density, which is what lifts recall
+    over a raw corpus sample (``fit_iters=0`` reproduces the old
+    sampler).  The (tiny) centroid matrix is collected once and
+    broadcast; each corpus/query row finds its nearest cells with one
+    numpy matmul per Arrow batch (the expression-tree alternative pays
+    corpus × n_cells interpreted lambda folds — the known array-HOF
+    hotspot).  Corpus is shuffled once on cell id; queries broadcast.
     """
     corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
     queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
-    cents_pdf = (
-        corpus.orderBy(id_col).limit(n_cells).select(F.col(vec_col)).toPandas()
-    )
-    C = np.array(cents_pdf[vec_col].tolist(), dtype=np.float64).T  # (dim, cells)
+    if fit_iters > 0:
+        Ck = kmeans_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=fit_iters
+        )
+    else:
+        Ck = np.array(
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(vec_col))
+            .toPandas()[vec_col]
+            .tolist(),
+            dtype=np.float64,
+        )
+    C = (Ck / _safe_norm(Ck)).T  # (dim, cells), unit columns
     bc = corpus.sparkSession.sparkContext.broadcast(C)
 
     def nearest_cells(df: DataFrame, role: str, n_keep: int) -> DataFrame:

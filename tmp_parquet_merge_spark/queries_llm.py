@@ -160,13 +160,22 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_dedup_cluster(spark, sf_dir):
-    """Connected components over the word-3-gram near-dup pairs — the
-    dedup pipeline's final stage: every document labelled with its
+    """Connected components over the near-dup pairs — the dedup
+    pipeline's final stage: every document labelled with its
     component's min doc_id (singletons label themselves).  Iterative
-    min-label propagation with per-round lineage truncation; the DuckDB
-    oracle is a recursive CTE over the identical edge set."""
+    min-label propagation with per-round lineage truncation.
+
+    Pairs come from MinHash-LSH candidates verified with exact shingle
+    Jaccard (the 100 TB path: shuffle is O(docs × bands), never
+    all-pairs).  The DuckDB oracle is a recursive CTE over the exact
+    all-pairs edge set — equal output because the Jaccard-verify stage
+    keeps exactly the ≥ 0.5 pairs and near-dup corpora sit far above
+    the LSH S-curve knee (recall ≈ 1; asserted at sf0.001/sf0.01 in
+    tests/test_llm_ops.py)."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
+    )
     return dedup.dedup_clusters(pairs, docs, "doc_id")
 
 
@@ -205,6 +214,20 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim ≥ 0.4) — exact all-pairs
     verify stage; at scale candidates come from SRP-LSH (q_ann_lsh)."""
     return similarity.embedding_dedup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query("q_dedup_embedding_lsh")
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs at 100 TB shape: SRP-LSH bucket
+    candidates (shuffle = O(vectors × bands) int keys, never a
+    cartesian), exact cosine ≥ 0.4 on candidates only.  Rows-only:
+    recall < 1 by the LSH S-curve (at cos 0.4 a 4-bit band collides
+    ~16% of the time), so the output is a strict subset of the exact
+    twin q_dedup_embedding — subset + recall floor asserted in
+    tests/test_llm_ops.py."""
+    return similarity.embedding_dedup_pairs_lsh(
         t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
@@ -659,10 +682,14 @@ def q_contamination(spark, sf_dir):
     """Train/eval contamination detection: near-duplicate pairs
     (word-3-gram Jaccard ≥ 0.5) whose members fall in DIFFERENT
     splits — the leakage check run before any eval is trusted.
-    Composes the near-dup pair generator with the deterministic split
-    assignment; at scale the pair source is MinHash-LSH."""
+    Composes the scale-safe pair generator (MinHash-LSH candidates +
+    exact Jaccard verify, O(docs × bands) shuffle) with the
+    deterministic split assignment.  Oracle is the exact all-pairs
+    spelling — equal output for the same reason as q_dedup_cluster."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
+    )
     splits = curation.split_assign(docs, "doc_id")
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")

@@ -695,3 +695,161 @@ def q_bucketed_join(spark, sf_dir):
     return joined.filter(F.col("o_totalprice") > 200000).select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: forward as-of, skew salting, window ranks, unpivot,
+# TPC-H Q6
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS next_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, o.next_orderkey,
+               o.o_orderdate AS next_orderdate
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    """Forward as-of join: the EARLIEST order at or after each event,
+    per user — the other half of the as-of pair (q_join_asof is
+    backward).  Same union-merge plan, time sort reversed: still ONE
+    shuffle on the key, no per-key row explosion."""
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("next_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+        .withColumn("next_orderdate", F.col("o_orderdate"))
+        .drop("o_orderdate")
+        .withColumn("__rt", F.col("next_orderdate"))
+    )
+    return asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="__rt",
+        right_values=["next_orderkey", "next_orderdate"],
+        direction="forward",
+    ).select("event_id", "user_id", "next_orderkey", "next_orderdate")
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-salted equi-join: the left side carries a deterministic
+    row-hash salt in [0,8), the right side replicates 8×, so one hot
+    key spreads over 8 reducers instead of melting one.  Result is
+    bit-identical to the plain inner join (the oracle) — the salt only
+    changes the exchange layout.  This is the escape hatch when AQE
+    skew splitting isn't enough (one key larger than an executor)."""
+    from tmp_parquet_merge_spark.operators.relational import salted_join
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return salted_join(o, c, "o_custkey", "c_custkey", salt=8).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per customer — one shuffle on the partition key, all three ranks in
+    the same window pass; keys are numerous so the work spreads across
+    executors (no single-partition global window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        FROM part
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (wide → long): the inverse of q_pivot, a zero-shuffle
+    generator expansion (each input row emits one row per value column).
+    Oracle is the engine-neutral UNION ALL spelling."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q_sql_tpch_q6",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+)
+def q_sql_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the canonical
+    scan→pushed-filter→scalar-agg query — every predicate lands in the
+    parquet scan's PushedFilters, the aggregate is a two-phase partial/
+    final sum, nothing shuffles but one partial-agg row per task."""
+    from tmp_parquet_merge_spark.functions.deterministic import dsum_expr
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )

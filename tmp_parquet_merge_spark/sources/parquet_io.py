@@ -102,12 +102,20 @@ def merge_files(
     small-files compaction pattern (many tasks read, AQE-coalesced write).
     The 16 MiB default row-group budget matches the reference
     (reader-writer2.cc:46).
+
+    Output sizing stats the input files with the same local-FS glob
+    expansion the footer readers use (no Spark-private JVM handles);
+    the read/write path itself is scheme-agnostic DataFrame I/O.
     """
     df = read_parquet(spark, *inputs, merge_schema=merge_schema)
+    # expand globs/dirs to concrete files BEFORE stat-ing — a glob input
+    # (supported by read_parquet) would make fs.getFileStatus throw
+    import os as _os
+
     total_bytes = sum(
-        int(r.size)
+        _os.path.getsize(f)
         for p in inputs
-        for r in _list_files(spark, p)
+        for f in _expand_parquet_paths(spark, p)
     )
     n_files = max(1, -(-total_bytes // target_file_size_bytes))  # ceil
     write_parquet(
@@ -117,24 +125,6 @@ def merge_files(
         block_size_bytes=block_size_bytes,
     )
     return spark.read.parquet(output)
-
-
-def _list_files(spark: SparkSession, path: str):
-    """List (path, size) via the Hadoop FS client — works for any scheme."""
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    out = []
-    it = fs.listFiles(hpath, True) if fs.isDirectory(hpath) else None
-    if it is None:
-        status = fs.getFileStatus(hpath)
-        return [type("S", (), {"size": status.getLen()})()]
-    while it.hasNext():
-        s = it.next()
-        if s.getPath().getName().endswith(".parquet"):
-            out.append(type("S", (), {"size": s.getLen()})())
-    return out
 
 
 def schema_dump(spark: SparkSession, path: str) -> DataFrame:
@@ -253,22 +243,37 @@ def _strip_scheme(path: str) -> str:
 
 
 def read_row_group(
-    spark: SparkSession, path: str, row_group: int = 0, columns: Sequence[str] | None = None
+    spark: SparkSession,
+    path: str,
+    row_group: int = 0,
+    columns: Sequence[str] | None = None,
+    *,
+    max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Read a single row group (optionally one column) as a DataFrame.
 
     Spark has no row-group-number API (splits are byte-ranged), so this
     edge op reads the row group with pyarrow and re-enters Spark via
     Arrow — the analog of reader->RowGroup(i)->ReadTable / ->Column(j)
-    (parquet-arrow/src/reader-writer.cc:77-125).  Intended for
-    inspection of a single group, not bulk reads (those use
-    read_parquet, where Spark's own row-group skipping applies).
+    (parquet-arrow/src/reader-writer.cc:77-125).  Inspection-only by
+    contract: the group materializes on the driver, so groups beyond
+    ``max_bytes`` (uncompressed, per footer stats) are refused — bulk
+    reads belong to read_parquet, where Spark's own row-group skipping
+    applies and nothing touches the driver.
     """
     import pyarrow.parquet as pq
 
-    table = pq.ParquetFile(_strip_scheme(path)).read_row_group(
-        row_group, columns=list(columns) if columns else None
-    )
+    pf = pq.ParquetFile(_strip_scheme(path))
+    rg_meta = pf.metadata.row_group(row_group)
+    if rg_meta.total_byte_size > max_bytes:
+        raise ValueError(
+            f"row group {row_group} of {path} is "
+            f"{rg_meta.total_byte_size} bytes uncompressed, over the "
+            f"{max_bytes}-byte inspection ceiling. read_row_group is a "
+            "driver-side inspection tool; for bulk reads use "
+            "read_parquet (distributed, with row-group skipping)."
+        )
+    table = pf.read_row_group(row_group, columns=list(columns) if columns else None)
     return spark.createDataFrame(table.to_pandas())
 
 

@@ -59,7 +59,7 @@ def main(argv: list[str]) -> int:
         block_size_bytes=block_mb * 1024 * 1024,
     )
     n_rows = merged.count()
-    n_files = len([f for f in parquet_io._list_files(spark, output)])
+    n_files = len(parquet_io._expand_parquet_paths(spark, output))
     print(f"{n_rows} rows merged into {n_files} files in {time.time() - t0:.2f} seconds.")
     return 0
 

@@ -55,6 +55,23 @@ def _safe_norm(X: np.ndarray) -> np.ndarray:
     return n
 
 
+def dot_udf(round_to: int = 6):
+    """Arrow-vectorized pairwise dot product of two array columns —
+    one einsum per batch.  The candidate-verify hot path: an
+    expression-tree ``dot`` pays dim interpreted lambda evaluations
+    per PAIR (array HOFs don't codegen), which dominates bucket-join
+    verify stages at millions of candidates; this is ~20× cheaper and
+    also a CollapseProject barrier."""
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.round(np.einsum("ij,ij->i", A, B), round_to))
+
+    return _dot
+
+
 def unit_udf():
     """Arrow-vectorized unit normalization (numpy, per batch).
 
@@ -184,17 +201,25 @@ def embedding_dedup_pairs_lsh(
     pair at cosine c collides per band with prob (1-acos(c)/π)^rows),
     so this is the approximate scale twin, not the oracle twin.
     """
-    normed = df.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    # the normalized frame feeds the signature stage AND the verify
+    # join-back; materialize once (lazy local checkpoint) so the Arrow
+    # normalization doesn't run per consumer
+    normed = df.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
     cand = lsh_bucket_candidates(
         normed, normed, id_col=id_col, vec_col=vec_col,
         dim=dim, nbits=nbits, bands=bands,
-    )
+    ).filter(F.col("q_vec") < F.col("n_vec"))
+    sa = normed.select(F.col(id_col).alias("q_vec"), F.col(vec_col).alias("emb_a"))
+    sb = normed.select(F.col(id_col).alias("n_vec"), F.col(vec_col).alias("emb_b"))
     return (
-        cand.filter(F.col("q_vec") < F.col("n_vec"))
+        cand.join(sa, "q_vec")
+        .join(sb, "n_vec")
         .select(
             F.col("q_vec").alias("vec_a"),
             F.col("n_vec").alias("vec_b"),
-            F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
+            dot_udf(round_to)(F.col("emb_a"), F.col("emb_b")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -270,11 +295,17 @@ def lsh_bucket_candidates(
     nbits: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """ANN candidate pairs: equal signature band ⇒ candidate.
+    """ANN candidate ID pairs: equal signature band ⇒ candidate.
 
     ``nbits`` bits split into ``bands`` keys; a candidate needs one
     whole band equal (OR over bands), so recall degrades gracefully.
-    Shuffle volume is O((corpus+queries) × bands) int keys.
+    Returns (q_vec, n_vec) pairs ONLY — the bucket join and the
+    distinct shuffle just int keys; callers join the embeddings back
+    by id for the verify stage.  (Carrying the vectors through the
+    bucket join would shuffle 2×dim doubles per candidate — the
+    dominant cost at corpus scale and measurably so even at sf0.1.)
+    Shuffle volume is O((corpus+queries) × bands) int keys plus
+    O(candidates) int pairs.
     """
     planes = _hyperplanes(dim, nbits)
     rows = nbits // bands
@@ -284,7 +315,6 @@ def lsh_bucket_candidates(
         sig = sig_udf(F.col(vec_col))
         return df.select(
             F.col(id_col).alias(f"{role}_vec"),
-            F.col(vec_col).alias(f"{role}_emb"),
             F.explode(
                 F.array(
                     *[
@@ -296,13 +326,13 @@ def lsh_bucket_candidates(
                     ]
                 )
             ).alias("bk"),
-        ).select(f"{role}_vec", f"{role}_emb", "bk.band", "bk.key")
+        ).select(f"{role}_vec", "bk.band", "bk.key")
 
     c, q = banded(corpus, "n"), banded(queries, "q")
     return (
         c.join(q, ["band", "key"])
         .filter(F.col("n_vec") != F.col("q_vec"))
-        .select("q_vec", "q_emb", "n_vec", "n_emb")
+        .select("q_vec", "n_vec")
         .distinct()
     )
 
@@ -320,17 +350,30 @@ def ann_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: LSH candidates → exact cosine → per-query rank.
-    Same output shape as :func:`brute_force_topk`; recall < 1 by design."""
-    corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
-    queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    Same output shape as :func:`brute_force_topk`; recall < 1 by design.
+    Candidates travel as int id pairs; embeddings join back by id for
+    the verify dot (Arrow-vectorized), so no array ever rides the
+    bucket-join or distinct shuffles."""
+    corpus = corpus.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    queries = queries.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
     cand = lsh_bucket_candidates(
         corpus, queries, id_col=id_col, vec_col=vec_col, dim=dim, nbits=nbits,
         bands=bands,
     )
-    sims = cand.select(
-        "q_vec",
-        "n_vec",
-        F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
+    qe = queries.select(F.col(id_col).alias("q_vec"), F.col(vec_col).alias("q_emb"))
+    ne = corpus.select(F.col(id_col).alias("n_vec"), F.col(vec_col).alias("n_emb"))
+    sims = (
+        cand.join(F.broadcast(qe), "q_vec")
+        .join(ne, "n_vec")
+        .select(
+            "q_vec",
+            "n_vec",
+            dot_udf(round_to)(F.col("q_emb"), F.col("n_emb")).alias("sim"),
+        )
     )
     from tmp_parquet_merge_spark.operators.relational import grouped_top_k
 
@@ -457,8 +500,12 @@ def ivf_topk(
     corpus × n_cells interpreted lambda folds — the known array-HOF
     hotspot).  Corpus is shuffled once on cell id; queries broadcast.
     """
-    corpus = corpus.withColumn(vec_col, unit_udf()(F.col(vec_col)))
-    queries = queries.withColumn(vec_col, unit_udf()(F.col(vec_col)))
+    corpus = corpus.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    queries = queries.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
     if fit_iters > 0:
         Ck = kmeans_centroids(
             corpus, id_col=id_col, vec_col=vec_col, k=n_cells, max_iter=fit_iters
@@ -489,21 +536,29 @@ def ivf_topk(
 
         return df.select(
             F.col(id_col).alias(f"{role}_vec"),
-            F.col(vec_col).alias(f"{role}_emb"),
             F.explode(_cells(F.col(vec_col))).alias("cell"),
         )
 
+    # candidates travel as (id, cell) ints; embeddings join back by id
+    # for the verify dot — no array rides the cell join or distinct
     c_assigned = nearest_cells(corpus, "n", 1)
     q_probes = nearest_cells(queries, "q", n_probe)
-    sims = (
+    cand = (
         c_assigned.join(q_probes, "cell")
         .filter(F.col("n_vec") != F.col("q_vec"))
+        .select("q_vec", "n_vec")
+        .distinct()
+    )
+    qe = queries.select(F.col(id_col).alias("q_vec"), F.col(vec_col).alias("q_emb"))
+    ne = corpus.select(F.col(id_col).alias("n_vec"), F.col(vec_col).alias("n_emb"))
+    sims = (
+        cand.join(F.broadcast(qe), "q_vec")
+        .join(ne, "n_vec")
         .select(
             "q_vec",
             "n_vec",
-            F.round(dot(F.col("q_emb"), F.col("n_emb")), round_to).alias("sim"),
+            dot_udf(round_to)(F.col("q_emb"), F.col("n_emb")).alias("sim"),
         )
-        .distinct()
     )
     from tmp_parquet_merge_spark.operators.relational import grouped_top_k
 

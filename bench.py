@@ -91,6 +91,9 @@ HEADLINE = [
     "q_sql_tpch_q6",
     "q_dedup_embedding_lsh",
     "q_ann_ivf",
+    "q_grouping_sets",
+    "q_agg_argmax",
+    "q_window_range_frame",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

@@ -853,3 +853,98 @@ def q_sql_tpch_q6(spark, sf_dir):
     return li.agg(
         dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id — the general form
+    rollup/cube specialize (q_agg_rollup / q_agg_cube are the fixed
+    lattices); the gid column disambiguates a NULL key value from a
+    rolled-up level.  One Expand + hash-agg pass, no extra scans."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(o_totalprice, o_orderkey) AS last_order_price,
+               arg_min(o_totalprice, o_orderkey) AS first_order_price,
+               MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """Argmax/argmin aggregates (max_by/min_by ≙ DuckDB arg_max/
+    arg_min): the price of each customer's latest and first order in
+    ONE hash-agg pass — no self-join, no window sort; the ordering key
+    (o_orderkey) is unique, so results are deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+            F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_events_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sum_value_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE window frame over event time: per-user trailing-hour count
+    and sum — the value-based frame (rows at equal timestamps share a
+    frame, unlike ROWS), the batch primitive behind rate limits and
+    trailing-window features.  One shuffle on user_id; the frame is
+    computed in a single sorted pass per partition."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "__sec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    )

@@ -28,6 +28,7 @@ def main() -> None:
     spark = get_spark("scale-trend")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = li.count()
     out: dict[str, dict[str, float]] = {}
     for n in factors:
@@ -42,11 +43,32 @@ def main() -> None:
         ).withColumn(
             "o_orderkey", F.col("o_orderkey") + F.col("__r") * F.lit(10_000_000)
         ).drop("__r")
+        # document replicas get a rotated alphabet per replica so the
+        # corpus grows n× WITHOUT cross-replica near-dups — the
+        # dedup-pipeline work scales with the corpus, not with an
+        # artificial quadratic pair blowup between identical replicas
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        rot = F.col("text")
+        for i in range(1, n):
+            rot = F.when(
+                F.col("__r") == i,
+                F.translate("text", alpha, alpha[i % 26 :] + alpha[: i % 26]),
+            ).otherwise(rot)
+        docr = (
+            docs.withColumn(
+                "__r", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(10_000_000))
+            .withColumn("text", rot)
+            .drop("__r")
+        )
         path = tempfile.mkdtemp(prefix=f"tpms_scale_{n}x_")
         rep.write.mode("overwrite").parquet(path + "/li")
         ordr.write.mode("overwrite").parquet(path + "/ord")
+        docr.select("doc_id", "text").write.mode("overwrite").parquet(path + "/doc")
         L = spark.read.parquet(path + "/li")
         O = spark.read.parquet(path + "/ord")
+        D = spark.read.parquet(path + "/doc")
 
         def timed(df) -> float:
             t0 = time.perf_counter()
@@ -78,6 +100,11 @@ def main() -> None:
             ),
             "sort": timed(L.orderBy("l_extendedprice")),
         }
+        from tmp_parquet_merge_spark.operators.dedup import minhash_dedup_pairs
+
+        res["dedup"] = timed(
+            minhash_dedup_pairs(D, "text", "doc_id", verify_threshold=0.5)
+        )
         out[str(n)] = res
         print(f"# {n}x ({res['rows']} rows): {res}", file=sys.stderr)
     print(json.dumps({"base_rows": base, "trend": out}))

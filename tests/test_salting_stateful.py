@@ -6,7 +6,10 @@ from pyspark.sql import functions as F
 from tmp_parquet_merge_spark.operators.relational import salted_join
 from tmp_parquet_merge_spark.registry import events_table
 from tmp_parquet_merge_spark.streaming import read_events_stream
-from tmp_parquet_merge_spark.streaming.stateful import user_profiles
+from tmp_parquet_merge_spark.streaming.stateful import (
+    user_profiles,
+    user_profiles_batch,
+)
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
@@ -107,3 +110,39 @@ def test_stateful_user_profiles_stream(spark, sf_dir):
     pd.testing.assert_series_equal(
         got["sum_value"], expect["sum_value"], rtol=1e-9
     )
+
+
+def test_stateful_batch_twin_final_state(spark, sf_dir):
+    # the batch replay's per-user LAST row (the state after the final
+    # event) must equal the per-user aggregate — the same final state
+    # the streaming operator emits (linked to the stream by the test
+    # above, which pins streaming final state == batch aggregate)
+    e = events_table(spark, sf_dir)
+    batch = user_profiles_batch(e)
+    last = (
+        batch.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    expect = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (last["n_events"] == expect["n_events"]).all()
+    pd.testing.assert_series_equal(last["sum_value"], expect["sum_value"])
+    assert (last["last_ts"] == expect["last_ts"]).all()

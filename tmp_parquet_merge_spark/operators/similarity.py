@@ -402,10 +402,36 @@ def kmeans_fit(
     (driver-side on k×dim floats).  This is the fit behind
     :func:`ivf_topk`'s index build (see :func:`kmeans_centroids`).
     """
-    assigned, _ = _lloyd(
+    assigned, _, _ = _lloyd(
         df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol
     )
     return assigned.select(id_col, "cluster")
+
+
+def kmeans_fit_with_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """:func:`kmeans_fit` plus fit metadata riding on every row:
+    ``n_iter`` (Lloyd rounds executed), ``final_shift`` (max centroid
+    movement in the last round) and ``converged`` (shift < tol before
+    the round budget ran out) — so a rows-only check carries semantic
+    signal about the fit, not just raw labels."""
+    assigned, _, stats = _lloyd(
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.lit(stats["n_iter"]).alias("n_iter"),
+        F.lit(stats["final_shift"]).alias("final_shift"),
+        F.lit(stats["converged"]).alias("converged"),
+    )
 
 
 def kmeans_centroids(
@@ -419,8 +445,26 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """The fitted (k × dim) centroid matrix from the same Lloyd loop as
     :func:`kmeans_fit` — the build artifact an IVF index partitions on."""
-    _, C = _lloyd(df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol)
+    _, C, _ = _lloyd(
+        df, id_col=id_col, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol
+    )
     return C
+
+
+def _nearest_udf(sc, C: np.ndarray):
+    """Arrow-vectorized nearest-centroid assignment against a broadcast
+    copy of the centroid matrix (squared euclidean via the expansion
+    trick; one BLAS call per batch)."""
+    bc = sc.broadcast(C)
+
+    @pandas_udf("int")
+    def _nearest(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        Cm = bc.value
+        d = -2.0 * (X @ Cm.T) + (Cm * Cm).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _nearest
 
 
 def _lloyd(
@@ -431,26 +475,20 @@ def _lloyd(
     k: int,
     max_iter: int,
     tol: float,
-) -> tuple[DataFrame, np.ndarray]:
+) -> tuple[DataFrame, np.ndarray, dict]:
     base = df.select(F.col(id_col), F.col(vec_col))
     C = np.array(
         base.orderBy(id_col).limit(k).toPandas()[vec_col].tolist(),
         dtype=np.float64,
     )
     sc = df.sparkSession.sparkContext
-    assigned = None
+    shift = float("inf")
+    n_iter = 0
     for _ in range(max_iter):
-        bc = sc.broadcast(C)
-
-        @pandas_udf("int")
-        def _nearest(v: pd.Series) -> pd.Series:
-            X = np.array(v.tolist(), dtype=np.float64)
-            Cm = bc.value
-            # squared euclidean via the expansion trick; one BLAS call
-            d = -2.0 * (X @ Cm.T) + (Cm * Cm).sum(axis=1)
-            return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-        assigned = base.withColumn("cluster", _nearest(F.col(vec_col)))
+        n_iter += 1
+        assigned = base.withColumn(
+            "cluster", _nearest_udf(sc, C)(F.col(vec_col))
+        )
         sums = (
             assigned.select(
                 "cluster", F.posexplode(vec_col).alias("dim", "val")
@@ -466,7 +504,17 @@ def _lloyd(
         C = newC
         if shift < tol:
             break
-    return assigned, C
+    # labels must reflect the RETURNED centroids: recompute the
+    # assignment once against the final C (one extra lazy projection,
+    # no extra action here) — otherwise labels trail the centroid
+    # matrix by half a Lloyd step whenever max_iter is hit first
+    assigned = base.withColumn("cluster", _nearest_udf(sc, C)(F.col(vec_col)))
+    stats = {
+        "n_iter": n_iter,
+        "final_shift": shift,
+        "converged": shift < tol,
+    }
+    return assigned, C, stats
 
 
 # --- IVF ---------------------------------------------------------------------

@@ -756,21 +756,30 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver-facing registration order
 # ---------------------------------------------------------------------------
-# The correctness driver evaluates only the FIRST 50 registry entries
-# per round (observed: CORRECTNESS_r01.json stops at entry 50), so
-# insertion order is evidence budget.  Reorder so the window holds the
-# queries that can produce NEW hash evidence this round:
-#   tier 0 — oracle-backed queries without a round-1 hash-match
-#            (the 39 past the round-1 cutoff + anything added since),
-#            plus queries whose implementation changed this round;
-#   tier 1 — new/changed rows-only queries (fresh rows-ok evidence);
-#   tier 2 — oracle-backed queries already hash-green in round 1;
-#   tier 3 — rows-only queries already recorded in round 1.
-# Ties keep definition order, so the sequence is stable run to run.
+# The correctness driver evaluates the FIRST 50 registry entries per
+# round (observed in CORRECTNESS_r01/r02), so insertion order decides
+# which queries get driver evidence.  Ordering policy, applied to the
+# CUMULATIVE evidence ledger below:
+#
+#   tier 0 — oracle-backed queries whose CURRENT implementation has no
+#            driver evidence (new, changed since their evidence round,
+#            errored, or never inside the window);
+#   tier 1 — rows-only queries in the same no-current-evidence state;
+#   tier 2 — oracle-backed queries with current evidence (remaining
+#            window slots RE-verify these, oldest evidence first by
+#            definition order — they are not hidden from the driver);
+#   tier 3 — rows-only queries with current evidence.
+#
+# The invariant the ledger must keep (the round-2 advisor's rule): a
+# query's evidence certifies only the code that produced it.  ANY
+# behavior change — including transitive ones through shared operators
+# — moves the query back to tier 0/1 via _CHANGED_THIS_ROUND.  Ties
+# keep definition order, so the sequence is stable run to run.
 
-# hash_match == true rows in CORRECTNESS_r01.json
-_R1_HASH_GREEN = frozenset(
+# Cumulative hash_match == true rows (CORRECTNESS_r01 ∪ r02).
+_HASH_GREEN = frozenset(
     {
+        # round 1
         "q_scan_full", "q_scan_count", "q_project_one", "q_project_subset",
         "q_merge_files", "q_filter_pushdown", "q_filter_nulls", "q_to_json",
         "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_join_inner",
@@ -779,34 +788,66 @@ _R1_HASH_GREEN = frozenset(
         "q_topk_orders", "q_sort_global", "q_set_intersect", "q_set_except",
         "q_scalar_string", "q_scalar_date", "q_scalar_array", "q_scalar_json",
         "q_window_tumbling", "q_dedup_exact", "q_dedup_ngram",
-        "q_dedup_cluster", "q_split_assign", "q_dedup_embedding",
-        "q_topk_similarity", "q_knn_classify", "q_text_stats", "q_lang_id",
-        "q_quality_score",
+        "q_split_assign", "q_dedup_embedding", "q_topk_similarity",
+        "q_knn_classify", "q_text_stats", "q_lang_id", "q_quality_score",
+        # round 2
+        "q_dedup_cluster", "q_token_count", "q_tfidf", "q_repetition",
+        "q_doc_fingerprint", "q_corpus_mix", "q_sample_stratified",
+        "q_lang_id_eval", "q_contamination", "q_redact", "q_histogram",
+        "q_profile", "q_agg_cube", "q_agg_stats", "q_percentiles",
+        "q_pivot", "q_join_outer", "q_scalar_math", "q_scalar_regex",
+        "q_scalar_conditional", "q_sql_scalar_subquery", "q_sql_tpch_q3",
+        "q_partition_pruning", "q_resample_ffill", "q_incremental_agg",
+        "q_zorder_layout", "q_table_diff", "q_upsert", "q_funnel",
+        "q_dpp_join", "q_bucketed_join", "q_join_asof_forward",
+        "q_salted_join", "q_window_ntile", "q_unpivot", "q_sql_tpch_q6",
+        "q_grouping_sets", "q_agg_argmax", "q_window_range_frame",
+        "q_window_sliding", "q_stream_dedup", "q_window_session",
+        "q_union_files", "q_udf_pandas", "q_grouped_apply",
+        "q_csv_roundtrip", "q_json_roundtrip",
     }
 )
 
-# rows-only names the round-1 driver already recorded as rows-ok
-_R1_ROWS_SEEN = frozenset(
+# Cumulative rows-ok evidence (rows-only queries the driver ran).
+_ROWS_SEEN = frozenset(
     {
         "q_merge_schema_evolution", "q_rowgroup_read", "q_schema_dump",
-        "q_metadata_stats", "q_column_stats", "q_dedup_minhash",
-        "q_dedup_simhash", "q_ann_lsh", "q_kmeans", "q_ann_ivf",
+        "q_metadata_stats", "q_column_stats",
+        "q_roundtrip", "q_dedup_embedding_lsh",
     }
 )
 
-# implementation changed since the round-1 evidence was recorded —
-# their old green rows no longer certify the current code
+# Evidence recorded for an implementation that has since changed — the
+# round-1 rows-ok of the similarity/minhash family predates the round-2
+# rewrite of operators/similarity.py and dedup.py (the round-2 advisor
+# flagged exactly this), so those names are deliberately NOT in
+# _ROWS_SEEN and queue for fresh evidence.
+#
+# Changed in THIS round (round 3) and therefore re-queued regardless of
+# past evidence:
 _CHANGED_THIS_ROUND = frozenset(
-    {"q_roundtrip", "q_dedup_cluster", "q_contamination", "q_upsert"}
+    {
+        "q_agg_collect",        # array_join serialization (r2 driver ERR)
+        "q_window_range_frame", # oracle epoch granularity aligned
+        "q_dedup_cluster",      # pair source now exact ngram (capped)
+        "q_contamination",      # pair source now exact ngram (capped)
+        "q_dedup_ngram",        # _PAIR_CAP input cap (both sides)
+        "q_dedup_embedding",    # _PAIR_CAP input cap (both sides)
+        "q_kmeans",             # fit-stats columns + final reassignment
+        "q_ann_ivf",            # _lloyd final-assignment fix (transitive)
+        "q_merge_files",        # remote-scheme sizing fallback
+    }
 )
 
 
 def _driver_tier(q: Query) -> int:
-    if q.name in _CHANGED_THIS_ROUND:
-        return 0 if q.oracle is not None else 1
+    evidenced = (
+        q.name in (_HASH_GREEN if q.oracle is not None else _ROWS_SEEN)
+        and q.name not in _CHANGED_THIS_ROUND
+    )
     if q.oracle is not None:
-        return 0 if q.name not in _R1_HASH_GREEN else 2
-    return 1 if q.name not in _R1_ROWS_SEEN else 3
+        return 2 if evidenced else 0
+    return 3 if evidenced else 1
 
 
 def _reorder_registry() -> None:

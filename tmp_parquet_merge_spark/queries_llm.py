@@ -47,6 +47,18 @@ _DOT = (
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
 
+# CONTRACT: the exact pair generators below (shared-shingle self-join /
+# all-pairs cosine) are verify-stage oracle twins whose worst case is
+# quadratic.  Every registered query that uses one caps its pair-
+# generation input to _PAIR_CAP ids — far above every bundled sf (sf0.1
+# has 5k docs / 2k vectors) but a hard ceiling so the registered plan
+# cannot be pointed at a large corpus by accident.  The capped LSH
+# twins (q_dedup_*_lsh, q_contamination_lsh, q_ann_*) are the uncapped
+# 100 TB path.  The cap predicate appears in BOTH the Spark builder and
+# the oracle SQL so hash parity holds at any sf.
+_PAIR_CAP = 20_000
+_W_CAP = _W.replace("FROM documents", f"FROM documents WHERE doc_id < {_PAIR_CAP}")
+
 
 def _cos(a: str, b: str) -> str:
     return (
@@ -79,7 +91,7 @@ def q_dedup_exact(spark, sf_dir):
 @query(
     "q_dedup_ngram",
     oracle=f"""
-        WITH {_W}, {_SH},
+        WITH {_W_CAP}, {_SH},
         e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
         p AS (
@@ -97,10 +109,11 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_ngram(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (sim ≥ 0.5) — the
-    verify stage of the near-dup pipeline, oracle-checked."""
-    return dedup.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
-    )
+    verify stage of the near-dup pipeline, oracle-checked.  Input
+    capped at _PAIR_CAP docs (see the contract note above); the
+    uncapped scale path is q_dedup_minhash."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
 @query("q_dedup_minhash")
@@ -132,7 +145,7 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "q_dedup_cluster",
     oracle=f"""
-        WITH RECURSIVE {_W}, {_SH},
+        WITH RECURSIVE {_W_CAP}, {_SH},
         e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
         p AS (
@@ -165,13 +178,34 @@ def q_dedup_cluster(spark, sf_dir):
     component's min doc_id (singletons label themselves).  Iterative
     min-label propagation with per-round lineage truncation.
 
-    Pairs come from MinHash-LSH candidates verified with exact shingle
-    Jaccard (the 100 TB path: shuffle is O(docs × bands), never
-    all-pairs).  The DuckDB oracle is a recursive CTE over the exact
-    all-pairs edge set — equal output because the Jaccard-verify stage
-    keeps exactly the ≥ 0.5 pairs and near-dup corpora sit far above
-    the LSH S-curve knee (recall ≈ 1; asserted at sf0.001/sf0.01 in
-    tests/test_llm_ops.py)."""
+    ORACLE TWIN: pairs come from the exact shared-shingle Jaccard
+    generator so parity with the recursive-CTE oracle is deterministic,
+    not an LSH-recall bet (a J≈0.5 borderline pair survives 16×4
+    banding only ~64% of the time on adversarial data).  Pair
+    generation is capped at _PAIR_CAP docs; the uncapped 100 TB path is
+    q_dedup_cluster_lsh below, whose pair source shuffles
+    O(docs × bands) and which tests assert equal on the bundled
+    corpora."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+    )
+    return dedup.dedup_clusters(pairs, docs, "doc_id")
+
+
+@query("q_dedup_cluster_lsh")
+def q_dedup_cluster_lsh(spark, sf_dir):
+    """The 100 TB spelling of q_dedup_cluster: pairs from MinHash-LSH
+    candidates (shuffle O(docs × bands), document text never moves)
+    verified with exact shingle Jaccard, then the same min-label
+    propagation.  Rows-only: LSH candidate recall at the J=0.5
+    boundary is probabilistic by the S-curve, so hash parity with the
+    exact oracle is data-dependent — equality on the bundled corpora
+    is asserted in tests/test_llm_ops.py instead."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
@@ -201,7 +235,8 @@ def q_split_assign(spark, sf_dir):
 @query(
     "q_dedup_embedding",
     oracle=f"""
-        WITH a AS (SELECT vec_id, embedding FROM embeddings),
+        WITH a AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < {_PAIR_CAP}),
         p AS (
             SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                    round({_cos("x.embedding", "y.embedding")}, 6) AS sim
@@ -212,9 +247,11 @@ def q_split_assign(spark, sf_dir):
 )
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim ≥ 0.4) — exact all-pairs
-    verify stage; at scale candidates come from SRP-LSH (q_ann_lsh)."""
+    verify stage, input capped at _PAIR_CAP vectors (see the contract
+    note above); the uncapped scale path is q_dedup_embedding_lsh."""
     return similarity.embedding_dedup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.4
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _PAIR_CAP),
+        threshold=0.4,
     )
 
 
@@ -338,8 +375,10 @@ def q_kmeans(spark, sf_dir):
     """Lloyd's k-means (k=8) over the embeddings: broadcast centroids,
     Arrow-matmul assignment, map-side-combined centroid update —
     the iterative fit behind a real IVF index.  Rows-only (iterative
-    floating-point fit isn't SQL-expressible)."""
-    return similarity.kmeans_fit(
+    floating-point fit isn't SQL-expressible), but the output carries
+    fit metadata (n_iter / final_shift / converged) so the rows-only
+    check sees convergence, not just opaque labels."""
+    return similarity.kmeans_fit_with_stats(
         t(spark, sf_dir, "embeddings"), k=8, max_iter=10
     )
 
@@ -645,7 +684,7 @@ def q_lang_id_eval(spark, sf_dir):
 @query(
     "q_contamination",
     oracle=f"""
-        WITH {_W}, {_SH},
+        WITH {_W_CAP}, {_SH},
         e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
         p AS (
@@ -682,14 +721,25 @@ def q_contamination(spark, sf_dir):
     """Train/eval contamination detection: near-duplicate pairs
     (word-3-gram Jaccard ≥ 0.5) whose members fall in DIFFERENT
     splits — the leakage check run before any eval is trusted.
-    Composes the scale-safe pair generator (MinHash-LSH candidates +
-    exact Jaccard verify, O(docs × bands) shuffle) with the
-    deterministic split assignment.  Oracle is the exact all-pairs
-    spelling — equal output for the same reason as q_dedup_cluster."""
+
+    ORACLE TWIN: the exact shared-shingle pair generator (capped at
+    _PAIR_CAP docs) so parity with the all-pairs oracle is
+    deterministic; the uncapped MinHash-LSH composition is
+    q_contamination_lsh below."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
     )
+    return _contamination_join(docs, pairs)
+
+
+def _contamination_join(docs, pairs):
+    """Shared tail of the contamination check: attach each pair
+    member's deterministic split, keep cross-split pairs."""
     splits = curation.split_assign(docs, "doc_id")
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
@@ -703,6 +753,20 @@ def q_contamination(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
     )
+
+
+@query("q_contamination_lsh")
+def q_contamination_lsh(spark, sf_dir):
+    """The 100 TB spelling of q_contamination: MinHash-LSH candidates +
+    exact Jaccard verify (O(docs × bands) shuffle, no all-pairs stage)
+    composed with the same split assignment.  Rows-only for the same
+    S-curve reason as q_dedup_cluster_lsh; equality on the bundled
+    corpora is asserted in tests/test_llm_ops.py."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
+    )
+    return _contamination_join(docs, pairs)
 
 
 @query(

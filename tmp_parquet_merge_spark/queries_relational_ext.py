@@ -117,16 +117,22 @@ def q_agg_sketch(spark, sf_dir):
     "q_agg_collect",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(DISTINCT n_name)) AS nations
+               array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
         FROM nation GROUP BY n_regionkey
     """,
 )
 def q_agg_collect(spark, sf_dir):
-    """Collect-to-array aggregation, sorted for determinism."""
+    """Collect-to-array aggregation, sorted for determinism.  The sorted
+    array is serialized with array_join so the result is hashable by
+    row-oriented canonicalizers (list cells are not)."""
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("n_name")), "|"
+            ).alias("nations")
+        )
     )
 
 
@@ -919,7 +925,7 @@ def q_agg_argmax(spark, sf_dir):
                    AS sum_value_1h
         FROM events
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                     ORDER BY floor(epoch(CAST(ts AS TIMESTAMP)))
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )

@@ -10,6 +10,7 @@ stream(availableNow) ≡ batch on identical input.
 from __future__ import annotations
 
 from tmp_parquet_merge_spark.registry import query, t
+from tmp_parquet_merge_spark.streaming.stateful import user_profiles_batch
 from tmp_parquet_merge_spark.streaming.windows import (
     dedup_events,
     sessionized,
@@ -86,3 +87,31 @@ def q_window_session(spark, sf_dir):
     (new session when the gap from the previous event is ≥ 30 min;
     session end = last event + gap, matching Spark's semantics)."""
     return sessionized(t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "q_stateful_profile",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                          value
+                   FROM events)
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                   AS sum_value,
+               MAX(ts) OVER w AS last_ts
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_stateful_profile(spark, sf_dir):
+    """The custom stateful operator's state machine (streaming/
+    stateful.py ``user_profiles``: per-user running count / sum /
+    last-seen in ``applyInPandasWithState``) replayed in batch via
+    window functions, one row per event = the state after that event.
+    The per-user last row equals the streaming operator's final state
+    (asserted in tests/test_salting_stateful.py), so the arbitrary-
+    state path carries oracle evidence like the rest of the streaming
+    family."""
+    return user_profiles_batch(t(spark, sf_dir, "events"))

@@ -103,20 +103,25 @@ def merge_files(
     The 16 MiB default row-group budget matches the reference
     (reader-writer2.cc:46).
 
-    Output sizing stats the input files with the same local-FS glob
-    expansion the footer readers use (no Spark-private JVM handles);
-    the read/write path itself is scheme-agnostic DataFrame I/O.
+    Output sizing stats the input files via a local-FS glob for plain /
+    ``file:`` paths (fast, no JVM round-trips) and falls back to the
+    Hadoop FileSystem listing for any other scheme (hdfs://, s3a://,
+    ...), so remote inputs size correctly instead of failing a local
+    stat; the read/write path itself is scheme-agnostic DataFrame I/O.
     """
     df = read_parquet(spark, *inputs, merge_schema=merge_schema)
     # expand globs/dirs to concrete files BEFORE stat-ing — a glob input
     # (supported by read_parquet) would make fs.getFileStatus throw
     import os as _os
 
-    total_bytes = sum(
-        _os.path.getsize(f)
-        for p in inputs
-        for f in _expand_parquet_paths(spark, p)
-    )
+    total_bytes = 0
+    for p in inputs:
+        if _has_remote_scheme(p):
+            total_bytes += _hadoop_input_bytes(spark, p)
+        else:
+            total_bytes += sum(
+                _os.path.getsize(f) for f in _expand_parquet_paths(spark, p)
+            )
     n_files = max(1, -(-total_bytes // target_file_size_bytes))  # ceil
     write_parquet(
         df,
@@ -226,6 +231,40 @@ def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=out_columns)
 
     return files_df.mapInPandas(scan_footers, schema=_FOOTER_SCHEMA)
+
+
+def _has_remote_scheme(path: str) -> bool:
+    """True for URIs whose scheme is not the local filesystem
+    (hdfs://, s3a://, gs://, ...) — those must be sized through the
+    Hadoop FileSystem API, not os.stat."""
+    import re as _re
+
+    return bool(
+        _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path)
+    ) and not path.startswith("file:")
+
+
+def _hadoop_input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes of the parquet files under ``path`` (file, directory
+    or glob) via the Hadoop FileSystem bound to the path's scheme —
+    fs.globStatus for glob/plain paths, a recursive listing for
+    directories.  Used by merge_files sizing for non-local inputs."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    statuses = fs.globStatus(hpath)
+    total = 0
+    for st in statuses or []:
+        if st.isDirectory():
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                if f.getPath().getName().endswith(".parquet"):
+                    total += f.getLen()
+        else:
+            total += st.getLen()
+    return total
 
 
 def _expand_parquet_paths(spark: SparkSession, path: str) -> list[str]:

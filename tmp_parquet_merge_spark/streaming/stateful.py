@@ -81,3 +81,35 @@ def user_profiles(events: DataFrame, *, timeout_ms: int | None = None) -> DataFr
             timeoutConf=timeout,
         )
     )
+
+
+def user_profiles_batch(events: DataFrame) -> DataFrame:
+    """The state machine of :func:`user_profiles` replayed in batch:
+    one row per event carrying the state AFTER that event folds in —
+    running count, running sum, running last-seen — via window
+    functions over (ts, event_id) order.  The per-user LAST row equals
+    the stateful operator's final emitted state on the same finite
+    input (asserted in tests/test_salting_stateful.py), which gives the
+    arbitrary-state path a DuckDB-oracle-checkable twin.
+
+    One shuffle on user_id, one sorted pass per partition — the same
+    partitioning the state store uses, so the plan scales exactly like
+    the streaming job's shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value"),
+        F.max("ts").over(w).alias("last_ts"),
+    )

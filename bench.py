@@ -26,11 +26,11 @@ from tmp_parquet_merge_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: every operator family, excluding the quadratic
-# all-pairs verify stages (q_dedup_ngram / q_dedup_embedding, whose
-# oracle-checkable edge set is the all-pairs ngram join — they are
-# correctness-gate queries; their scalable twins ARE benched).
-# q_dedup_cluster IS benched since it now rides MinHash-LSH candidates.
+# Headline set: every operator family, excluding the capped exact
+# verify-stage oracle twins (q_dedup_ngram / q_dedup_embedding /
+# q_dedup_cluster / q_contamination, whose pair source is the exact
+# shared-shingle or all-pairs join — correctness-gate fixtures); their
+# scalable LSH twins ARE benched.
 HEADLINE = [
     "q_scan_count",
     "q_scan_full",
@@ -82,8 +82,8 @@ HEADLINE = [
     # round-2 additions: scale-safe dedup graph + contamination, the
     # forward as-of twin, skew salting, distribution windows, unpivot,
     # Q6, LSH embedding dedup, k-means IVF
-    "q_dedup_cluster",
-    "q_contamination",
+    "q_dedup_cluster_lsh",
+    "q_contamination_lsh",
     "q_join_asof_forward",
     "q_salted_join",
     "q_window_ntile",
@@ -94,6 +94,13 @@ HEADLINE = [
     "q_grouping_sets",
     "q_agg_argmax",
     "q_window_range_frame",
+    # round-3 additions: the 100 TB sketch twin of
+    # q_percentiles/q_agg_distinct (bounded-memory mergeable state vs
+    # per-group sort/distinct — measured side by side with its exact
+    # twins), the stateful-operator batch replay, and the k-means fit
+    "q_agg_sketch",
+    "q_stateful_profile",
+    "q_kmeans",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>
@@ -101,6 +108,9 @@ HEADLINE = [
     "q_dpp_join",
     "q_zorder_layout",
     "q_bucketed_join",
+    # compaction: write phase = scatter 64 small files + merge_files
+    # compact; read phase = distributed footer scan of the output
+    "q_merge_compaction",
 ]
 
 # queries whose build() performs an eager layout write; bench reports
@@ -110,6 +120,7 @@ LAYOUT_WRITERS = {
     "q_dpp_join",
     "q_zorder_layout",
     "q_bucketed_join",
+    "q_merge_compaction",
 }
 
 

@@ -53,11 +53,12 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
 
 
 def test_minhash_verified_equals_exact_at_half(spark, docs):
-    """q_dedup_cluster / q_contamination feed their (scale-safe)
-    MinHash-LSH pair generator into oracles spelled over the exact
-    all-pairs edge set — valid only while the verified LSH output IS
-    the exact output at threshold 0.5 on this corpus (near-dup pairs
-    sit far above the S-curve knee).  This test is that precondition."""
+    """The rows-only LSH twins (q_dedup_cluster_lsh /
+    q_contamination_lsh) claim equality with their exact oracle-checked
+    twins on the bundled corpora (near-dup pairs sit far above the
+    S-curve knee, so verified-LSH output == exact output at 0.5).
+    This pins that claim at the pair-generator level; the query-level
+    equality test below pins the composed pipelines."""
     exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     lsh = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
@@ -66,6 +67,63 @@ def test_minhash_verified_equals_exact_at_half(spark, docs):
     m = {(r.doc_a, r.doc_b, r.jaccard) for r in lsh.collect()}
     assert e, "corpus should contain near-dup pairs"
     assert m == e
+
+
+def test_lsh_twin_queries_equal_exact_on_bundled_corpus(spark, sf_dir):
+    """q_dedup_cluster_lsh / q_contamination_lsh are registered
+    rows-only because LSH recall at the J=0.5 boundary is
+    probabilistic on adversarial data — but on the bundled corpora
+    they must equal their exact oracle-checked twins row for row."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    for exact_name, lsh_name in [
+        ("q_dedup_cluster", "q_dedup_cluster_lsh"),
+        ("q_contamination", "q_contamination_lsh"),
+    ]:
+        exact = REGISTRY[exact_name].build(spark, sf_dir)
+        lsh = REGISTRY[lsh_name].build(spark, sf_dir)
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, lsh.collect())
+        ), f"{lsh_name} != {exact_name}"
+
+
+def test_all_pairs_twins_are_input_capped(spark, sf_dir):
+    """The exact pair generators are worst-case quadratic; every
+    registered query that uses one must carry the _PAIR_CAP input
+    filter so the plan cannot be pointed at a large corpus (the cap
+    appears in the oracle SQL too, keeping hash parity)."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+    from tmp_parquet_merge_spark.queries_llm import _PAIR_CAP
+
+    # q_dedup_cluster's final plan is a LogicalRDD (min-label
+    # propagation checkpoints eagerly), so the cap is only visible in
+    # the plans of the non-iterative queries; its oracle cap is still
+    # asserted below.
+    for name, id_col in [
+        ("q_dedup_ngram", "doc_id"),
+        ("q_dedup_embedding", "vec_id"),
+        ("q_contamination", "doc_id"),
+    ]:
+        plan = (
+            REGISTRY[name]
+            .build(spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        # the literal may print as `< 20000` or `< cast(20000 as bigint)`
+        assert (
+            id_col in plan and str(_PAIR_CAP) in plan
+        ), f"{name} missing _PAIR_CAP filter on {id_col}"
+    for name in [
+        "q_dedup_ngram",
+        "q_dedup_embedding",
+        "q_dedup_cluster",
+        "q_contamination",
+    ]:
+        assert str(_PAIR_CAP) in (REGISTRY[name].oracle or ""), (
+            f"{name} oracle uncapped"
+        )
 
 
 def test_simhash_detects_identical_docs(spark, docs):
@@ -133,6 +191,27 @@ def test_ivf_topk_runs_and_ranks(spark, emb):
     out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=5).collect()
     assert {r.q_vec for r in out} == {0, 1}
     assert all(-1.0 <= r.sim <= 1.0 for r in out)
+
+
+def test_ivf_recall_floor_on_bundled_embeddings(spark, emb):
+    """Regression pin after the round-2 similarity rewrite: IVF with
+    the k-means-fitted centroids must beat the n_probe/n_cells random-
+    probe baseline on the bundled table.  Deterministic (lowest-id
+    init, no RNG), so a recall drop here means the index changed."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.ivf_topk(
+            emb, q, n_cells=16, n_probe=4, k=10
+        ).collect()
+    }
+    # random 4-of-16 probing would land 0.25 in expectation; fitted
+    # cells concentrate true neighbors, so require clearly above that
+    assert len(got & exact) / len(exact) >= 0.35
 
 
 def test_ivf_kmeans_centroids_lift_recall(spark):
@@ -352,3 +431,18 @@ def test_kmeans_clusters_separated_blobs(spark):
     # and no two blobs share one
     assert all(len(s) == 1 for s in by_true.values())
     assert len(set.union(*by_true.values())) == 3
+
+
+def test_kmeans_fit_stats_converge(spark, emb):
+    # the fit-metadata variant must report convergence on the bundled
+    # embeddings within the round budget, and labels must match the
+    # plain fit (same Lloyd loop, final-assignment semantics)
+    stats = similarity.kmeans_fit_with_stats(emb, k=8, max_iter=20)
+    rows = stats.collect()
+    assert rows and all(r.converged for r in rows)
+    assert all(r.n_iter <= 20 and r.final_shift < 1e-6 for r in rows)
+    plain = {
+        (r.vec_id, r.cluster)
+        for r in similarity.kmeans_fit(emb, k=8, max_iter=20).collect()
+    }
+    assert {(r.vec_id, r.cluster) for r in rows} == plain

@@ -77,6 +77,33 @@ def test_merge_files_accepts_glob_inputs(spark, sf_dir, tmp_path):
     assert merged.count() == n_nation + n_region
 
 
+def test_merge_compaction_row_group_budget(spark, sf_dir, tmp_path):
+    """Compaction contract: many small files merge into few files whose
+    row groups respect the byte budget (footer-verified) and whose rows
+    are conserved."""
+    small, merged = str(tmp_path / "small"), str(tmp_path / "merged")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(32).write.parquet(small)
+    n_small = len(glob.glob(small + "/*.parquet"))
+    assert n_small >= 16  # genuinely scattered input
+    parquet_io.merge_files(
+        spark,
+        [small],
+        merged,
+        target_file_size_bytes=32 * 1024 * 1024,
+        block_size_bytes=1 * 1024 * 1024,
+    )
+    stats = parquet_io.metadata_stats(spark, merged).collect()
+    assert sum(r.num_rows for r in stats) == li.count()
+    assert len(stats) < n_small  # compacted
+    # footer-verified row-group sizing: the 1 MiB block budget bounds
+    # every group (2x slack: parquet rotates groups on the post-write
+    # estimate, so a group can overshoot by up to one page run)
+    assert all(
+        r.max_row_group_bytes <= 2 * 1024 * 1024 for r in stats
+    ), [r.max_row_group_bytes for r in stats]
+
+
 def test_zorder_prunes_secondary_dimension(spark, sf_dir, tmp_path):
     """A layout sorted only by l_partkey cannot prune row groups for a
     l_suppkey predicate; the z-ordered layout must.  Candidate groups

@@ -130,6 +130,35 @@ def q_merge_schema_evolution(spark, sf_dir):
     return parquet_io.read_parquet(spark, f1, f2, merge_schema=True)
 
 
+@query("q_merge_compaction")
+def q_merge_compaction(spark, sf_dir):
+    """Small-files compaction at bench scale — the repo-namesake
+    operation as it runs on a lake: lineitem scattered into 64 small
+    files, then ``merge_files`` compacts them into target-size outputs
+    (file count sized from input bytes, 16 MiB row-group budget
+    matching the reference's buffered row-group rotation,
+    reader-writer2.cc:46).  Returns per-output-file footer metadata so
+    the row-group sizing is assertable (tests/test_merge.py pins the
+    budget).  Rows-only (writes temp files); bench reports the
+    scatter+compact write phase separately from the footer read."""
+    base = tempfile.mkdtemp(prefix="tpms_compact_")
+    small = os.path.join(base, "small")
+    merged = os.path.join(base, "merged")
+    t(spark, sf_dir, "lineitem").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(small)
+    parquet_io.merge_files(
+        spark,
+        [small],
+        merged,
+        target_file_size_bytes=32 * 1024 * 1024,
+        block_size_bytes=16 * 1024 * 1024,
+    )
+    return parquet_io.metadata_stats(spark, merged).select(
+        "num_rows", "num_row_groups", "num_columns", "max_row_group_bytes"
+    )
+
+
 @query("q_rowgroup_read")
 def q_rowgroup_read(spark, sf_dir):
     """Single row-group read — reader->RowGroup(0)->ReadTable

@@ -101,6 +101,11 @@ HEADLINE = [
     "q_agg_sketch",
     "q_stateful_profile",
     "q_kmeans",
+    "q_dedup_prefix",
+    "q_entropy",
+    "q_ngram_freq",
+    "q_pack_sequences",
+    "q_orc_roundtrip",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

@@ -265,6 +265,78 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, emb):
         assert len(lsh) / len(exact) >= 0.2
 
 
+def test_prefix_dedup_catches_truncation(spark):
+    # doc 2 is doc 1 truncated mid-way: full-text exact dedup misses
+    # it, prefix dedup groups them
+    long = "alpha beta gamma " * 20
+    df = spark.createDataFrame(
+        [(1, long), (2, long[: len(long) // 2]), (3, "totally different text")],
+        "doc_id: long, text: string",
+    )
+    exact = dedup.exact_dedup(df, "text", "doc_id")
+    assert exact.count() == 3
+    pre = dedup.prefix_dedup(df, "text", "doc_id", n_words=10)
+    groups = {r.keep_id: r.n_dupes for r in pre.collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_token_entropy_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same same same same same"),          # zero entropy
+            (2, "one two three four five"),            # max = ln(5)
+            (3, "a a b b"),                            # ln(2)
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in text.token_entropy(df, "text", "doc_id").collect()}
+    import math
+
+    assert got[1].entropy == 0.0
+    assert abs(got[2].entropy - round(math.log(5), 6)) < 1e-6
+    assert abs(got[3].entropy - round(math.log(2), 6)) < 2e-6
+
+
+def test_ngram_freq_counts_mentions_and_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat ran"),
+            (2, "the cat slept"),
+            (3, "dogs bark"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.g: (r.n_mentions, r.n_docs) for r in text.ngram_freq(
+        df, "text", "doc_id", n=2, k=10, min_docs=2
+    ).collect()}
+    assert out["the cat"] == (3, 2)  # two mentions in doc 1, one in doc 2
+    assert "dogs bark" not in out  # single-doc gram filtered
+
+
+def test_pack_sequences_layout_invariants(spark, docs):
+    from tmp_parquet_merge_spark.operators import curation
+
+    base = docs.select(
+        "doc_id", "source", F.size(dedup.words("text")).alias("n_tokens")
+    )
+    out = curation.pack_sequences(
+        base, "doc_id", "n_tokens", budget=512, part_col="source"
+    ).collect()
+    assert len(out) == docs.count()
+    # offsets live inside the budget, packs are dense per source
+    assert all(0 <= r.pack_offset < 512 for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.doc_id)
+        total_before = 0
+        for r in rows:
+            assert r.pack_id == total_before // 512
+            assert r.pack_offset == total_before % 512
+            total_before += r.n_tokens
+
+
 def test_language_id_on_known_text(spark):
     df = spark.createDataFrame(
         [

@@ -54,6 +54,46 @@ def stratified_sample(
     return df.filter(nib <= cut)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: documents ordered by id are laid
+    end-to-end into fixed-size token windows ("packs"); each document
+    gets the pack holding its first token and its token offset inside
+    that pack.  This is the batch shape of
+    training-sequence packing — deterministic (no RNG), and a pure
+    window computation: pack_id = floor(tokens_before / budget),
+    pack_offset = tokens_before mod budget.
+
+    Scale: a single global ordering would serialize on one partition,
+    so ``part_col`` (e.g. the source/shard column) scopes the packing —
+    each shard packs independently, exactly how a 100 TB corpus is
+    packed per input shard in practice.  One shuffle on ``part_col``,
+    one sorted pass per partition.
+    """
+    from pyspark.sql import Window
+
+    part = F.col(part_col) if part_col else F.lit(0)
+    w = (
+        Window.partitionBy(part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    cols = [F.col(id_col)] + ([F.col(part_col)] if part_col else [])
+    return df.select(
+        *cols,
+        F.col(token_col),
+        F.floor(before / budget).cast("int").alias("pack_id"),
+        (before % budget).cast("int").alias("pack_offset"),
+    )
+
+
 def split_assign(df: DataFrame, id_col: str) -> DataFrame:
     """Assign each row to train/val/test by the first hex nibble of
     ``md5(id)``: nibbles 0–c → train (13/16), d–e → val (2/16),

@@ -114,6 +114,26 @@ def exact_dedup(
     return g
 
 
+def prefix_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, n_words: int = 20
+) -> DataFrame:
+    """Dedup by the first ``n_words`` normalized words — catches
+    truncation duplicates (same article cut at different lengths) and
+    shared boilerplate heads that exact full-text dedup misses.  Same
+    contract as :func:`exact_dedup`: the shuffle carries the 32-byte
+    digest of the prefix, one row per distinct prefix with the minimum
+    id and the duplicate count."""
+    prefix = F.array_join(F.slice(words(text_col), 1, n_words), " ")
+    return (
+        df.select(F.col(id_col), F.sha2(prefix, 256).alias("prefix_sha"))
+        .groupBy("prefix_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -194,6 +194,86 @@ def tfidf_top_terms(
     )
 
 
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram (word-distribution) entropy in nats —
+    H = ln(n) − Σ tf·ln(tf) / n — a repetition/quality signal finer
+    than the distinct-shingle ratio (a doc looping one sentence scores
+    near 0; diverse prose scores near ln(n_distinct)).
+
+    Plan: explode words → (doc, term) hash-agg for tf → per-doc
+    hash-agg; both aggs combine map-side, so the shuffles carry term
+    counts, never text.  Cross-engine determinism: each term's
+    tf·ln(tf) is rounded then summed as DECIMAL(18,6) — an exact,
+    order-independent sum (double summation order varies across
+    engines and partitionings).
+    """
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = F.round(F.col("tf") * F.log(F.col("tf")), 6).cast(
+        "decimal(18,6)"
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(contrib).alias("s"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.log(F.col("n_tokens"))
+            - F.col("s").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def ngram_freq(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+    k: int = 100,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: the ``k`` most frequent
+    word n-grams appearing in ≥ ``min_docs`` documents, with mention
+    and document counts — the vocab-building / boilerplate-mining
+    primitive (the inputs to stopword lists and contamination probes).
+
+    Plan: the shingle pipeline's (doc, s) rows → one hash-agg keyed by
+    the n-gram (map-side combined; the shuffle carries (ngram, partial
+    counts), bounded by vocabulary size, not corpus size) → global
+    top-k via TakeOrderedAndProject.  Ties break lexicographically so
+    both engines rank identically.
+    """
+    from tmp_parquet_merge_spark.operators.dedup import shingle_rows
+
+    # per-(doc, ngram) mention counts ride a distinct-free explode;
+    # shingle_rows dedups per doc, so recount mentions from raw windows
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words(text_col)).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    grams = ex.select(
+        "doc",
+        F.concat_ws(" ", *leads).alias("g"),
+        F.lead("w", n - 1).over(w).alias("__full"),
+    ).filter(F.col("__full").isNotNull())
+    agg = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc").alias("n_docs"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_mentions"), F.asc("g"))
+        .limit(k)
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3, k: int = 4
 ) -> DataFrame:

@@ -132,6 +132,25 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+        WITH {_W}
+        SELECT sha256(array_to_string(ws[1:20], ' ')) AS prefix_sha,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dupes
+        FROM w GROUP BY 1
+    """,
+)
+def q_dedup_prefix(spark, sf_dir):
+    """Prefix dedup (first 20 normalized words): catches truncation
+    duplicates and boilerplate heads that full-text exact dedup
+    misses.  Same 32-byte-digest shuffle contract as q_dedup_exact."""
+    return dedup.prefix_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_words=20
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +
@@ -556,6 +575,102 @@ def q_repetition(spark, sf_dir):
     pipeline's doc-keyed shuffle."""
     return text.repetition_ratio(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+@query(
+    "q_entropy",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(round(tf * ln(tf), 6) AS DECIMAL(18,6))) AS s
+            FROM tf GROUP BY 1
+        )
+        SELECT doc_id, n_tokens,
+               round(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6)
+                   AS entropy
+        FROM s
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Per-document unigram entropy (nats) — the repetition/quality
+    signal finer than distinct-shingle ratios; each term's tf·ln(tf)
+    contribution rides as DECIMAL(18,6) so the sum is order-independent
+    across engines."""
+    return text.token_entropy(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "q_ngram_freq",
+    oracle=f"""
+        WITH {_W},
+        gr AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> array_to_string(ws[i:i+1], ' '))) AS g
+            FROM w
+        ),
+        agg AS (
+            SELECT g, COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM gr GROUP BY 1
+        )
+        SELECT g, n_mentions, n_docs FROM agg
+        WHERE n_docs >= 2
+        ORDER BY n_mentions DESC, g LIMIT 100
+    """,
+)
+def q_ngram_freq(spark, sf_dir):
+    """Corpus-level bigram frequency table (top-100 by mentions, ≥2
+    docs) — the vocab-building / boilerplate-mining primitive.  One
+    hash-agg keyed by the n-gram (shuffle bounded by vocabulary, not
+    corpus) + TakeOrderedAndProject top-k; ties break on the gram so
+    both engines rank identically."""
+    return text.ngram_freq(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=2, k=100, min_docs=2
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+        WITH tk AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')) AS INTEGER) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+            FROM tk
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(before // 2048 AS INTEGER) AS pack_id,
+               CAST(before % 2048 AS INTEGER) AS pack_offset
+        FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: documents laid end-to-end into
+    2048-token windows per source shard — pack_id and in-pack offset
+    from a running token sum (deterministic, no RNG).  Packing is
+    scoped per source so no global sort serializes the corpus; one
+    shuffle on source, one sorted pass per partition."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(dedup.words("text")).alias("n_tokens")
+    )
+    return curation.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=2048, part_col="source"
     )
 
 

@@ -122,6 +122,26 @@ def q_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_orc_roundtrip",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink+source roundtrip — the columnar-format sibling in the
+    source/sink matrix (Spark's native ORC datasource: predicate
+    pushdown + column pruning, same as parquet).  Oracle compares the
+    roundtripped rows against the original table (DuckDB reads the
+    parquet original; the ORC file is the Spark-side leg)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_orc_"), "supplier_orc")
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
     "q_json_roundtrip",
     oracle="""
         SELECT r_regionkey, r_name FROM region

@@ -106,6 +106,7 @@ HEADLINE = [
     "q_ngram_freq",
     "q_pack_sequences",
     "q_orc_roundtrip",
+    "q_media_metadata",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

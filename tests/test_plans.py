@@ -177,3 +177,15 @@ def test_resample_grid_broadcasts(spark, sf_dir):
 def test_corpus_mix_total_broadcasts(spark, sf_dir):
     plan = formatted_plan(build("q_corpus_mix", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_media_metadata_prunes_payload(spark, sf_dir):
+    # the multimodal scan contract: a metadata-only aggregate over the
+    # stored media table must never read the binary payload column —
+    # its ReadSchema carries only the meta struct
+    df = build("q_media_metadata", spark, sf_dir)
+    plan = formatted_plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, "no parquet scan in plan"
+    assert all("payload" not in ln for ln in scan), scan
+    assert any("meta" in ln for ln in scan), scan

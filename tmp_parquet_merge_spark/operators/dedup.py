@@ -200,8 +200,15 @@ def minhash_signatures(
 
 
 def _signatures_from_shingle_rows(sh: DataFrame, num_perm: int) -> DataFrame:
-    agg = sh.groupBy("doc").agg(
-        *[F.min(F.hash("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    # one O(len) string hash per shingle, then num_perm murmur3 mixes
+    # of the 8-byte digest — vs hashing the string once PER LANE
+    # (num_perm × O(len) per shingle, the dominant signature cost on
+    # long shingles).  Cross-lane collisions require an xxhash64
+    # collision (~2^-64 per shingle pair): the standard one-hash
+    # k-derive MinHash construction.
+    h = sh.select("doc", F.xxhash64("s").alias("h"))
+    agg = h.groupBy("doc").agg(
+        *[F.min(F.hash("h", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
     return agg.select(
         "doc", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")

@@ -989,6 +989,43 @@ def q_profile(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "q_media_metadata",
+    oracle="""
+        SELECT source, COUNT(*) AS n_media,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents GROUP BY 1
+    """,
+)
+def q_media_metadata(spark, sf_dir):
+    """The multimodal scan contract, oracle-checked: the media table
+    (binary payload + typed metadata struct) is written to parquet and
+    a metadata-only aggregate reads it back — parquet column pruning
+    keeps payload bytes out of the scan entirely (asserted from
+    ReadSchema in tests/test_plans.py), which is what makes a 100 TB
+    media table queryable at metadata speed.  Oracle recomputes the
+    same stats from the documents source of truth."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_media_"), "media")
+    multimodal.media_table(spark, sf_dir).write.mode("overwrite").parquet(out)
+    m = spark.read.parquet(out)
+    return (
+        m.select(
+            F.col("meta.source").alias("source"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
 @query("q_multimodal_features")
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata struct →

@@ -83,15 +83,16 @@ def decode_image(payload: bytes) -> object:
 
 def _fake_features(payload: bytes, bins: int = 16) -> list[float]:
     """Deterministic stand-in for a decoded-image feature vector: a
-    normalized byte histogram.  Replace with (decode → resize → model)
-    without touching the Spark plumbing."""
+    normalized byte histogram (vectorized — a per-byte Python loop
+    would make the featurizer the pipeline bottleneck).  Replace with
+    (decode → resize → model) without touching the Spark plumbing."""
+    import numpy as np
+
     if not payload:
         return [0.0] * bins
-    hist = [0] * bins
-    for b in payload:
-        hist[b * bins // 256] += 1
-    n = len(payload)
-    return [h / n for h in hist]
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+    hist = np.bincount(a * bins // 256, minlength=bins)
+    return (hist / len(payload)).tolist()
 
 
 def extract_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
@@ -104,15 +105,17 @@ def extract_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
 
     # self-contained closure: executor workers may not have this repo
     # importable (cloudpickle serializes module-level functions as
-    # imports), so the stub featurizer is defined inside
+    # imports), so the stub featurizer is defined inside.  Vectorized:
+    # frombuffer + bincount per payload — a per-byte Python loop makes
+    # the featurizer the bottleneck (~100× at media payload sizes).
     def featurize(payload: bytes, nbins: int) -> list[float]:
+        import numpy as np
+
         if not payload:
             return [0.0] * nbins
-        hist = [0] * nbins
-        for b in payload:
-            hist[b * nbins // 256] += 1
-        n = len(payload)
-        return [h / n for h in hist]
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+        hist = np.bincount(a * nbins // 256, minlength=nbins)
+        return (hist / len(payload)).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

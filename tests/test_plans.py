@@ -189,3 +189,41 @@ def test_media_metadata_prunes_payload(spark, sf_dir):
     assert scan, "no parquet scan in plan"
     assert all("payload" not in ln for ln in scan), scan
     assert any("meta" in ln for ln in scan), scan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # 100 TB pattern: when the dim side of a shuffled join carries a
+    # selective filter, Spark injects a runtime bloom filter on the
+    # fact side so non-joining fact rows die at the scan, not at the
+    # join.  (With broadcast joins the same role is played by DPP /
+    # broadcast pruning — forced off here to exercise the SMJ path.)
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

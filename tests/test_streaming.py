@@ -59,3 +59,78 @@ def test_dedup_stream_equals_batch(spark, stream_events, batch_events):
         dedup_events(doubled).select(*cols), "t_dedup", output_mode="append"
     )
     _assert_stream_equals_batch(out, batch_events.select(*cols))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark when its
+    micro-batch arrives is dropped from the windowed aggregation — the
+    state-bounding contract every 100 TB/day stream depends on.
+
+    Three single-file micro-batches (maxFilesPerTrigger=1; files must
+    sit DIRECTLY in the watched dir — FileStreamSource does not recurse
+    into ``df.write.parquet`` output dirs, hence pyarrow writes).  The
+    operator-visible watermark lags the batch that advances it by one
+    micro-batch (it is committed at batch end and applied from the NEXT
+    batch), so the straggler arrives two batches after the advancing
+    event."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tmp_parquet_merge_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+        tumbling_counts,
+    )
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def mk(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            str(path),
+        )
+
+    ns = 1_000_000_000
+    base = 1_700_000_000  # epoch seconds
+    # batch 0: events at T+0h and T+3h → watermark advances to T+3h − 10m
+    mk(d / "b0.parquet", [(1, base * ns, 1, "a", 1.0, "{}"),
+                          (2, (base + 3 * 3600) * ns, 1, "a", 1.0, "{}")])
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    # batch 1: in-window filler; runs under the advanced watermark and
+    # closes (evicts + emits) event 1's window at its end
+    mk(d / "b1.parquet", [(3, (base + 3 * 3600 + 60) * ns, 1, "a", 1.0, "{}")])
+    time.sleep(1.1)
+    # batch 2: straggler from T+1min — 3h late against a 10-minute
+    # watermark — must be dropped, not resurrect the closed window
+    mk(d / "b2.parquet", [(4, (base + 60) * ns, 1, "a", 99.0, "{}")])
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    # append mode: only watermark-closed windows are emitted, and late
+    # rows are dropped before entering state
+    out = run_to_memory_sink(
+        tumbling_counts(stream, window="1 hour", watermark="10 minutes"),
+        "t_late",
+        output_mode="append",
+    ).collect()
+    # the only closed window is event 1's (T+0h): had the straggler
+    # (event 4) been admitted, its count would be 2 and its sum 100
+    assert len(out) == 1
+    assert out[0].n_events == 1 and out[0].sum_value == 1.0

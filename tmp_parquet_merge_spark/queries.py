@@ -535,18 +535,22 @@ def q_window_rank(spark, sf_dir):
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS running_qty
         FROM lineitem
     """,
 )
 def q_window_running(spark, sf_dir):
-    """Running sum per supplier over a total order (unique tiebreakers
-    make the frame deterministic)."""
+    """Running sum per supplier over a total order.  The synthetic
+    lineitem is NOT (l_orderkey, l_linenumber)-unique (sf0.1 has 118k
+    duplicate keys with differing quantities), so the summed column
+    itself is the final tiebreaker: rows that still tie are identical
+    in every ordering key AND the value, making their prefix sums — and
+    therefore the output multiset — order-independent."""
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return t(spark, sf_dir, "lineitem").select(

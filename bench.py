@@ -107,6 +107,14 @@ HEADLINE = [
     "q_pack_sequences",
     "q_orc_roundtrip",
     "q_media_metadata",
+    # round-3 wave 2: chunking, vocab build, weighted sampling,
+    # winsorize, grouped top-k, the 6-table TPC-H join
+    "q_chunk_docs",
+    "q_vocab",
+    "q_sample_weighted",
+    "q_winsorize",
+    "q_window_topk",
+    "q_sql_tpch_q5",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

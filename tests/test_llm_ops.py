@@ -518,3 +518,53 @@ def test_kmeans_fit_stats_converge(spark, emb):
         for r in similarity.kmeans_fit(emb, k=8, max_iter=20).collect()
     }
     assert {(r.vec_id, r.cluster) for r in rows} == plain
+
+
+def test_chunk_words_covers_every_word(spark, docs):
+    # chunk/stride invariants: chunk 0 starts at word 1; consecutive
+    # chunks overlap by chunk−stride; concatenating chunk 0 with the
+    # non-overlapping tail of every later chunk reconstructs the
+    # normalized document exactly — no word lost, none duplicated
+    chunk, stride = 16, 12
+    out = text.chunk_words(docs.limit(40), "text", "doc_id",
+                           chunk=chunk, stride=stride).collect()
+    norm = {
+        r.doc_id: r.ws
+        for r in docs.limit(40)
+        .select("doc_id", dedup.words("text").alias("ws")).collect()
+    }
+    by_doc = {}
+    for r in out:
+        assert r.n_tokens <= chunk
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    assert set(by_doc) == set(norm)
+    for doc_id, chunks in by_doc.items():
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt = list(chunks[0])
+        for i in range(1, len(chunks)):
+            assert chunks[i][: chunk - stride] == rebuilt[i * stride :]
+            rebuilt.extend(chunks[i][chunk - stride :])
+        assert rebuilt == norm[doc_id]
+
+
+def test_weighted_sample_deterministic_and_biased(spark, docs):
+    from tmp_parquet_merge_spark.operators import curation
+
+    d = docs.select("doc_id", "n_chars")
+    a = curation.weighted_sample(d, "doc_id", "n_chars", k=50).collect()
+    b = curation.weighted_sample(d, "doc_id", "n_chars", k=50).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # pure function
+    assert len(a) == 50
+    # length-weighted draw must skew long: the sampled mean length
+    # exceeds the corpus mean
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in a) / len(a)
+    assert sample_mean > corpus_mean
+
+
+def test_vocab_ids_contiguous_and_ranked(spark, docs):
+    out = text.vocab(docs, "text", "doc_id", k=20).collect()
+    assert [r.vocab_id for r in out] == list(range(1, len(out) + 1))
+    freqs = [r.n_mentions for r in out]
+    assert freqs == sorted(freqs, reverse=True)

@@ -227,3 +227,48 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_topk_uses_group_limit(spark, sf_dir):
+    # grouped top-k must run as WindowGroupLimit (per-partition heaps
+    # keep k rows per bucket before the window exchange), not rank the
+    # whole aggregate table
+    tree = plan_tree(build("q_window_topk", spark, sf_dir))
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # chunking is per-row: the plan must be a single narrow pass with
+    # a pruned scan (doc_id + text only), no Exchange anywhere
+    df = build("q_chunk_docs", spark, sf_dir)
+    tree = plan_tree(df)
+    assert "Exchange" not in tree, tree
+    assert set(read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_weighted_sample_heap_not_global_sort(spark, sf_dir):
+    tree = plan_tree(build("q_sample_weighted", spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_vocab_topk_before_id_window(spark, sf_dir):
+    # the id-assigning window must run over the top-k survivors, i.e.
+    # downstream of TakeOrderedAndProject — never over the full vocab
+    df = build("q_vocab", spark, sf_dir)
+    tree = plan_tree(df)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert executes_before(df, "TakeOrderedAndProject", "Window")
+
+
+def test_tpch_q5_dims_broadcast(spark, sf_dir):
+    # the region→nation→supplier dim chain must broadcast; only the
+    # customer⋈orders⋈lineitem spine may shuffle
+    tree = plan_tree(build("q_sql_tpch_q5", spark, sf_dir))
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+
+
+def test_winsorize_broadcasts_quantile_row(spark, sf_dir):
+    # the 1-row quantile aggregate joins the corpus as a broadcast
+    # build side — the corpus itself is scanned exactly once
+    tree = plan_tree(build("q_winsorize", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in tree, tree

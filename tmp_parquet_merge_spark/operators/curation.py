@@ -94,6 +94,34 @@ def pack_sequences(
     )
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, *, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    exponential-sort / A-ES scheme): each row gets the key
+    ln(u) / w with u = md5-derived uniform in (0, 1], and the ``k``
+    largest keys win — equivalent to sequential weighted draws, but a
+    pure row function plus a top-k, so it is reproducible, stable
+    under corpus growth, and engine-checkable (md5 + IEEE double
+    arithmetic spell identically in DuckDB).
+
+    Plan: scan-speed key computation (no UDF) →
+    TakeOrderedAndProject top-k (per-partition heaps, single narrow
+    collect of k rows) — no full sort, no wide shuffle at any scale.
+    """
+    # first 8 md5 hex chars → integer in [0, 2^32) → u in (0, 1]
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + 1) / F.lit(float(1 << 32))
+    key = F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return (
+        df.withColumn("sample_key", F.round(key, 9))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def split_assign(df: DataFrame, id_col: str) -> DataFrame:
     """Assign each row to train/val/test by the first hex nibble of
     ``md5(id)``: nibbles 0–c → train (13/16), d–e → val (2/16),

@@ -274,6 +274,72 @@ def ngram_freq(
     )
 
 
+def chunk_words(
+    df: DataFrame, text_col: str, id_col: str, *, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk``-word windows advancing by ``stride`` words (overlap =
+    chunk − stride) — the context-window preprocessing step for
+    training/retrieval corpora.  Every word is covered; the final
+    window is short rather than padded.
+
+    Plan: one narrow pass — words → explode(sequence(0, n_chunks−1))
+    → slice per chunk id.  No shuffle at all (chunking is per-row);
+    output row count is Σ ceil((n_i − overlap)/stride), so at 100 TB
+    the operator streams through executors with the same partitioning
+    as the scan.
+    """
+    if not 0 < stride <= chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    overlap = chunk - stride
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("ws") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    ws = df.select(F.col(id_col), words(text_col).alias("ws"))
+    ex = ws.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    cw = ex.withColumn(
+        "cw", F.slice("ws", F.col("chunk_id") * stride + 1, chunk)
+    )
+    return cw.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join("cw", " ").alias("chunk_text"),
+        F.size("cw").alias("n_tokens"),
+    )
+
+
+def vocab(df: DataFrame, text_col: str, id_col: str, *, k: int = 1000) -> DataFrame:
+    """Vocabulary build: the ``k`` most frequent words with contiguous
+    ids (1-based, frequency-then-lexicographic order) — the tokenizer-
+    training primitive downstream of corpus curation.
+
+    Plan: explode words → one hash-agg keyed by term (map-side
+    combined; the shuffle carries (term, partials), bounded by
+    vocabulary size) → TakeOrderedAndProject top-k → id assignment via
+    row_number over the k survivors only (a single-partition window on
+    k rows, not on the corpus — deliberate and bounded).
+    """
+    from tmp_parquet_merge_spark.operators.dedup import words
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("term"))
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc").alias("n_docs"),
+    )
+    order = [F.desc("n_mentions"), F.asc("term")]
+    top = agg.orderBy(*order).limit(k)
+    return top.select(
+        "term",
+        "n_mentions",
+        "n_docs",
+        F.row_number().over(Window.orderBy(*order)).alias("vocab_id"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str, id_col: str, *, shingle_n: int = 3, k: int = 4
 ) -> DataFrame:

@@ -869,6 +869,7 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_kmeans",             # fit-stats columns + final reassignment
         "q_ann_ivf",            # _lloyd final-assignment fix (transitive)
         "q_merge_files",        # remote-scheme sizing fallback
+        "q_window_running",     # l_quantity tiebreaker (non-unique keys)
     }
 )
 

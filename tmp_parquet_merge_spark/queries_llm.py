@@ -675,6 +675,90 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "q_chunk_docs",
+    oracle=f"""
+        WITH {_W},
+        c AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, greatest(
+                       CAST(ceil((len(ws) - 16) / 48.0) AS BIGINT), 1
+                   ))) AS chunk_id
+            FROM w
+        ),
+        s AS (
+            SELECT doc_id, chunk_id,
+                   ws[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS cw
+            FROM c
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               array_to_string(cw, ' ') AS chunk_text,
+               CAST(len(cw) AS INT) AS n_tokens
+        FROM s
+    """,
+)
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking: 64-word context windows advancing by 48
+    words (16-word overlap) — the chunk-for-training/retrieval step.
+    Pure per-row explode, zero shuffles; see operators/text.py:
+    chunk_words for the 100 TB plan notes."""
+    return text.chunk_words(
+        t(spark, sf_dir, "documents"), "text", "doc_id", chunk=64, stride=48
+    )
+
+
+@query(
+    "q_vocab",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        agg AS (
+            SELECT term, COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM tok GROUP BY 1
+        ),
+        top AS (SELECT * FROM agg ORDER BY n_mentions DESC, term LIMIT 1000)
+        SELECT term, n_mentions, n_docs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_mentions DESC, term) AS INT)
+                   AS vocab_id
+        FROM top
+    """,
+)
+def q_vocab(spark, sf_dir):
+    """Vocabulary build: top-1000 words with contiguous frequency-rank
+    ids — the tokenizer-training primitive.  Hash-agg bounded by vocab
+    size + top-k; the id-assigning window runs over the k survivors
+    only (see operators/text.py:vocab)."""
+    return text.vocab(t(spark, sf_dir, "documents"), "text", "doc_id", k=1000)
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, source, n_chars,
+                   round(
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            + 1) / 4294967296.0)
+                       / greatest(CAST(n_chars AS DOUBLE), 1.0),
+                   9) AS sample_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, sample_key
+        FROM s ORDER BY sample_key DESC, doc_id LIMIT 200
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (exponential
+    -sort keys, weight = document length): longer documents are
+    proportionally likelier to be drawn, yet the draw is a pure
+    function of doc_id — reproducible across runs, engines, and corpus
+    growth.  TakeOrderedAndProject top-k, no full sort (see
+    operators/curation.py:weighted_sample)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return curation.weighted_sample(docs, "doc_id", "n_chars", k=200)
+
+
+@query(
     "q_doc_fingerprint",
     oracle=f"""
         WITH {_W}, {_SH}

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tmp_parquet_merge_spark.functions.deterministic import dsum
@@ -858,6 +859,119 @@ def q_sql_tpch_q6(spark, sf_dir):
     )
     return li.agg(
         dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+_TPCH_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_sql_tpch_q5", oracle=_TPCH_Q5)
+def q_sql_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume) verbatim through spark.sql —
+    the 6-table join exercise: Catalyst reorders the join tree, the
+    dims (region→nation→supplier) broadcast, and only the
+    customer⋈orders⋈lineitem spine shuffles; the c_nationkey =
+    s_nationkey condition closes the join cycle.  One statement, same
+    text on both engines."""
+    _views(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    return spark.sql(_TPCH_Q5)
+
+
+@query(
+    "q_window_topk",
+    oracle="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY w_start
+                       ORDER BY n_events DESC, event_type) AS rnk
+            FROM b
+        )
+        SELECT w_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+)
+def q_window_topk(spark, sf_dir):
+    """Trending items: top-3 event types per hourly bucket — grouped
+    top-k over a time dimension (the feed/leaderboard shape).  One
+    hash-agg on (bucket, type), then a rank filter Spark executes as
+    WindowGroupLimit: per-partition heaps keep 3 rows per bucket
+    BEFORE the window shuffle, so the exchange carries k·buckets rows,
+    not the aggregate table (asserted in tests/test_plans.py)."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("w").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        b.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "rnk"
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(n_chars, 0.01) AS lo,
+                   quantile_cont(n_chars, 0.99) AS hi
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
+                   AS n_chars_winsor,
+               (n_chars < lo OR n_chars > hi) AS is_outlier
+        FROM documents, q
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Outlier control for a length-like feature: clamp every value
+    into the exact [P1, P99] corpus band and flag the clipped rows —
+    the document-length filter stage of corpus curation.  The two
+    quantiles are ONE scalar-aggregate row broadcast into a scan-speed
+    projection (BroadcastNestedLoopJoin of a 1-row build side), so the
+    plan is a single pass over the corpus; at 100 TB the
+    approx_percentile sketch replaces the exact quantile 1:1."""
+    d = t(spark, sf_dir, "documents")
+    q = d.agg(
+        F.percentile("n_chars", 0.01).alias("lo"),
+        F.percentile("n_chars", 0.99).alias("hi"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return d.select("doc_id", "n_chars").crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.least(F.greatest(nc, F.col("lo")), F.col("hi")), 6).alias(
+            "n_chars_winsor"
+        ),
+        ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
     )
 
 

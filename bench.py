@@ -115,6 +115,9 @@ HEADLINE = [
     "q_winsorize",
     "q_window_topk",
     "q_sql_tpch_q5",
+    "q_sql_exists",
+    "q_scalar_map",
+    "q_attribution",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

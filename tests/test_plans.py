@@ -272,3 +272,24 @@ def test_winsorize_broadcasts_quantile_row(spark, sf_dir):
     # build side — the corpus itself is scanned exactly once
     tree = plan_tree(build("q_winsorize", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_sql_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    # correlated EXISTS / NOT EXISTS must decorrelate into semi/anti
+    # joins — never a per-row subquery
+    tree = plan_tree(build("q_sql_exists", spark, sf_dir))
+    assert "LeftSemi" in tree, tree
+    assert "LeftAnti" in tree, tree
+
+
+def test_attribution_join_single_user_shuffle(spark, sf_dir):
+    # the batch attribution twin joins on user_id equality with a ts
+    # range residual: the equality key must drive the join (hash or
+    # sort-merge on user_id), not a nested-loop cross product
+    tree = plan_tree(build("q_attribution", spark, sf_dir))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert any(
+        j in tree
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), tree

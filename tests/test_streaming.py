@@ -61,6 +61,25 @@ def test_dedup_stream_equals_batch(spark, stream_events, batch_events):
     _assert_stream_equals_batch(out, batch_events.select(*cols))
 
 
+def test_attribution_stream_equals_batch(spark, stream_events, batch_events):
+    from pyspark.sql import functions as F
+
+    from tmp_parquet_merge_spark.streaming.windows import attribution_join
+
+    def split(e):
+        return (
+            e.filter(F.col("event_type") == "view"),
+            e.filter(F.col("event_type") == "purchase"),
+        )
+
+    # stream-stream interval self-join (view→purchase attribution):
+    # the streaming result must equal the batch twin exactly
+    out = run_to_memory_sink(
+        attribution_join(*split(stream_events)), "t_attr", output_mode="append"
+    )
+    _assert_stream_equals_batch(out, attribution_join(*split(batch_events)))
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data semantics: an event older than the watermark when its
     micro-batch arrives is dropped from the windowed aggregation — the

@@ -730,6 +730,33 @@ def q_scalar_array(spark, sf_dir):
 
 
 @query(
+    "q_scalar_map",
+    oracle="""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_str,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
+)
+def q_scalar_map(spark, sf_dir):
+    """Map-typed column operations: parse the props JSON into
+    map<string,int>, then map_keys / size / element_at — the
+    key-value-column surface (Parquet MAP logical type semantics,
+    SURVEY §1.3).  Keys are sorted and serialized so the row is
+    hashable by row-oriented canonicalizers (map cells, like arrays,
+    are not)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_str"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
     "q_scalar_json",
     oracle="""
         SELECT event_id,

@@ -300,6 +300,32 @@ def q_sql_scalar_subquery(spark, sf_dir):
     )
 
 
+_SQL_EXISTS = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          AND o.o_totalprice > 490000
+    )
+"""
+
+
+@query("q_sql_exists", oracle=_SQL_EXISTS)
+def q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    them into a left-semi and a left-anti join on o_custkey (no per-row
+    subquery execution, the only shape that scales); the o_totalprice
+    predicates push into the subquery scans.  Same text on both
+    engines."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL_EXISTS)
+
+
 @query(
     "q_sql_tpch_q3",
     oracle="""

@@ -9,9 +9,12 @@ stream(availableNow) ≡ batch on identical input.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tmp_parquet_merge_spark.registry import query, t
 from tmp_parquet_merge_spark.streaming.stateful import user_profiles_batch
 from tmp_parquet_merge_spark.streaming.windows import (
+    attribution_join,
     dedup_events,
     sessionized,
     sliding_counts,
@@ -87,6 +90,36 @@ def q_window_session(spark, sf_dir):
     (new session when the gap from the previous event is ≥ 30 min;
     session end = last event + gap, matching Spark's semantics)."""
     return sessionized(t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "q_attribution",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(ts AS TIMESTAMP) AS ts
+                   FROM events)
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        FROM e v JOIN e p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """View→purchase attribution: every purchase joined to the same
+    user's views from the preceding hour — the batch twin of the
+    stream-stream interval join (streaming/windows.py:
+    attribution_join; tests assert stream(availableNow) ≡ batch).
+    Batch plan: one shuffle on user_id, per-user interval match; the
+    streaming plan buffers watermark-bounded per-user state."""
+    e = t(spark, sf_dir, "events")
+    return attribution_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
 
 
 @query(

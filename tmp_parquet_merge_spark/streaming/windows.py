@@ -140,6 +140,49 @@ def dedup_events(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join (view→purchase
+    attribution): each purchase matches the same user's views from the
+    preceding ``horizon``.  On streams both sides carry watermarks and
+    the ts-range join condition, which together BOUND the join state:
+    a buffered view is dropped once the purchase-side watermark passes
+    its ts + horizon, so state is rate × (horizon + delay), not stream
+    lifetime — the only safe shape for a stream-stream join at
+    100 TB/day.  On batch DataFrames the same body is a plain interval
+    self-join (the DuckDB-oracle twin, q_attribution).
+
+    The lag rides as exact integer microseconds (unix_micros ≙ DuckDB
+    epoch_us) — no seconds truncation, so both engines agree on
+    sub-second timestamps."""
+    if views.isStreaming:
+        views = views.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    v, p = views.alias("v"), purchases.alias("p")
+    cond = (
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "inner").select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        # cast: the batch events table carries TIMESTAMP_NTZ (unix_micros
+        # requires TIMESTAMP; the session tz is pinned UTC so the cast is
+        # value-preserving); on the stream ts is already TIMESTAMP
+        (
+            F.unix_micros(F.col("p.ts").cast("timestamp"))
+            - F.unix_micros(F.col("v.ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, *, output_mode: str = "complete"
 ) -> DataFrame:

@@ -280,6 +280,30 @@ def test_prefix_dedup_catches_truncation(spark):
     assert groups[1] == 2 and groups[3] == 1
 
 
+def test_editdist_pairs_catches_small_edits(spark):
+    # doc 2 is doc 1 with a one-word typo fix (tiny edit distance, but
+    # every 3-gram through the edited word changes); doc 3 shares the
+    # 2-word blocking prefix yet is far in edit distance; doc 4 has a
+    # different prefix and never becomes a candidate
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("jumps", "jumped")),
+            (3, "the quick red wolf sleeps under a noisy barn at midnight"),
+            (4, "a completely different opening sentence entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.editdist_pairs(
+        df, "text", "doc_id", prefix_words=2, max_rel_dist_pct=20
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    (p,) = pairs
+    assert p.lev == 2  # jumps -> jumped is a 2-char edit
+    assert 0.9 < p.sim < 1.0
+
+
 def test_token_entropy_bounds(spark):
     df = spark.createDataFrame(
         [

@@ -134,6 +134,49 @@ def prefix_dedup(
     )
 
 
+def editdist_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    prefix_words: int = 2,
+    max_rel_dist_pct: int = 20,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs with prefix blocking:
+    candidates are documents sharing their first ``prefix_words``
+    normalized words (an equi-join on the blocking key, never an
+    all-pairs product); a pair survives when the edit distance is at
+    most ``max_rel_dist_pct`` percent of the longer text.  The
+    threshold compares as pure integers (100·lev ≤ pct·maxlen) so both
+    engines agree at the boundary — no float-literal comparisons.
+
+    This is the character-level verify stage complementing the
+    shingle-Jaccard one (ngram_jaccard_pairs): it catches small-edit
+    duplicates (typo fixes, template fills) whose shingle sets already
+    diverge.  The blocking join shuffles normalized bodies, so the
+    registered query caps its input like the other exact verify twins;
+    at 100 TB the candidate source is MinHash-LSH and this verify runs
+    on id-joined candidate pairs only."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("norm"),
+        F.array_join(F.slice(words(text_col), 1, prefix_words), " ").alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
+    mx = F.greatest(F.length("a.norm"), F.length("b.norm"))
+    return (
+        a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.id") < F.col("b.id")))
+        .filter(lev * 100 <= mx * max_rel_dist_pct)
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            lev.alias("lev"),
+            F.round(F.lit(1.0) - lev.cast("double") / mx, 6).alias("sim"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

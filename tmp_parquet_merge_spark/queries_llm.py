@@ -151,6 +151,38 @@ def q_dedup_prefix(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_editdist",
+    oracle=f"""
+        WITH {_W_CAP},
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.norm, b.norm) AS lev,
+                   greatest(length(a.norm), length(b.norm)) AS mx
+            FROM w a
+            JOIN w b
+              ON array_to_string(a.ws[1:2], ' ') = array_to_string(b.ws[1:2], ' ')
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, lev,
+               round(1 - CAST(lev AS DOUBLE) / mx, 6) AS sim
+        FROM p
+        WHERE lev * 100 <= mx * 20
+    """,
+)
+def q_dedup_editdist(spark, sf_dir):
+    """Character-level (Levenshtein) near-dup pairs with 2-word prefix
+    blocking: the small-edit complement to shingle Jaccard — catches
+    typo-fix / template-fill duplicates whose shingle sets diverge.
+    Pair generation is capped at _PAIR_CAP docs (verify-twin contract
+    above); at 100 TB the pair source is MinHash-LSH candidates and
+    this verify runs on id-joined pairs only."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
+    return dedup.editdist_pairs(
+        docs, "text", "doc_id", prefix_words=2, max_rel_dist_pct=20
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +

@@ -802,6 +802,37 @@ def q_salted_join(spark, sf_dir):
 
 
 @query(
+    "q_salted_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-salted two-phase aggregation: events carry only 5 distinct
+    event types, so a direct groupBy funnels the table through 5
+    reducers.  Phase 1 aggregates on (event_type, salt) — 16 partials
+    per type spread across reducers — phase 2 merges the 16 partial
+    rows per type.  Counts sum losslessly and the value sum rides as
+    DECIMAL(18,6) partials, so the result is bit-identical to the
+    plain single-phase agg (the oracle).  This is the aggregation
+    escape hatch when a key is larger than an executor (AQE splits
+    skewed JOIN partitions, not agg groups)."""
+    e = t(spark, sf_dir, "events")
+    salt = F.pmod(F.hash("event_id"), F.lit(16)).alias("salt")
+    partial = e.groupBy("event_type", salt).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "q_window_ntile",
     oracle="""
         SELECT o_custkey, o_orderkey,

@@ -118,6 +118,20 @@ HEADLINE = [
     "q_sql_exists",
     "q_scalar_map",
     "q_attribution",
+    # round-3 wave 3: BM25 retrieval, corpus interleave, embedding
+    # norms, returned-item + large-volume TPC-H, z-score anomaly flag,
+    # SCD2 interval build, binaryFile ingestion
+    "q_bm25",
+    "q_interleave_sources",
+    "q_vector_norm",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q18",
+    "q_anomaly_zscore",
+    "q_scd2_build",
+    "q_binary_ingest",
+    "q_retention_cohort",
+    "q_copurchase",
+    "q_hll_rollup",
     # physical-layout family: these WRITE a layout inside build() (an
     # eager partitioned/sorted/bucketed write), then the measured plan
     # reads it back — reported as two entries, <name>__write / <name>

@@ -1,0 +1,256 @@
+"""Semantic + plan-shape tests for the round-3 wave-3 operators:
+BM25 retrieval, corpus interleave, embedding norms, TPC-H Q10/Q18,
+z-score anomaly flagging, SCD2 interval build, binaryFile ingestion.
+
+Oracle parity is covered by test_oracle_parity's registry sweep; these
+pin the semantics parity can't see (interval disjointness, unit-norm
+identity, plan shapes that decide 100 TB survival).
+"""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    plan_tree,
+)
+from tmp_parquet_merge_spark.queries import REGISTRY
+
+
+def build(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_docs(spark, sf_dir):
+    rows = build("q_bm25", spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # ranks are 1..n in score order, ties broken by doc_id
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # every hit actually contains a query term
+    from tmp_parquet_merge_spark.registry import t
+
+    hit_ids = [r.doc_id for r in rows]
+    docs = {
+        r.doc_id: r.text
+        for r in t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(hit_ids))
+        .collect()
+    }
+    for did in hit_ids:
+        words = docs[did].lower().split()
+        assert {"merge", "scan", "window"} & set(words)
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark, sf_dir):
+    plan = formatted_plan(build("q_bm25", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Interleave
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_positions_round_robin(spark, sf_dir):
+    rows = build("q_interleave_sources", spark, sf_dir).collect()
+    n_src = len({r.source for r in rows})
+    # positions are unique, and the first cycle holds one doc per source
+    pos = sorted(r.pos for r in rows)
+    assert len(set(pos)) == len(rows)
+    first_cycle = [r for r in rows if r.pos <= n_src]
+    assert len(first_cycle) == n_src
+    assert len({r.source for r in first_cycle}) == n_src
+    # within a source, positions are strictly increasing with rn
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.rn, r.pos))
+    for pairs in by_src.values():
+        pairs.sort()
+        assert all(a[1] < b[1] for a, b in zip(pairs, pairs[1:]))
+
+
+def test_interleave_has_no_global_data_window(spark, sf_dir):
+    # the only unpartitioned window runs over the distinct-source dim;
+    # the document-bearing path must never single-partition sort.
+    # Window over documents is partitioned by source => the plan's
+    # window specs all carry a partition key OR read the tiny dim.
+    tree = plan_tree(build("q_interleave_sources", spark, sf_dir))
+    assert "CartesianProduct" not in tree
+    df = build("q_interleave_sources", spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+# ---------------------------------------------------------------------------
+# Vector norms
+# ---------------------------------------------------------------------------
+
+
+def test_vector_norm_unit_identity(spark, sf_dir):
+    rows = build("q_vector_norm", spark, sf_dir).collect()
+    assert all(r.dim == 64 for r in rows)
+    assert all(r.l2 >= 0 for r in rows)
+    # u0 * l2 reconstructs the raw first component (within rounding)
+    from tmp_parquet_merge_spark.registry import t
+
+    raw = {
+        r.vec_id: r.first
+        for r in t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.element_at("embedding", 1).alias("first"))
+        .collect()
+    }
+    for r in rows:
+        if r.l2 > 0:
+            assert math.isclose(r.u0 * r.l2, raw[r.vec_id], abs_tol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 / Q18
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q10_broadcasts_nation(spark, sf_dir):
+    df = build("q_sql_tpch_q10", spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q18_threshold_semantics(spark, sf_dir):
+    rows = build("q_sql_tpch_q18", spark, sf_dir).collect()
+    assert rows, "threshold must select orders at every bundled sf"
+    assert all(r.total_qty > 300 for r in rows)
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly z-score
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_is_standardized_per_type(spark, sf_dir):
+    df = build("q_anomaly_zscore", spark, sf_dir)
+    stats = (
+        df.groupBy("event_type")
+        .agg(
+            F.avg("z").alias("mz"),
+            F.stddev_samp("z").alias("sz"),
+            F.sum("is_outlier").alias("n_out"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.mz) < 1e-3  # standardized mean ~ 0
+        assert abs(r.sz - 1.0) < 1e-2  # unit variance (z rounded to 4dp)
+        assert r.n_out < 0.05 * r.n  # outliers are rare by construction
+
+
+def test_zscore_stats_join_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(build("q_anomaly_zscore", spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_partition_user_history(spark, sf_dir):
+    rows = build("q_scd2_build", spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for hist in by_user.values():
+        hist.sort(key=lambda r: (r.valid_from, r.event_id))
+        # exactly one open-ended current row per user
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current == 1 and hist[-1].valid_to is None
+        # intervals chain: each close equals the next open
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from
+
+
+# ---------------------------------------------------------------------------
+# binaryFile ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_binary_ingest_digests_match_source(spark, sf_dir):
+    rows = build("q_binary_ingest", spark, sf_dir).collect()
+    assert len(rows) == 64
+    from tmp_parquet_merge_spark.registry import t
+
+    docs = dict(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    by_name = {r.fname: r for r in rows}
+    for did, txt in docs.items():
+        r = by_name[f"doc_{did}.txt"]
+        raw = txt.encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.digest == hashlib.sha256(raw).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Retention / co-purchase / HLL rollup
+# ---------------------------------------------------------------------------
+
+
+def test_retention_week_zero_is_cohort_size(spark, sf_dir):
+    rows = build("q_retention_cohort", spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for offsets in by_cohort.values():
+        assert 0 in offsets  # every cohort is active in its own week
+        # retention never exceeds the cohort's size
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_copurchase_pairs_are_canonical(spark, sf_dir):
+    rows = build("q_copurchase", spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.part_a < r.part_b for r in rows)
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_copurchase_topk_is_heap_not_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in formatted_plan(
+        build("q_copurchase", spark, sf_dir)
+    )
+
+
+def test_hll_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
+    from tmp_parquet_merge_spark.registry import t
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in build("q_hll_rollup", spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

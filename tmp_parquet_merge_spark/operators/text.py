@@ -362,3 +362,72 @@ def fingerprint(
             "fingerprint"
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: tuple[str, ...],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 keyword search: top-k documents for a fixed term set.
+
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene/Robertson
+    "plus one" form, always positive).
+
+    Plan shape: one word explode feeds BOTH document lengths (per-doc
+    hash-agg) and term frequencies (filtered to the query terms before
+    the agg, so the tf shuffle carries only matching tokens); document
+    frequency and the corpus stats (N, Σdl) are tiny aggregates that
+    broadcast back.  Final ranking is orderBy+limit —
+    TakeOrderedAndProject, no global sort at 100 TB.  Per-term score
+    contributions are rounded then summed as DECIMAL(18,6) so the
+    cross-engine sum is order-independent; double arithmetic inside a
+    contribution follows the exact same operation order as the DuckDB
+    oracle text (IEEE doubles: same ops on same values ⇒ same bits).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    contrib = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), contrib.alias("w_term"))
+        .groupBy(id_col)
+        .agg(F.sum("w_term").alias("score_d"))
+    )
+    topk = (
+        per_doc.select(F.col(id_col), F.col("score_d").cast("double").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    # rank assignment runs on ≤ k rows (post-limit), so the global
+    # window is a no-op at scale
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
+    )

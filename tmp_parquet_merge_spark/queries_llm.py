@@ -1156,3 +1156,150 @@ def q_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: posexplode sampled byte offsets of each
     payload, slice bytes per frame — pure JVM, no Python.  Rows-only."""
     return multimodal.frame_sample(multimodal.media_table(spark, sf_dir))
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN ('merge', 'scan', 'window') GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        s AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                              (CAST(total_dl AS DOUBLE) / n_docs))),
+                       6) AS DECIMAL(18,6)) AS w_term
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus
+        ),
+        agg AS (
+            SELECT doc_id, CAST(SUM(w_term) AS DOUBLE) AS score
+            FROM s GROUP BY 1
+        ),
+        top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank
+        FROM top
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene "+1" idf): top-20 documents for a
+    fixed 3-term query over the corpus — the ranking complement of
+    q_tfidf's per-doc term weighting.  See operators/text.py:bm25_topk
+    for the plan shape (filtered tf shuffle, broadcast corpus stats,
+    TakeOrderedAndProject top-k); constants appear as identical
+    unfolded expressions on both engines so the doubles match
+    bit-for-bit."""
+    return text.bm25_topk(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ("merge", "scan", "window"),
+        k1=1.2,
+        b=0.75,
+        k=20,
+    )
+
+
+@query(
+    "q_interleave_sources",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        i AS (
+            SELECT source,
+                   ROW_NUMBER() OVER (ORDER BY source) AS src_idx
+            FROM (SELECT DISTINCT source FROM documents)
+        ),
+        n AS (SELECT COUNT(*) AS n_src FROM i)
+        SELECT doc_id, source, CAST(rn AS INT) AS rn,
+               CAST((rn - 1) * n_src + src_idx AS BIGINT) AS pos
+        FROM r JOIN i USING (source) CROSS JOIN n
+    """,
+)
+def q_interleave_sources(spark, sf_dir):
+    """Deterministic round-robin interleave across corpus sources — the
+    epoch-schedule builder for a training mix (doc j of source s lands
+    at global position (j−1)·n_src + idx(s)).
+
+    Scale shape: the naive plan is a GLOBAL row_number over (rn,
+    source) — a single-partition sort at 100 TB.  The closed form here
+    needs only the per-source window (parallel over sources) plus two
+    broadcast-sized side inputs (source→idx map, source count): every
+    position is computed locally, no global shuffle, and the output can
+    be range-partitioned on pos for the downstream shard writer."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = docs.select("source").distinct()
+    # single-partition window over the DISTINCT sources only (a
+    # broadcast-sized dim, ~dozens of rows at any sf)
+    idx = srcs.select(
+        "source", F.row_number().over(Window.orderBy("source")).alias("src_idx")
+    )
+    nsrc = srcs.agg(F.count(F.lit(1)).alias("n_src"))
+    rn_w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(rn_w).alias("rn"))
+        .join(F.broadcast(idx), "source")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "doc_id",
+            "source",
+            "rn",
+            ((F.col("rn") - 1).cast("bigint") * F.col("n_src") + F.col("src_idx"))
+            .alias("pos"),
+        )
+    )
+
+
+@query(
+    "q_vector_norm",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6)
+                   AS l2,
+               round(CAST(embedding[1] AS DOUBLE) /
+                     CASE WHEN sqrt({_DOT.format(a='embedding', b='embedding')}) = 0.0
+                          THEN 1.0
+                          ELSE sqrt({_DOT.format(a='embedding', b='embedding')})
+                     END, 6) AS u0
+        FROM embeddings
+    """,
+)
+def q_vector_norm(spark, sf_dir):
+    """Embedding hygiene: per-vector L2 norm, dimension check, and the
+    first unit-normalized component (zero vectors normalize against 1
+    instead of emitting NaN — the same guard brute_force_topk applies).
+    Norms use the deterministic index-order fold (operators/
+    similarity.py:dot) so both engines sum in the same order.  One
+    narrow projection, no shuffle: at 100 TB this is a pure map stage
+    ahead of any ANN index build."""
+    nrm = similarity.l2_norm(F.col("embedding"))
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(nrm, 6).alias("l2"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
+            6,
+        ).alias("u0"),
+    )

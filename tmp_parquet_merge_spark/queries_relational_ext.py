@@ -1125,3 +1125,272 @@ def q_window_range_frame(spark, sf_dir):
         .cast("double")
         .alias("sum_value_1h"),
     )
+
+
+# TPC-H Q10 (returned-item reporting): which customers returned goods
+# in a quarter, ranked by lost revenue.  Shared verbatim between Spark
+# and the DuckDB oracle.
+_TPCH_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q10", oracle=_TPCH_Q10)
+def q_sql_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) verbatim through spark.sql:
+    date-filtered orders ⋈ returned lineitems ⋈ customer, nation
+    broadcast, top-20 by lost revenue via TakeOrderedAndProject.  The
+    o_orderdate range lands on the scan as pushed min/max filters; the
+    revenue aggregate rides DECIMAL(18,6) for cross-engine equality."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_TPCH_Q10)
+
+
+# TPC-H Q18 (large-volume customers): orders whose total quantity
+# exceeds 300, with their customers, biggest orders first.
+_TPCH_Q18 = """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q18", oracle=_TPCH_Q18)
+def q_sql_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) verbatim through spark.sql —
+    the aggregated-IN-subquery exercise: Catalyst decorrelates the
+    HAVING subquery into a semi join against the grouped lineitem (the
+    group-by reuses lineitem's join shuffle under AQE), then the outer
+    3-table join aggregates per order.  Threshold 300 follows the spec
+    and selects rows at every bundled sf (5 / 46 / 473 orders)."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_TPCH_Q18)
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+        WITH st AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS s,
+                   CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS q,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               round((value - s / n) / sqrt((q - s * s / n) / (n - 1)), 4)
+                   AS z,
+               CAST(abs((value - s / n) / sqrt((q - s * s / n) / (n - 1))) > 3.0
+                    AS INT) AS is_outlier
+        FROM events e JOIN st ON e.event_type = st.event_type
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-group z-score anomaly flagging: each event scored against
+    its event_type's mean/stddev — the streaming-feed quality monitor
+    (complements q_winsorize's percentile clamp with a moment-based
+    outlier flag).
+
+    Determinism: the moment sums (Σv, Σv²) ride DECIMAL(18,6) so both
+    engines aggregate exactly; mean/variance/z are then derived with
+    the identical double expression text on both sides — IEEE ops on
+    identical inputs give identical bits, and z rounds to 4 places.
+    Plan: one hash-agg over events (map-side combined) → broadcast
+    join of the per-type moments back onto the stream — at 100 TB the
+    stats table is |event_type| rows, so the scoring pass is
+    shuffle-free."""
+    ev = t(spark, sf_dir, "events")
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    st = ev.groupBy("event_type").agg(
+        F.sum(dec(F.col("value"))).cast("double").alias("s"),
+        F.sum(dec(F.col("value") * F.col("value"))).cast("double").alias("q"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return ev.join(F.broadcast(st), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 3.0).cast("int").alias("is_outlier"),
+    )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+               CAST(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    AS INT) AS is_current
+        FROM events
+    """,
+)
+def q_scd2_build(spark, sf_dir):
+    """SCD type-2 dimension build from an event stream: each user's
+    events become validity intervals [valid_from, valid_to) with an
+    is_current flag on the open-ended row — the change-history shape
+    MERGE-based warehouses materialize.  One shuffle on user_id, one
+    sorted pass per partition (lead); ties on ts break on event_id so
+    interval boundaries are deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+            FROM events
+        ),
+        first AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY 1)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, wk) / 7 AS INT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM a JOIN first ON a.user_id = first.user_id
+        GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every later week they return — the product-analytics
+    staple.  Plan: week-truncate + distinct (one user-keyed shuffle),
+    per-user min as a map-side-combined agg, self-join back on user_id
+    (AQE reuses the user partitioning), then a (cohort, offset) agg
+    whose output is weeks² rows — tiny.  All arithmetic is exact
+    (dates), no double parity risk."""
+    # DuckDB's date_trunc at day-or-coarser granularity yields DATE;
+    # cast the Spark timestamps to match.
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_copurchase",
+    oracle="""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 50
+    """,
+)
+def q_copurchase(spark, sf_dir):
+    """Co-occurrence edge build (market-basket / co-purchase graph):
+    parts appearing in the same order, counted across orders, top-50
+    pairs.  The self-join is keyed on l_orderkey whose fanout is the
+    per-order line count (≤7 in TPC-H shapes) — output is O(rows ·
+    lines_per_order), NOT quadratic in the table; the pair agg
+    map-side-combines and the final top-k is TakeOrderedAndProject.
+    The same shape builds token-co-occurrence graphs over documents."""
+    lp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query("q_hll_rollup")
+def q_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users
+    per event_type, merged into per-type totals — the approximate twin
+    of q_incremental_agg's lossless partial-state rollup and the
+    pattern that makes 100 TB distinct-count dashboards incremental
+    (store day-grain sketches, union on read; re-scanning history is
+    never needed).  Uses Spark's DataSketches HLL aggregates
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).  Rows-only:
+    DuckDB has no compatible sketch; tests pin the estimate within 5%
+    of the exact distinct count."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

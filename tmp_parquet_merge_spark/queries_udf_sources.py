@@ -154,3 +154,43 @@ def q_json_roundtrip(spark, sf_dir):
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey bigint, r_name string").json(out)
+
+
+@query(
+    "q_binary_ingest",
+    oracle="""
+        WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
+        SELECT 'doc_' || doc_id || '.txt' AS fname,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest
+        FROM d
+    """,
+)
+def q_binary_ingest(spark, sf_dir):
+    """Raw-file ingestion via the ``binaryFile`` datasource — the entry
+    point a multimodal pipeline uses to lift an object store of
+    image/audio/document blobs into (path, length, content) rows before
+    any decode step.  The measured operator is the distributed read +
+    per-file digest; at 100 TB each executor reads its own file split
+    listing (no driver materialization) and `pathGlobFilter`/partitioned
+    layouts prune the listing.  The 64-file fixture is staged
+    driver-side from the lowest doc_ids (fixture creation, not the
+    operator); the oracle recomputes byte length and sha256 from the
+    same documents, proving content fidelity end to end."""
+    out = tempfile.mkdtemp(prefix="tpms_bin_")
+    fixture = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    for r in fixture:
+        with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("digest"),
+    )

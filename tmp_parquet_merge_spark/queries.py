@@ -811,6 +811,7 @@ def q_window_tumbling(spark, sf_dir):
 from tmp_parquet_merge_spark import queries_llm  # noqa: E402,F401
 from tmp_parquet_merge_spark import queries_relational_ext  # noqa: E402,F401
 from tmp_parquet_merge_spark import queries_streaming  # noqa: E402,F401
+from tmp_parquet_merge_spark import queries_tpch  # noqa: E402,F401
 from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------

@@ -65,18 +65,24 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` usable in Spark.
+    """events with ``ts`` usable in Spark, tolerant of the generator's
+    timestamp physical type.
 
-    The driver's events.parquet stores TIMESTAMP(NANOS,false), which
-    Spark's vectorized reader rejects outright.  We read the column as
-    raw int64 nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) and
-    convert to TIMESTAMP_NTZ at microsecond precision — TIMESTAMP_NTZ so
-    collection never passes through driver-local timezone conversion,
-    matching DuckDB's naive timestamps (oracle side uses
-    ``CAST(ts AS TIMESTAMP)`` which truncates ns→µs identically).
+    Earlier driver testdata stored ts as TIMESTAMP(NANOS,false), which
+    Spark's vectorized reader rejects outright — that path reads the
+    column as raw int64 nanoseconds (``spark.sql.legacy.parquet.
+    nanosAsLong``) and converts explicitly.  Current testdata stores
+    TIMESTAMP(MICROS); either way the column is normalized to
+    TIMESTAMP_NTZ at microsecond precision, so collection never passes
+    through driver-local timezone conversion and matches DuckDB's naive
+    timestamps (oracle side uses ``CAST(ts AS TIMESTAMP)``, identical
+    µs truncation).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
-    )
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):  # NANOS read as raw int64 ns
+        conv = F.expr("timestamp_micros(ts DIV 1000)")
+    else:  # TIMESTAMP / TIMESTAMP_NTZ at µs
+        conv = F.col("ts")
+    return df.withColumn("ts", conv.cast("timestamp_ntz"))

@@ -25,10 +25,37 @@ from pyspark.sql import types as T
 
 from tmp_parquet_merge_spark.functions.deterministic import dsum
 
+def _events_raw_schema(sf_dir: str) -> T.StructType:
+    """Streaming needs a declared source schema; probe one parquet
+    footer (driver-side, metadata only) so the declared ts type tracks
+    the generator's physical type — TIMESTAMP(NANOS) testdata reads as
+    int64 ns (``nanosAsLong``), TIMESTAMP(MICROS) as a timestamp."""
+    import pyarrow.parquet as pq
+
+    ts_arrow = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")
+    ).field("ts").type
+    ts_spark: T.DataType = (
+        T.LongType() if str(ts_arrow) == "timestamp[ns]" else T.TimestampType()
+    )
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_spark, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Static int64-ns shape, for callers that synthesize ns-timestamp
+# event files themselves (tests/test_streaming.py's late-data corpus).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("ts", T.LongType(), True),  # int64 epoch-ns
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -43,19 +70,21 @@ def _with_event_time(df: DataFrame) -> DataFrame:
     # is pinned to UTC, so values match the batch table's NTZ ones; the
     # window functions cast their OUTPUT timestamps to NTZ so stream
     # and batch twins still produce byte-identical schemas.
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if df.schema["ts"].dataType.simpleString() in ("bigint", "long"):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events parquet (ns timestamps read
-    as int64 then converted, same convention as the batch reader)."""
+    """File-source stream over the events parquet (timestamp physical
+    type probed from the footer, same convention as the batch reader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource needs a directory basePath; select the events
     # file(s) from the table directory with a glob filter.
     return _with_event_time(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(sf_dir))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)

@@ -592,3 +592,50 @@ def test_vocab_ids_contiguous_and_ranked(spark, docs):
     assert [r.vocab_id for r in out] == list(range(1, len(out) + 1))
     freqs = [r.n_mentions for r in out]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_pq_topk_recall_floor_on_bundled_embeddings(spark, emb):
+    """PQ-ADC with exact re-rank: recall vs brute force on the bundled
+    corpus.  Codebooks are deterministic (capped lowest-id sample,
+    dedup'd init), so a drop here means the index changed."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx_df = similarity.pq_topk(emb, q, m=4, ksub=16, k=10).collect()
+    approx = {(r.q_vec, r.n_vec) for r in approx_df}
+    # 4×16 codes on 64-dim uniform vectors is a coarse sketch; the
+    # 4k-candidate exact re-rank is what buys the floor
+    assert len(approx & exact) / len(exact) >= 0.5
+    # per-query exactly k rows, self excluded
+    by_q = {}
+    for r in approx_df:
+        assert r.n_vec != r.q_vec
+        by_q.setdefault(r.q_vec, []).append(r.sim)
+    assert all(len(v) == 10 for v in by_q.values())
+
+
+def test_pq_codes_compress_and_rerank_is_exact(spark):
+    """On clustered data PQ must deliver high recall: cluster centers
+    are far apart, so 4-byte codes separate them cleanly."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(10):
+        center = [rnd.gauss(0, 1) for _ in range(64)]
+        for m in range(20):
+            vec = [x + rnd.gauss(0, 0.1) for x in center]
+            rows.append((c * 20 + m, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = df.filter(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.brute_force_topk(df, q, k=10).collect()
+    }
+    approx = {
+        (r.q_vec, r.n_vec)
+        for r in similarity.pq_topk(df, q, m=4, ksub=16, k=10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.8

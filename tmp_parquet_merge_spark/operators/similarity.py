@@ -611,3 +611,155 @@ def ivf_topk(
     from tmp_parquet_merge_spark.operators.relational import grouped_top_k
 
     return grouped_top_k(sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k)
+
+
+def _pq_train(sample: np.ndarray, m: int, ksub: int, iters: int) -> np.ndarray:
+    """NumPy Lloyd per subspace over a bounded training sample:
+    returns the (m, ksub, dsub) codebook tensor.  Deterministic init
+    (first ``ksub`` distinct rows per subspace); runs on the driver —
+    the sample is capped, the codebook is the broadcast-able build
+    artifact, exactly like the IVF centroid matrix."""
+    n, d = sample.shape
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        X = sample[:, s * dsub : (s + 1) * dsub]
+        # dedup init rows so coincident samples don't collapse cells
+        _, first_idx = np.unique(X.round(9), axis=0, return_index=True)
+        init = X[np.sort(first_idx)[:ksub]]
+        C = np.vstack([init, X[: ksub - len(init)]]) if len(init) < ksub else init
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(ksub):
+                pick = X[a == j]
+                if len(pick):
+                    C = C.copy()
+                    C[j] = pick.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 10,
+    rerank_factor: int = 4,
+    train_cap: int = 2048,
+    fit_iters: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS-IVFPQ building block, scan
+    side): corpus vectors are unit-normalized, split into ``m``
+    subspaces, and encoded as ``m`` one-byte codes against per-subspace
+    ``ksub``-centroid codebooks — 64 floats become 4 bytes, the ~64×
+    state compression that lets a 100 TB embedding corpus's index fit
+    in executor memory.  Queries score candidates by asymmetric
+    distance (ADC): per query a tiny (m × ksub) lookup table of
+    subspace dot products is built once, and each corpus code row costs
+    ``m`` table lookups — no float vector is touched until the exact
+    re-rank on the surviving ``rerank_factor × k`` candidates.
+
+    Build: codebooks train driver-side on a deterministic capped
+    sample (lowest ``train_cap`` ids — bounded artifact, standard PQ
+    practice; the *serving* passes are fully distributed).  Encode is
+    one Arrow batch matmul per subspace; scoring streams the code
+    table once with batch-local pruning (same discipline as
+    brute_force_topk); the final exact re-rank joins embeddings back
+    by id only for candidates.
+    """
+    corpus = corpus.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    queries = queries.select(
+        F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    sample = np.array(
+        corpus.orderBy(id_col)
+        .limit(train_cap)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    books = _pq_train(sample, m=m, ksub=ksub, iters=fit_iters)
+    sc = corpus.sparkSession.sparkContext
+    bb = sc.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        B = bb.value
+        mm, kk, dsub = B.shape
+        X = np.array(v.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), mm), dtype=np.int32)
+        for s in range(mm):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = (
+                -2.0 * (Xs @ B[s].T)
+                + (B[s] * B[s]).sum(axis=1)[None, :]
+            )
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    coded = corpus.select(
+        F.col(id_col), _encode(F.col(vec_col)).alias("codes")
+    )
+
+    qpdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    q_ids = np.array(qpdf[id_col], dtype=np.int64)
+    Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    # ADC tables: luts[q, s, j] = <Q[q] subspace s, codebook[s, j]>
+    mm, kk, dsub = books.shape
+    luts = np.empty((len(Q), mm, kk), dtype=np.float64)
+    for s in range(mm):
+        luts[:, s, :] = Q[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    bq = sc.broadcast((q_ids, luts))
+    n_keep = k * rerank_factor
+
+    def adc(batches):
+        q_ids, luts = bq.value
+        for pdf in batches:
+            ids = np.array(pdf[id_col], dtype=np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            # S[q, b] = Σ_s luts[q, s, codes[b, s]]
+            S = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for s in range(codes.shape[1]):
+                S += luts[:, s, codes[:, s]]
+            out_q, out_n = [], []
+            for qi, qid in enumerate(q_ids):
+                col = S[qi]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:n_keep]
+                pick = cand_idx[order]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(ids[pick])
+            yield pd.DataFrame({"q_vec": out_q, "n_vec": out_n})
+
+    cand = coded.mapInPandas(adc, schema="q_vec long, n_vec long")
+    # exact re-rank on candidates only: embeddings join back by id
+    qe = queries.select(
+        F.col(id_col).alias("q_vec"), F.col(vec_col).alias("q_emb")
+    )
+    ne = corpus.select(
+        F.col(id_col).alias("n_vec"), F.col(vec_col).alias("n_emb")
+    )
+    scored = (
+        cand.join(qe, "q_vec")
+        .join(ne, "n_vec")
+        .select(
+            "q_vec",
+            "n_vec",
+            dot_udf(round_to)(F.col("q_emb"), F.col("n_emb")).alias("sim"),
+        )
+    )
+    from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(
+        scored, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k
+    )

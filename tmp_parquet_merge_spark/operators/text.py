@@ -431,3 +431,75 @@ def bm25_topk(
         "rank",
         F.row_number().over(Window.orderBy(F.col("score").desc(), F.col(id_col))),
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) over corpus-wide
+    bigram/unigram frequencies — the phrase detector that feeds
+    tokenizer merges and stop-phrase lists.
+
+    Plan shape (the part that matters at 100 TB): bigrams are built
+    JVM-side as an array transform (no window, no per-doc shuffle) and
+    exploded once; both frequency tables are map-side-combined
+    hash-aggs whose shuffle is bounded by VOCABULARY size, not corpus
+    size; the two totals ride a broadcast 1-row agg each; the final
+    join keys on single words (vocabulary-sized, AQE broadcasts the
+    smaller side).  All PMI inputs are exact integers, so the double
+    log/divisions are bit-identical across engines.
+    """
+    ws = words(text_col)
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("w1"),
+            F.element_at(ws, i + 2).alias("w2"),
+        ),
+    )
+    bg = df.select(
+        F.explode(
+            F.when(F.size(ws) >= 2, pair).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(ws).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").alias("nu"))
+    nb = cab.agg(F.sum("c_ab").alias("nb"))
+    u1 = uni.select(F.col("wd").alias("w1"), F.col("c").alias("c_1"))
+    u2 = uni.select(F.col("wd").alias("w2"), F.col("c").alias("c_2"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("nb"))
+        / (
+            (F.col("c_1").cast("double") / F.col("nu"))
+            * (F.col("c_2").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_1",
+            "c_2",
+            # + 0.0 canonicalizes IEEE -0.0 (a PMI that rounds to zero
+            # from below) to 0.0, matching the oracle's spelling
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )

@@ -1303,3 +1303,61 @@ def q_vector_norm(spark, sf_dir):
             6,
         ).alias("u0"),
     )
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+        WITH {_W},
+        bg AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(ws) - 1), i -> ws[i])) AS w1,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - 1), i -> ws[i+1])) AS w2
+            FROM w WHERE len(ws) >= 2
+        ),
+        cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+        uni AS (
+            SELECT wd, COUNT(*) AS c
+            FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT SUM(c) FROM uni) AS nu,
+                   (SELECT SUM(c_ab) FROM cab) AS nb
+        )
+        SELECT w1, w2, c_ab, u1.c AS c_1, u2.c AS c_2,
+               round(ln((CAST(c_ab AS DOUBLE) / nb)
+                        / ((CAST(u1.c AS DOUBLE) / nu)
+                           * (CAST(u2.c AS DOUBLE) / nu))), 4) + 0.0 AS pmi
+        FROM cab
+        JOIN uni u1 ON cab.w1 = u1.wd
+        JOIN uni u2 ON cab.w2 = u2.wd
+        CROSS JOIN tot
+        WHERE c_ab >= 5
+    """,
+)
+def q_collocations(spark, sf_dir):
+    """Bigram collocations by PMI (≥5 mentions): the phrase detector
+    feeding tokenizer merge rules and boilerplate lists.  Bigrams come
+    from a JVM array transform exploded once (no per-doc window); both
+    count tables shuffle bounded by vocabulary, not corpus; totals are
+    broadcast 1-row aggs; PMI inputs are exact integers so the double
+    log is bit-identical across engines."""
+    return text.collocation_pmi(
+        t(spark, sf_dir, "documents"), "text", "doc_id", min_count=5
+    )
+
+
+@query("q_ann_pq")
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (4 subspaces × 16 codes): corpus
+    encoded to 4 bytes/vector, queries score by ADC table lookups,
+    exact re-rank on the surviving candidates.  The third ANN index
+    family next to LSH and IVF — PQ is the one whose index state
+    (codes) is ~64× smaller than the vectors, the property that
+    matters when the corpus is 100 TB.  Rows-only (approximate by
+    design); the local test pins recall vs brute force."""
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        e, e.filter(F.col("vec_id") < 5), m=4, ksub=16, k=10
+    )

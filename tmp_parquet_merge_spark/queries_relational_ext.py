@@ -1394,3 +1394,138 @@ def q_hll_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series smoothing & sessionization
+# ---------------------------------------------------------------------------
+
+# Finite-horizon exponential smoothing: weights α(1-α)^i over the last
+# H observations, normalized over the weights actually present.  Spelled
+# as the SAME fixed left-to-right lag expression in both engines, so the
+# double arithmetic is bit-identical; an unbounded-history EWMA would
+# need recursion neither engine's window frames express.
+_EWMA_ALPHA = 0.5
+_EWMA_H = 8
+
+
+def _ewma_terms():
+    """(num, den) SQL fragments: Σ wᵢ·lag(value,i) and Σ wᵢ·present(i)."""
+    num, den = [], []
+    for i in range(_EWMA_H):
+        w = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i
+        num.append(f"COALESCE({w!r} * LAG(value, {i}) OVER pw, 0.0)")
+        den.append(
+            f"CASE WHEN LAG(value, {i}) OVER pw IS NOT NULL"
+            f" THEN {w!r} ELSE 0.0 END"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_SQL = """
+    SELECT event_id, user_id, value,
+           round(({num}) / ({den}), 4) AS ewma
+    FROM events
+    WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".format(num=_ewma_terms()[0], den=_ewma_terms()[1])
+
+
+@query(
+    "q_ewma",
+    oracle=_EWMA_SQL.replace("FROM events", "FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) e"),
+)
+def q_ewma(spark, sf_dir):
+    """Per-user exponential smoothing of the event value stream
+    (α=0.5, 8-lag horizon) — the monitoring/feature-engineering
+    smoother.  One shuffle on user_id, one sorted pass; the 8 LAGs
+    share a single window frame so Spark evaluates them in one
+    WindowExec with one sort.  Identical expression text on both
+    engines keeps the IEEE arithmetic bit-equal."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_EWMA_SQL)
+
+
+_SESSIONIZE_SQL = """
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER pw IS NULL
+                         OR ts > LAG(ts) OVER pw + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM g
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(date_diff('SECOND', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM s
+    GROUP BY user_id, session_seq
+"""
+
+
+@query(
+    "q_sessionize",
+    oracle=_SESSIONIZE_SQL.replace(
+        "FROM events",
+        "FROM (SELECT user_id, event_id, value,"
+        " CAST(ts AS TIMESTAMP) AS ts FROM events) e",
+    ),
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization by 30-minute inactivity gap: the classic
+    lag→flag→running-sum session-id assignment, then per-session
+    stats — the batch twin of q_window_session's native session_window
+    (that one merges state streamingly; this one owns the whole
+    history).  ONE shuffle on user_id serves the two window passes and
+    the final agg (same key, Catalyst reuses the exchange); duration
+    arithmetic is exact integer seconds.  Shared SQL on both engines
+    modulo DuckDB's date_diff spelling (Spark side uses
+    unix_timestamp subtraction, same integer result)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        _SESSIONIZE_SQL.replace(
+            "CAST(date_diff('SECOND', MIN(ts), MAX(ts)) AS BIGINT)",
+            "CAST(unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts)) AS BIGINT)",
+        )
+    )
+
+
+@query("q_pagerank")
+def q_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts linked when
+    they share an order, symmetrized): the canonical iterative
+    join-aggregate, 10 damped rounds or L1-convergence — the same
+    loop discipline (localCheckpoint per round, scalar-only driver
+    traffic) as k-means and connected components.  Rows-only:
+    iterative float fixpoints aren't SQL-expressible; the local test
+    pins the result against a dense NumPy reference."""
+    from tmp_parquet_merge_spark.operators import graph
+
+    lp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    edges = graph.symmetrize(pairs, "pa", "pb")
+    return graph.pagerank(edges, damping=0.85, max_iter=10)

@@ -354,11 +354,13 @@ def q_sql_tpch_q19(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Adapted: no c_phone in the driver schema, so the spec's country-code
-# substring becomes c_mktsegment; the operators under test — scalar
-# subquery threshold + NOT EXISTS anti join — are unchanged.  The
-# threshold is spelled exact-decimal-sum ÷ count so the comparison is
-# bit-identical in both engines (a naive AVG(double) could flip
-# borderline rows).
+# substring becomes c_mktsegment, and — because every synthetic
+# customer has at least one order — "never ordered" becomes "no order
+# since 1999" so the anti join keeps a non-trivial survivor set.  The
+# operators under test — scalar subquery threshold + NOT EXISTS anti
+# join — are unchanged.  The threshold is spelled exact-decimal-sum ÷
+# count so the comparison is bit-identical in both engines (a naive
+# AVG(double) could flip borderline rows).
 _TPCH_Q22 = """
     SELECT c_mktsegment AS segment,
            COUNT(*) AS numcust,
@@ -371,7 +373,9 @@ _TPCH_Q22 = """
             FROM customer WHERE c_acctbal > 0.0
           )
       AND NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01'
           )
     GROUP BY c_mktsegment
     ORDER BY segment

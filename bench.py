@@ -139,6 +139,23 @@ HEADLINE = [
     "q_dpp_join",
     "q_zorder_layout",
     "q_bucketed_join",
+    # round-3 wave 4: the widened TPC-H family (wide agg, EXISTS
+    # decorrelation, two-role dims, market share, distribution, promo
+    # ratio, disjunctive join, anti+scalar-subquery), time-series
+    # smoothing/sessionization, PMI collocations, PageRank, PQ ANN
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q22",
+    "q_ewma",
+    "q_sessionize",
+    "q_collocations",
+    "q_pagerank",
+    "q_ann_pq",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

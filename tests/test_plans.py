@@ -293,3 +293,61 @@ def test_attribution_join_single_user_shuffle(spark, sf_dir):
         j in tree
         for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     ), tree
+
+
+def test_tpch_q1_prunes_to_needed_columns(spark, sf_dir):
+    # the wide aggregate still reads only the 7 referenced columns
+    df = build("q_sql_tpch_q1", spark, sf_dir)
+    cols = set()
+    for c in read_schema_columns(df):
+        cols.update(c)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+    tree = plan_tree(df)
+    assert tree.count("Exchange") <= 2  # partial/final agg + final sort
+
+
+def test_tpch_q14_part_broadcasts(spark, sf_dir):
+    tree = plan_tree(build("q_sql_tpch_q14", spark, sf_dir))
+    assert "BroadcastHashJoin" in tree
+    df = build("q_sql_tpch_q14", spark, sf_dir)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_tpch_q19_disjunction_stays_map_side(spark, sf_dir):
+    # part broadcasts; the OR-of-arms runs as join residual, no extra
+    # shuffle beyond the single aggregate
+    tree = plan_tree(build("q_sql_tpch_q19", spark, sf_dir))
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("SortMergeJoin") == 0
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark, sf_dir):
+    tree = plan_tree(build("q_sql_tpch_q4", spark, sf_dir))
+    assert "LeftSemi" in tree
+
+
+def test_tpch_q22_not_exists_becomes_anti_join(spark, sf_dir):
+    tree = plan_tree(build("q_sql_tpch_q22", spark, sf_dir))
+    assert "LeftAnti" in tree
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    # both window passes and the session agg key on user_id: exactly
+    # one hash exchange in the whole plan (plus no range/global sort)
+    tree = plan_tree(build("q_sessionize", spark, sf_dir))
+    assert tree.count("Exchange") == 1
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    # 8 LAGs share one frame → one WindowExec, one exchange, one sort
+    tree = plan_tree(build("q_ewma", spark, sf_dir))
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") == 1
+
+
+def test_collocations_totals_broadcast(spark, sf_dir):
+    # corpus totals ride broadcast nested-loop joins of 1-row aggs;
+    # no real cartesian over data
+    tree = plan_tree(build("q_collocations", spark, sf_dir))
+    assert tree.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in tree

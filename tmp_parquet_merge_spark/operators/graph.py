@@ -35,6 +35,7 @@ def pagerank(
     max_iter: int = 10,
     tol: float = 1e-6,
     round_to: int = 6,
+    check_every: int = 1,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``).
 
@@ -45,11 +46,18 @@ def pagerank(
 
     Every round: contribs = rank/out_deg joined through edges (one
     shuffle on src, one agg shuffle on dst — both reuse the same hash
-    partitioning), dangling mass and L1 delta ride a 2-value driver
-    agg (scalars, not data).  Iteration stops at ``tol`` or
-    ``max_iter``; rank state localCheckpoints each round to keep the
-    plan flat.
+    partitioning).  Iterative-loop economics: the dangling mass rides
+    the PLAN as a broadcast 1-row aggregate (crossJoin), not a driver
+    action — and is skipped entirely when a one-time upfront probe
+    shows the graph has no dangling nodes (symmetrized graphs never
+    do), so a round costs exactly ONE job (the eager localCheckpoint
+    that also truncates lineage) plus, every ``check_every`` rounds, a
+    scalar L1-delta read for the ``tol`` early exit.
     """
+    # materialize the edge list once — callers often pass a derived
+    # graph (e.g. a self-join pair build) that must not be recomputed
+    # in every iteration's join
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -64,12 +72,9 @@ def pagerank(
         .withColumn("rank", F.lit(1.0 / n_nodes))
         .localCheckpoint()
     )
+    has_dangling = state.filter(F.col("deg") == 0).limit(1).count() > 0
     it = 0
     for it in range(1, max_iter + 1):
-        dangling = (
-            state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0]
-            or 0.0
-        )
         contribs = (
             state.filter(F.col("deg") > 0)
             .join(edges, state.node == edges.src)
@@ -80,29 +85,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-        new_state = (
-            state.drop("rank")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+        rank_expr = F.lit((1.0 - damping) / n_nodes) + F.lit(
+            damping
+        ) * F.coalesce("inflow", F.lit(0.0))
+        joined = state.drop("rank").join(contribs, "node", "left")
+        if has_dangling:
+            dmass = state.filter(F.col("deg") == 0).agg(
+                F.sum("rank").alias("_dmass")
             )
-            .localCheckpoint()
-        )
-        delta = (
-            state.select("node", F.col("rank").alias("r0"))
-            .join(new_state.select("node", "rank"), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
-            .first()[0]
-        )
-        state = new_state
-        if delta < tol:
-            break
+            joined = joined.crossJoin(F.broadcast(dmass))
+            rank_expr = rank_expr + F.lit(damping) * F.col("_dmass") / n_nodes
+        new_state = joined.select(
+            "node", "deg", rank_expr.alias("rank")
+        ).localCheckpoint()
+        if tol > 0 and (it % check_every == 0 or it == max_iter):
+            delta = (
+                state.select("node", F.col("rank").alias("r0"))
+                .join(new_state.select("node", "rank"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
+                .first()[0]
+            )
+            state = new_state
+            if delta < tol:
+                break
+        else:
+            state = new_state
     return state.select(
         "node",
         F.round("rank", round_to).alias("rank"),

@@ -156,6 +156,10 @@ HEADLINE = [
     "q_collocations",
     "q_pagerank",
     "q_ann_pq",
+    "q_dedup_containment",
+    "q_sample_reservoir",
+    "q_gapfill",
+    "q_props_parse",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -487,3 +487,47 @@ def simhash_dedup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| for pairs
+    sharing ≥1 shingle; keeps pairs where either direction ≥ threshold.
+
+    Containment is the sub-document detector Jaccard misses: a
+    paragraph pasted into a much larger page scores near-zero Jaccard
+    (union is huge) but containment ≈ 1 from the small side — the
+    C4/RefinedWeb-style "document inclusion" dedup signal.  Same plan
+    economics as :func:`ngram_jaccard_pairs` (explode distinct
+    shingles, shingle-keyed self-join, per-pair hash-agg; the exact
+    verify stage, candidate-cut upstream at real scale).
+    """
+    sh = shingle_rows(df, text_col, id_col, n=n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
+    cont = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_ab"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_ba"),
+        )
+    )
+    return cont.filter(
+        (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+    )

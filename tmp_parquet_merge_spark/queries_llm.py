@@ -1361,3 +1361,72 @@ def q_ann_pq(spark, sf_dir):
     return similarity.pq_topk(
         e, e.filter(F.col("vec_id") < 5), m=4, ksub=16, k=10
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+        WITH {_W_CAP}, {_SH},
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / na.n, 6) AS cont_ab,
+               round(CAST(i AS DOUBLE) / nb.n, 6) AS cont_ba
+        FROM p
+        JOIN n na ON na.doc_id = doc_a
+        JOIN n nb ON nb.doc_id = doc_b
+        WHERE round(CAST(i AS DOUBLE) / na.n, 6) >= 0.8
+           OR round(CAST(i AS DOUBLE) / nb.n, 6) >= 0.8
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs (either direction
+    ≥ 0.8): the sub-document-inclusion detector Jaccard misses — a
+    paragraph pasted into a much larger page is near-invisible to
+    Jaccard (huge union) but containment ≈ 1 from the small side.
+    Input capped at _PAIR_CAP docs (verify-twin contract, like
+    q_dedup_ngram); at 100 TB the pair source is MinHash-LSH."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
+    return dedup.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 20
+    """,
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Deterministic exact-k per-group sample (k=20 per source): rank
+    by the md5 of the id — a uniform permutation both engines compute
+    identically — and keep the first k.  The reproducible analog of
+    per-group reservoir sampling (q_sample_stratified is the
+    Bernoulli-rate twin; this one guarantees exact group sizes).
+    Executes as WindowGroupLimit: per-partition heaps keep k rows per
+    source BEFORE the exchange, so the shuffle carries k·|sources|
+    rows regardless of corpus size."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )

@@ -1531,3 +1531,91 @@ def q_pagerank(spark, sf_dir):
     # check_every=2 halves the scalar convergence reads; a symmetrized
     # graph also skips the dangling branch entirely (probed once)
     return graph.pagerank(edges, damping=0.85, max_iter=10, check_every=2)
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+        SELECT event_id, user_id,
+               masked AS raw_value,
+               last_value(masked IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                       AS masked
+            FROM events
+        ) m
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Sensor-style gap filling: mask one event class to NULL, then
+    carry the last observation forward per user (last_value IGNORE
+    NULLS over an unbounded-preceding frame) — the row-level
+    complement of q_resample_ffill's grid resample.  One shuffle on
+    user_id, one sorted pass; leading NULLs (no prior observation)
+    stay NULL, faithfully."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "masked",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("masked").alias("raw_value"),
+        F.last("masked", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@query(
+    "q_props_parse",
+    oracle="""
+        SELECT event_type,
+               COUNT(k) AS n_with_k,
+               CAST(MIN(k) AS INT) AS min_k,
+               CAST(MAX(k) AS INT) AS max_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        ) j
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_props_parse(spark, sf_dir):
+    """Semi-structured payload parsing: the JSON props column parsed
+    into a typed struct (from_json with an explicit schema — schema
+    enforced at scan speed, invalid rows become NULLs, never errors)
+    and aggregated per event type.  All-integer aggregates, so parity
+    is exact.  At 100 TB the rule is the same as here: parse ONCE into
+    typed columns, aggregate the typed form; never re-parse JSON per
+    expression."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.IntegerType(), True)])
+    ev = t(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", schema)["k"]
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

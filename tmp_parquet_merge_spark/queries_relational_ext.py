@@ -1619,3 +1619,37 @@ def q_props_parse(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_quantile_norm",
+    oracle="""
+        SELECT doc_id, n_chars,
+               round(CAST(rk - 1 AS DOUBLE) / (cnt - 1), 6) AS q_norm
+        FROM (
+            SELECT doc_id, n_chars,
+                   RANK() OVER (ORDER BY n_chars, doc_id) AS rk,
+                   COUNT(*) OVER () AS cnt
+            FROM documents
+        ) r
+    """,
+)
+def q_quantile_norm(spark, sf_dir):
+    """Quantile (rank) normalization of a feature column to [0,1] —
+    the model-input scaling that is robust to outliers where min-max
+    scaling is not.  rank ties break on doc_id so the mapping is a
+    deterministic bijection; the global rank is a RangePartitioning
+    sort (sampled range exchange — parallel, never a single-reducer
+    sort), and COUNT(*) OVER () folds to a broadcast scalar."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rk = F.rank().over(Window.orderBy("n_chars", "doc_id"))
+    cnt = F.count(F.lit(1)).over(
+        Window.partitionBy()
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.round((rk - 1).cast("double") / (cnt - 1), 6).alias("q_norm"),
+    )

@@ -162,6 +162,8 @@ HEADLINE = [
     "q_props_parse",
     "q_quantile_norm",
     "q_dedup_semantic",
+    "q_cdc_apply",
+    "q_novelty",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -1653,3 +1653,102 @@ def q_quantile_norm(spark, sf_dir):
         "n_chars",
         F.round((rk - 1).cast("double") / (cnt - 1), 6).alias("q_norm"),
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   CASE event_type WHEN 'signup' THEN 'I'
+                                   WHEN 'error'  THEN 'D'
+                                   ELSE 'U' END AS op,
+                   value
+            FROM events
+        ),
+        latest AS (
+            SELECT user_id, op, value, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log
+        )
+        SELECT user_id, round(value, 6) AS last_value, ts AS last_ts
+        FROM latest
+        WHERE rn = 1 AND op <> 'D'
+        ORDER BY user_id
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """Change-data-capture log replay: the event stream read as an
+    ordered I/U/D changelog per key, materialized to current state by
+    last-writer-wins — rows whose final operation is a delete vanish.
+    This is the log-compaction half of MERGE (q_upsert is the two-
+    table half): ONE shuffle on the key, per-partition sort, the
+    row_number filter executes as WindowGroupLimit so each key ships
+    only its winning row out of the window stage."""
+    from pyspark.sql import Window
+
+    log = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_novelty",
+    oracle="""
+        WITH a AS (
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        b AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS h
+            FROM documents WHERE doc_id % 2 = 1
+        )
+        SELECT doc_id, source FROM b
+        WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = b.h)
+        ORDER BY doc_id
+    """,
+)
+def q_novelty(spark, sf_dir):
+    """Incremental-crawl novelty filter: which documents of the new
+    batch (odd ids) are content-new vs the existing corpus (even
+    ids) — an anti join on the normalized-content digest, so the
+    shuffle carries 16-byte hashes, never bodies.  The daily dedup
+    gate of a continuously-crawling pipeline; at 100 TB the existing
+    side is a pre-built digest table and AQE turns the join into a
+    broadcast when the new batch is small."""
+    from tmp_parquet_merge_spark.operators.dedup import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(normalize_text("text"))
+    old = d.filter(F.col("doc_id") % 2 == 0).select(h.alias("h"))
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", h.alias("h")
+    )
+    return (
+        new.join(old, "h", "left_anti").select("doc_id", "source").orderBy("doc_id")
+    )

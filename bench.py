@@ -164,6 +164,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_cdc_apply",
     "q_novelty",
+    "q_media_dedup",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -1487,3 +1487,39 @@ def q_dedup_semantic(spark, sf_dir):
             | (F.col("cos_to_rep") <= 0.95)
         ).cast("int").alias("keep"),
     )
+
+
+@query(
+    "q_media_dedup",
+    oracle="""
+        SELECT sha256(text) AS content_sha,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_dupes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                   AS total_bytes
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def q_media_dedup(spark, sf_dir):
+    """Binary-payload exact dedup: group the media table by
+    sha2(payload) — the object-store dedup primitive (same 32-byte-
+    digest shuffle contract as text exact dedup, but over raw bytes;
+    at 100 TB of images this is the first pass before any perceptual
+    hash).  Oracle recomputes the digests from the documents source
+    of truth (payload = UTF-8 bytes of text, so sha2 over the payload
+    equals sha256 over the text)."""
+    m = multimodal.media_table(spark, sf_dir)
+    return (
+        m.select(
+            F.sha2(F.col("payload"), 256).alias("content_sha"),
+            F.col("media_id"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -165,6 +165,8 @@ HEADLINE = [
     "q_cdc_apply",
     "q_novelty",
     "q_media_dedup",
+    "q_time_weighted_avg",
+    "q_transition_matrix",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

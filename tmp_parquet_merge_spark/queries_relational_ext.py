@@ -1752,3 +1752,119 @@ def q_novelty(spark, sf_dir):
     return (
         new.join(old, "h", "left_anti").select("doc_id", "source").orderBy("doc_id")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, value,
+                   CAST(date_diff('SECOND', ts, nxt) AS BIGINT) AS dt
+            FROM s WHERE nxt IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(SUM(CAST(value * dt AS DECIMAL(18,6))) AS DOUBLE)
+                   / SUM(dt) AS twa,
+               SUM(dt) AS total_s
+        FROM d
+        GROUP BY user_id
+        HAVING SUM(dt) > 0
+        ORDER BY user_id
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of a sampled signal per user: each value
+    weighted by how long it held (seconds to the next observation) —
+    the correct mean for irregularly-sampled telemetry, where the
+    arithmetic mean over-weights bursts.  One shuffle on user_id
+    serves both the lead() and the aggregate; weights are exact
+    integer seconds and the weighted sum rides DECIMAL(18,6), so the
+    single final division is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id", F.lead("ts").over(w).alias("nxt")
+    )
+    d = s.filter(F.col("nxt").isNotNull()).select(
+        "user_id",
+        "value",
+        (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).alias("dt"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("value") * F.col("dt")).cast("decimal(18,6)"))
+                .cast("double")
+                / F.sum("dt")
+            ).alias("twa"),
+            F.sum("dt").alias("total_s"),
+        )
+        .filter(F.col("total_s") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, n,
+               round(CAST(n AS DOUBLE) / row_n, 6) AS p
+        FROM c JOIN tot ON c.from_type = tot.from_type
+        ORDER BY c.from_type, c.to_type
+    """,
+)
+def q_transition_matrix(spark, sf_dir):
+    """User-journey Markov transitions: counts and row-normalized
+    probabilities of event_type → next event_type per user timeline —
+    the funnel-discovery / session-model primitive.  The lead()
+    shuffles once on user_id; the count table is |types|² rows, so the
+    normalizing join is trivially broadcast.  Probabilities divide two
+    exact integers, deterministic in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    c = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -898,6 +898,19 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_ann_ivf",            # _lloyd final-assignment fix (transitive)
         "q_merge_files",        # remote-scheme sizing fallback
         "q_window_running",     # l_quantity tiebreaker (non-unique keys)
+        # events loader rewrite (registry.events_table now handles the
+        # regenerated TIMESTAMP(MICROS) testdata; was int64-ns) — every
+        # evidenced query that reads events re-queues, per the rule
+        "q_join_asof",
+        "q_scalar_json",
+        "q_window_tumbling",
+        "q_pivot",
+        "q_resample_ffill",
+        "q_funnel",
+        "q_join_asof_forward",
+        "q_window_sliding",
+        "q_stream_dedup",
+        "q_window_session",
     }
 )
 

@@ -101,3 +101,35 @@ def test_stress_roundtrip_2_5m(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2_500_000
     assert df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()
+
+
+def test_events_loader_handles_both_timestamp_physical_types(spark, tmp_path):
+    """The driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+    (rounds 1-2) and TIMESTAMP(MICROS) (round 3) — registry.events_table
+    must normalize both to the same TIMESTAMP_NTZ µs column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tmp_parquet_merge_spark.registry import events_table
+
+    base = 1_700_000_000
+    rows = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["view", "click"], pa.string()),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    expect = [(base * 1_000_000 + 123456), (base + 5) * 1_000_000]
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        ts = pa.array([v * (1000 if unit == "ns" else 1) for v in expect],
+                      pa.timestamp(unit))
+        pq.write_table(pa.table({**rows, "ts": ts}), str(d / "events.parquet"))
+        df = events_table(spark, str(d))
+        assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+        got = sorted(
+            int(r.ts.timestamp() * 1_000_000) for r in df.select("ts").collect()
+        )
+        assert got == sorted(expect), unit

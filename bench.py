@@ -167,6 +167,8 @@ HEADLINE = [
     "q_media_dedup",
     "q_time_weighted_avg",
     "q_transition_matrix",
+    "q_triangle_count",
+    "q_bpe_merge",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

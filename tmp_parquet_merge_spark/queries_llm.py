@@ -1523,3 +1523,59 @@ def q_media_dedup(spark, sf_dir):
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+@query(
+    "q_bpe_merge",
+    oracle=f"""
+        WITH {_W},
+        u AS (
+            SELECT wd, COUNT(*) AS c
+            FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY 1
+        ),
+        p AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, length(wd) - 1),
+                       i -> substr(wd, i, 2))) AS pair,
+                   c
+            FROM u WHERE length(wd) >= 2
+        )
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        FROM p GROUP BY 1
+        ORDER BY n DESC, pair
+        LIMIT 50
+    """,
+)
+def q_bpe_merge(spark, sf_dir):
+    """One BPE-tokenizer merge round: corpus-weighted adjacent
+    character-pair frequencies, top-50 — the inner loop of tokenizer
+    training (the winning pair becomes the next merge rule).  Two-level
+    aggregation keeps it corpus-size-proof: word counts first (corpus →
+    vocabulary hash-agg), then char pairs expand only the VOCABULARY
+    (the array transform here is safe — it runs over distinct words,
+    not corpus rows).  Ties rank lexicographically so both engines
+    agree."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    u = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(words("text")).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("wd") >= 2)
+    )
+    # dynamic-start substring needs the SQL spelling (the Python
+    # Column.substr form takes literal positions only)
+    pairs = u.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(wd) - 1),"
+                   " i -> substring(wd, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )

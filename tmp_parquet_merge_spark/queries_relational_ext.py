@@ -1868,3 +1868,64 @@ def q_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey < 500),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT COUNT(*) AS n_triangles,
+               (SELECT COUNT(*) FROM e) AS n_edges
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the co-purchase graph — the graph-analytics
+    primitive behind clustering coefficients and community detection,
+    and the oracle-CHECKABLE complement to the iterative q_pagerank.
+    Uses the ordered-edge formulation (u<v edges; join e1.v=e2.u then
+    close u→e2.v), so each triangle counts exactly once and the join
+    never materializes both directions.  Input capped to parts < 500
+    (triangle enumeration is O(E^1.5) worst-case — same verify-twin
+    contract as the dedup pair twins); the uncapped path would ride a
+    degree-ordered orientation at 100 TB."""
+    lp = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    )

@@ -392,3 +392,482 @@ def q_sql_tpch_q22(spark, sf_dir):
     same spine bucketing removes; everything else is single-pass."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_TPCH_Q22)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+# Adapted: the driver schema has no partsupp, so the part↔supplier
+# relation (and its ps_supplycost) is derived from lineitem — unit
+# cost = MIN(l_extendedprice / l_quantity) per (part, supplier).  The
+# operator under test — a per-part correlated MIN over a
+# region-restricted supplier set, re-joined on equality with the
+# minimum — is unchanged.
+_TPCH_Q2_ORACLE = """
+    WITH supply AS (
+        SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu_supply AS (
+        SELECT sp_partkey, sp_suppkey, unit_cost, s_acctbal, s_name, n_name
+        FROM supply
+        JOIN supplier ON sp_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+        SELECT sp_partkey AS b_partkey, MIN(unit_cost) AS min_cost
+        FROM eu_supply GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM eu_supply
+    JOIN best ON sp_partkey = b_partkey AND unit_cost = min_cost
+    JOIN part ON p_partkey = sp_partkey
+    WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_TPCH_Q2_ORACLE)
+def q_sql_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: partsupp does not
+    exist in the driver schema, so the part↔supplier catalog is the
+    distinct (l_partkey, l_suppkey) pairs of lineitem and cost is the
+    best observed unit price.  The plan decorrelates the spec's
+    correlated MIN subquery by hand: one groupBy for per-pair cost, a
+    broadcast of the EUROPE supplier dim onto it, a second groupBy for
+    the per-part minimum, and an equality re-join on (part, min-cost)
+    — both aggs share the partkey shuffle key so AQE reuses the
+    exchange.  MIN of identical doubles is selection, not accumulation,
+    so cross-engine hash parity holds without the decimal detour."""
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("sp_partkey"),
+        F.col("l_suppkey").alias("sp_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_supply = supply.join(
+        F.broadcast(eu_dim), F.col("sp_suppkey") == F.col("s_suppkey")
+    )
+    best = eu_supply.groupBy(F.col("sp_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    return (
+        eu_supply.join(
+            best,
+            (F.col("sp_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("sp_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (multi-join + derived-year rollup)
+# ---------------------------------------------------------------------------
+
+# Adapted: no partsupp → supply cost is modeled as 60% of
+# p_retailprice per unit (a deterministic stand-in for ps_supplycost);
+# the spec's p_name LIKE '%green%' color filter keeps its shape with a
+# color present in the synthetic names.
+_TPCH_Q9_ORACLE = """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) AS profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_TPCH_Q9_ORACLE)
+def q_sql_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: supply cost =
+    0.6 × p_retailprice (no partsupp in the driver schema).  part is
+    filtered by the contains-predicate *before* its broadcast is
+    built, so the fact scan is pruned by the broadcast join itself;
+    supplier and nation broadcast too, leaving lineitem⋈orders as the
+    only shuffle.  Profit can be negative — DECIMAL(18,6) is signed,
+    so the exact-sum convention holds unchanged."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (aggregate + global-threshold scalar subquery)
+# ---------------------------------------------------------------------------
+
+# Adapted: no partsupp → per-part "value" is EUROPE suppliers' revenue
+# from lineitem instead of ps_supplycost × ps_availqty; the operator —
+# HAVING against an uncorrelated scalar aggregate over the same
+# derived table — is unchanged.
+_TPCH_Q11_ORACLE = """
+    WITH partval AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1
+    )
+    SELECT partkey, value
+    FROM partval
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                               AS DOUBLE) * 0.001
+                   FROM partval)
+    ORDER BY value DESC, partkey
+"""
+
+
+@query("q_sql_tpch_q11", oracle=_TPCH_Q11_ORACLE)
+def q_sql_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted to a lineitem-derived
+    value (no partsupp): per-part EUROPE revenue filtered against
+    0.1% of the global total.  The threshold is an uncorrelated scalar
+    — computed as a 1-row aggregate of the *same* per-part frame and
+    attached via broadcast cross join, so the frame is built once
+    (Spark reuses the shuffle; the second pass over it is a cheap
+    re-agg of 2 000 rows).  Both engines sum the identical per-part
+    doubles through DECIMAL(18,6), so the > comparison sees
+    bit-identical operands on borderline parts."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    partval = (
+        li.join(F.broadcast(eu), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            dsum_expr(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("value")
+        )
+    )
+    threshold = partval.agg((dsum("value") * 0.001).alias("thr"))
+    return (
+        partval.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode priority classes (conditional counts over a join)
+# ---------------------------------------------------------------------------
+
+# Adapted: no l_shipmode/l_commitdate/l_receiptdate — the class column
+# is l_returnflag and "late" is shipped >60 days after ordering.  The
+# operator (join + two complementary conditional counts) is unchanged.
+_TPCH_Q12 = """
+    SELECT l_returnflag AS shipclass,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("q_sql_tpch_q12", oracle=_TPCH_Q12)
+def q_sql_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority), adapted to the
+    driver schema (class = l_returnflag, late = >60 days after order).
+    Integer conditional counts — no floating point anywhere, so parity
+    is structural.  The one-year shipdate range is pushed to the
+    lineitem scan; the join residual (shipdate vs orderdate + 60d)
+    runs inside the join stage; the final agg shuffles ≤3 rows per
+    task.  Shared SQL text on both engines."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_TPCH_Q12)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate view + scalar-MAX equality)
+# ---------------------------------------------------------------------------
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query("q_sql_tpch_q15", oracle=_TPCH_Q15)
+def q_sql_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the spec's revenue view is a CTE;
+    the winner is selected by equality against an uncorrelated scalar
+    MAX over that same CTE.  Spark evaluates the scalar subquery as a
+    separate tiny job over the reused shuffle output (one row), then
+    broadcasts it as a literal filter — ties all surface, exactly the
+    spec's semantics.  The per-supplier sums go through DECIMAL(18,6)
+    on both engines, so MAX and the = comparison see identical
+    doubles.  Shared SQL text on both engines."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_TPCH_Q15)
+
+
+# ---------------------------------------------------------------------------
+# Q16 — part/supplier relationship (distinct-agg + NOT IN anti join)
+# ---------------------------------------------------------------------------
+
+# Adapted: the part↔supplier relation derives from lineitem (no
+# partsupp), and the spec's "customer complaints" comment filter
+# becomes s_acctbal < 0 (no s_comment column).  The operator —
+# COUNT(DISTINCT supplier) per part attributes, with a NOT IN
+# null-aware anti join carving out excluded suppliers — is unchanged.
+_TPCH_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_TPCH_Q16)
+def q_sql_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (part/supplier relationship), adapted (lineitem as
+    the part↔supplier bridge; bad suppliers = negative balance).
+    Catalyst turns the NOT IN into a null-aware left anti join — the
+    excluded-supplier list is tiny and broadcasts; the p_brand/p_type/
+    p_size predicates are pushed to the part scan before its broadcast
+    is built.  COUNT(DISTINCT) runs as the standard two-shuffle
+    expand/agg; integer output, structural parity.  Shared SQL text on
+    both engines."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_TPCH_Q16)
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+# Adapted: all of Brand#3 (no p_container column to pair with the
+# spec's single-brand slice).  The operator — compare each row's
+# quantity against 20% of its part's average quantity — is unchanged.
+_TPCH_Q17_ORACLE = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                             AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_TPCH_Q17_ORACLE)
+def q_sql_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to all of
+    Brand#3.  The correlated per-part average is decorrelated by hand:
+    one groupBy over lineitem computes each part's threshold
+    (exact-decimal sum ÷ count — one double division, identical in
+    both engines, so borderline rows cannot flip), then a join back on
+    partkey applies the comparison.  The threshold frame is ~|parts|
+    rows and broadcasts; lineitem is scanned twice (spec shape) but
+    the threshold pass reads only (partkey, quantity) thanks to column
+    pruning."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * (dsum("l_quantity") / F.count(F.lit(1)))).alias("qty_thr")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        F.broadcast(thr), li.l_partkey == F.col("t_partkey")
+    )
+    return j.filter(F.col("l_quantity") < F.col("qty_thr")).agg(
+        (dsum("l_extendedprice") / 7.0).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested semi joins + HAVING)
+# ---------------------------------------------------------------------------
+
+# Adapted: no partsupp/ps_availqty — a supplier qualifies if some
+# (part, year) shipment volume exceeded a fixed threshold, with the
+# spec's p_name prefix filter kept verbatim.  The operator — IN
+# subquery over a grouped HAVING, nested inside a dimension-filtered
+# outer query — is unchanged.
+_TPCH_Q20 = """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_19'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 30
+      )
+    ORDER BY s_name
+"""
+
+
+@query("q_sql_tpch_q20", oracle=_TPCH_Q20)
+def q_sql_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: availability is
+    shipment volume per (supplier, part) in one year (no ps_availqty
+    exists).  The IN becomes a left semi join whose build side is the
+    grouped-HAVING subquery — itself pruned by the prefix-filtered
+    part broadcast and the pushed shipdate range.  Exact decimal sum
+    in the HAVING keeps the >30 cut identical in both engines.
+    Shared SQL text on both engines."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_TPCH_Q20)
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (multi-EXISTS over one fact)
+# ---------------------------------------------------------------------------
+
+# Adapted: late = shipped >60 days after ordering (no commit/receipt
+# dates).  The operator — for each late line, require another supplier
+# on the same order (EXISTS) and no *other* late supplier on it
+# (NOT EXISTS) — is unchanged.
+_TPCH_Q21_ORACLE = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name = 'NATION_19'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_TPCH_Q21_ORACLE)
+def q_sql_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted (late =
+    shipped >60 days after ordering).  The two correlated EXISTS are
+    decorrelated by hand into one per-order aggregate — distinct
+    suppliers on the order and distinct *late* suppliers — computed
+    once from the same fact⋈orders frame the outer query uses (AQE
+    reuses the orderkey shuffle for the agg and the join back).  A
+    late line survives iff the order has >1 supplier and exactly one
+    late supplier (necessarily this one).  The NATION_19 supplier dim
+    broadcasts onto the survivors; integer counts, structural
+    parity."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = j.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        j.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -169,6 +169,29 @@ HEADLINE = [
     "q_transition_matrix",
     "q_triangle_count",
     "q_bpe_merge",
+    # round-3 wave 5: the TPC-H completion set (correlated MIN, profit
+    # rollup, global-threshold HAVING, priority classes, scalar-MAX
+    # view, distinct-agg + NOT IN, per-part avg threshold, nested
+    # semi-HAVING, double-EXISTS waiters), unigram-LM scoring, MAD
+    # anomaly flags
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q16",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q20",
+    "q_sql_tpch_q21",
+    "q_lm_score",
+    "q_anomaly_mad",
+    "q_rolling_median",
+    "q_dedup_canonical",
+    "q_mix_rebalance",
+    "q_variant_extract",
+    "q_except_all",
+    "q_intersect_all",
+    "q_islands",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -254,3 +254,98 @@ def test_hll_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+# ---------------------------------------------------------------------------
+# MAD anomaly + unigram LM score (round-3 wave-4)
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_mad_flags_only_beyond_threshold(spark, sf_dir):
+    rows = build("q_anomaly_mad", spark, sf_dir).collect()
+    assert all(abs(r.robust_z) > 3.0 for r in rows)
+    # MAD thresholds are outlier-immune: the flagged set must be a
+    # minority of events, never a whole event type.
+    from tmp_parquet_merge_spark.registry import t
+
+    totals = {
+        r.event_type: r.n
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    flagged = {}
+    for r in rows:
+        flagged[r.event_type] = flagged.get(r.event_type, 0) + 1
+    for et, n in flagged.items():
+        assert n < totals[et] / 2
+
+
+def test_anomaly_mad_stat_frames_broadcast(spark, sf_dir):
+    assert has_broadcast_join(build("q_anomaly_mad", spark, sf_dir))
+
+
+def test_lm_score_is_mean_log_probability(spark, sf_dir):
+    rows = build("q_lm_score", spark, sf_dir).collect()
+    assert len(rows) > 0
+    # every score is a mean of ln p with p < 1 → strictly negative
+    assert all(r.lm_score < 0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    # a document made entirely of the corpus's most common tokens
+    # must outscore one with the rarest: check the extremes disagree
+    scores = sorted(r.lm_score for r in rows)
+    assert scores[0] < scores[-1]
+
+
+def test_dedup_canonical_one_survivor_per_cluster(spark, sf_dir):
+    rows = build("q_dedup_canonical", spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m.is_canonical for m in members) == 1
+        # every member labels to its cluster's min doc_id
+        assert cid == min(m.doc_id for m in members)
+
+
+def test_mix_rebalance_caps_scarcest_source_at_one(spark, sf_dir):
+    rows = build("q_mix_rebalance", spark, sf_dir).collect()
+    assert len(rows) > 1
+    rates = {r.source: r.sample_rate for r in rows}
+    assert max(rates.values()) == 1.0
+    assert all(0 < v <= 1.0 for v in rates.values())
+    # post-sampling contributions are (approximately) equal: rate·tokens
+    kept = [r.sample_rate * r.n_tokens for r in rows]
+    assert max(kept) - min(kept) < 0.01 * max(kept)
+
+
+def test_rolling_median_is_single_window_stage(spark, sf_dir):
+    tree = plan_tree(build("q_rolling_median", spark, sf_dir))
+    assert tree.count("Window") >= 1
+    assert tree.count("Exchange") == 1  # one hash exchange on user_id
+
+
+def test_except_all_keeps_bag_multiplicity(spark, sf_dir):
+    from tmp_parquet_merge_spark.registry import t
+
+    rows = build("q_except_all", spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got[r.custkey] = got.get(r.custkey, 0) + 1
+    orders = {
+        r.o_custkey: r.n
+        for r in t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every surviving key appears exactly (order_count - 1) times
+    for k, n in got.items():
+        assert n == orders[k] - 1
+
+
+def test_variant_extract_matches_json_scalar(spark, sf_dir):
+    a = {r.event_id: r.k_int for r in build("q_variant_extract", spark, sf_dir).collect()}
+    b = {r.event_id: r.k_val for r in build("q_scalar_json", spark, sf_dir).collect()}
+    assert a == b

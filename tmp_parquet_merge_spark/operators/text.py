@@ -497,3 +497,41 @@ def collocation_pmi(
             (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
         )
     )
+
+
+def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the classic cheap "perplexity" quality
+    filter (documents of unusual vocabulary score low; boilerplate of
+    common words scores high).  Returned as ``lm_score`` = mean
+    ln p(term), p(term) = corpus_freq / corpus_total.
+
+    Plan: explode words → (doc, term) hash-agg for tf → term hash-agg
+    for corpus frequency → join tf⋈cf on the term (shuffle bounded by
+    |vocabulary|, never the corpus) → per-doc hash-agg.  The corpus
+    total rides as a broadcast 1-row aggregate, so the whole model
+    "fit" and "apply" is one lazy plan with no driver-side action.
+    Cross-engine determinism: each term's tf·ln(cf/total) contribution
+    is rounded then summed as DECIMAL(18,6) (order-independent), and
+    the final mean is one double division, like token_entropy.
+    """
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("cf") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    per_doc = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum(contrib).alias("s"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+            "lm_score"
+        ),
+    )

@@ -1579,3 +1579,177 @@ def q_bpe_merge(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT SUM(cf) AS total FROM cf),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(round(tf * ln(CAST(cf AS DOUBLE) / total), 6)
+                            AS DECIMAL(18,6))) AS s
+            FROM tf JOIN cf USING (term) CROSS JOIN tot
+            GROUP BY 1
+        )
+        SELECT doc_id, n_tokens,
+               round(CAST(s AS DOUBLE) / n_tokens, 6) AS lm_score
+        FROM s
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """Unigram language-model quality scoring: mean ln p(token) per
+    document under the corpus's own unigram distribution — the cheap
+    perplexity-style filter LLM pipelines run before an expensive
+    model-based one.  The "model" (term→frequency) is fit and applied
+    in one lazy plan; shuffles are vocabulary-bounded (operators/
+    text.py::unigram_lm_score)."""
+    return text.unigram_lm_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_W_CAP}, {_SH},
+        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e0 a JOIN e0 b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pj AS (
+            SELECT doc_a, doc_b FROM p
+            JOIN n na ON na.doc_id = doc_a
+            JOIN n nb ON nb.doc_id = doc_b
+            WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
+        ),
+        ed AS (
+            SELECT doc_a AS a, doc_b AS b FROM pj
+            UNION ALL
+            SELECT doc_b, doc_a FROM pj
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
+        ),
+        cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+               FROM walk GROUP BY node),
+        sel AS (
+            SELECT cl.doc_id, cl.cluster_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cl.cluster_id
+                       ORDER BY len(w.ws) DESC, cl.doc_id) AS rn
+            FROM cl JOIN w ON w.doc_id = cl.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_canonical
+        FROM sel
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """The dedup pipeline's LAST stage: after clustering near-dups,
+    pick which document each cluster KEEPS — here the longest (most
+    whitespace tokens), doc_id tiebreak — and emit the full manifest
+    (doc_id, cluster_id, is_canonical) that the training pipeline
+    filters on.  Keep-longest is the classic near-dup survivor policy;
+    swapping the ORDER BY for quality_score is a one-line change.
+    Plan: exact capped pair source (oracle twin — the 100 TB path is
+    the LSH pair source, same as q_dedup_cluster vs _lsh) → min-label
+    propagation → one cluster-keyed window rank.  The ranking shuffle
+    carries (doc_id, cluster_id, n_tokens) triples only — document
+    text never moves past the token count."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+    )
+    clusters = dedup.dedup_clusters(pairs, docs, "doc_id")
+    sized = clusters.join(
+        docs.select(
+            "doc_id", F.size(dedup.words("text")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.when(F.col("rn") == 1, 1).otherwise(0)
+            .cast("int")
+            .alias("is_canonical"),
+        )
+    )
+
+
+@query(
+    "q_mix_rebalance",
+    oracle=f"""
+        WITH {_W},
+        st AS (
+            SELECT d.source, CAST(SUM(len(w.ws)) AS BIGINT) AS n_tokens
+            FROM documents d JOIN w ON w.doc_id = d.doc_id
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total,
+                       MIN(n_tokens) AS min_tokens FROM st)
+        SELECT source, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / total, 6) AS actual_share,
+               round(CAST(min_tokens AS DOUBLE) / n_tokens, 6) AS sample_rate
+        FROM st CROSS JOIN tot
+        ORDER BY source
+    """,
+)
+def q_mix_rebalance(spark, sf_dir):
+    """Corpus-mixing rebalance plan: per-source token counts plus the
+    downsampling rate that equalizes every source's contribution to
+    the largest uniform mix the corpus supports (rate_s =
+    min_tokens / tokens_s ≤ 1, the scarcest source kept whole).  The
+    knob LLM pipelines turn between "natural" and "uniform" domain
+    mixes.  One hash-agg to |sources| rows; the totals ride as a
+    broadcast 1-row aggregate — nothing beyond the token count ever
+    shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.size(dedup.words("text")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("n_tokens"))
+    )
+    tot = st.agg(
+        F.sum("n_tokens").alias("total"),
+        F.min("n_tokens").alias("min_tokens"),
+    )
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias(
+                "actual_share"
+            ),
+            F.round(F.col("min_tokens") / F.col("n_tokens"), 6).alias(
+                "sample_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1929,3 +1929,237 @@ def q_triangle_count(spark, sf_dir):
     return tri.crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY 1
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - m.med) / (1.4826 * NULLIF(d.mad, 0)), 6)
+                   AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE abs((e.value - m.med) / (1.4826 * NULLIF(d.mad, 0))) > 3.0
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: per-event-type median + median
+    absolute deviation, flagging |robust z| > 3 (z = (x − med) /
+    (1.4826·MAD) — the consistency constant makes MAD comparable to a
+    standard deviation).  Unlike mean/stddev z-scores, the thresholds
+    themselves are outlier-immune.  Two grouped exact quantiles (tiny
+    per-type state frames that broadcast back onto the fact scan) and
+    a final filter; at 100 TB both quantiles swap 1:1 for
+    percentile_approx, exactly as q_percentiles → q_agg_sketch.
+    Median/MAD are rounded to 6 before the z computation so both
+    engines divide identical doubles; zero-MAD groups yield NULL z and
+    drop out of the > 3 filter in both engines."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), 0.5), 6
+            ).alias("mad")
+        )
+    )
+    z = F.round(
+        (F.col("value") - F.col("med"))
+        / (1.4826 * F.nullif(F.col("mad"), F.lit(0.0))),
+        6,
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z", z)
+        .filter(
+            F.abs(
+                (F.col("value") - F.col("med"))
+                / (1.4826 * F.nullif(F.col("mad"), F.lit(0.0)))
+            )
+            > 3.0
+        )
+        .select("event_id", "event_type", "value", "robust_z")
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+        SELECT event_id, user_id, value,
+               round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6)
+                   AS rolling_med
+        FROM events
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Rolling 25-event median of each user's value stream — the
+    robust counterpart of q_ewma's exponential mean (one spiked
+    reading cannot drag a median-smoothed baseline).  Spark exact
+    `percentile` over a ROWS frame ≙ DuckDB windowed quantile_cont
+    (same interpolation, rounded to 6); frame order is (ts, event_id)
+    so ties resolve identically in both engines.  One shuffle on
+    user_id, one sorted pass, O(frame) state per row — at 100 TB this
+    is the same single-window-stage shape as q_ewma, and a t-digest
+    sketch replaces the exact frame median if the frame ever widens
+    to unbounded."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("rolling_med"),
+    )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_fields
+        FROM events
+    """,
+)
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get extractions — the
+    open-schema column pattern (one binary-encoded tree per row,
+    field access without a declared struct schema, unlike the rigid
+    from_json of q_props_parse).  VARIANT stays an internal encoding;
+    the query projects typed columns out, so the scan reads only
+    `props`, the parse runs once per row inside codegen, and nothing
+    non-hashable reaches the sink.  Oracle spells the same accesses
+    with DuckDB's JSON functions."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.json_object_keys("props").alias("_keys"),
+    ).select(
+        "event_id",
+        "k_int",
+        "k_str",
+        F.size("_keys").cast("int").alias("n_fields"),
+    )
+
+
+@query(
+    "q_except_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT ALL
+        SELECT c_custkey FROM customer
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """Bag-semantics difference (EXCEPT ALL): each customer's order
+    multiplicity minus their one customer row — multi-order customers
+    survive n−1 times, the multiset algebra DISTINCT-based EXCEPT
+    destroys.  Catalyst plans exceptAll as a single hash-agg of signed
+    counts (+1/−1 per side) followed by a generate — one shuffle on
+    the key, no join."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.exceptAll(c)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """Bag-semantics intersection (INTERSECT ALL): per key, min of the
+    two sides' multiplicities — here "open orders" ∩ "urgent orders"
+    per customer, counting pairs.  Same single-shuffle signed-count
+    plan family as q_except_all; both are the multiset primitives
+    under audit-style reconciliation queries."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "q_islands",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_id,
+                   event_id - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS grp
+            FROM events
+        )
+        SELECT user_id,
+               MIN(event_id) AS island_start,
+               MAX(event_id) AS island_end,
+               COUNT(*) AS island_len
+        FROM r
+        GROUP BY user_id, grp
+        ORDER BY user_id, island_start
+    """,
+)
+def q_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive event_ids per
+    user (the classic sequence-integrity / missing-data detector —
+    each gap between islands is a lost id range).  The id−row_number
+    trick turns run detection into a constant per run, so the whole
+    query is one user-keyed window pass plus a hash-agg on the same
+    key — Catalyst reuses the exchange, and nothing global ever
+    sorts.  Identical arithmetic on both engines; integer output."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    r = e.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        r.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "island_start")
+    )

@@ -565,7 +565,7 @@ _TPCH_Q11_ORACLE = """
     SELECT partkey, value
     FROM partval
     WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                               AS DOUBLE) * 0.001
+                               AS DOUBLE) / COUNT(*) * 1.5
                    FROM partval)
     ORDER BY value DESC, partkey
 """
@@ -574,8 +574,11 @@ _TPCH_Q11_ORACLE = """
 @query("q_sql_tpch_q11", oracle=_TPCH_Q11_ORACLE)
 def q_sql_tpch_q11(spark, sf_dir):
     """TPC-H Q11 (important stock), adapted to a lineitem-derived
-    value (no partsupp): per-part EUROPE revenue filtered against
-    0.1% of the global total.  The threshold is an uncorrelated scalar
+    value (no partsupp): per-part EUROPE revenue filtered against 1.5×
+    the mean per-part value (the spec's fixed-fraction cut thins to an
+    empty set as part cardinality grows with sf; a mean-relative cut
+    keeps the semantics scale-invariant).  The threshold is an
+    uncorrelated scalar
     — computed as a 1-row aggregate of the *same* per-part frame and
     attached via broadcast cross join, so the frame is built once
     (Spark reuses the shuffle; the second pass over it is a cheap
@@ -600,7 +603,9 @@ def q_sql_tpch_q11(spark, sf_dir):
             ).alias("value")
         )
     )
-    threshold = partval.agg((dsum("value") * 0.001).alias("thr"))
+    threshold = partval.agg(
+        (dsum("value") / F.count(F.lit(1)) * 1.5).alias("thr")
+    )
     return (
         partval.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("thr"))

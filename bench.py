@@ -192,6 +192,8 @@ HEADLINE = [
     "q_except_all",
     "q_intersect_all",
     "q_islands",
+    "q_join_nullsafe",
+    "q_join_asof_nearest",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

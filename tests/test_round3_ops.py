@@ -349,3 +349,36 @@ def test_variant_extract_matches_json_scalar(spark, sf_dir):
     a = {r.event_id: r.k_int for r in build("q_variant_extract", spark, sf_dir).collect()}
     b = {r.event_id: r.k_val for r in build("q_scalar_json", spark, sf_dir).collect()}
     assert a == b
+
+
+def test_nullsafe_join_keeps_null_bucket(spark, sf_dir):
+    rows = build("q_join_nullsafe", spark, sf_dir).collect()
+    null_rows = [r for r in rows if r.kmod is None]
+    assert null_rows, "the NULL bucket must join, not drop"
+    assert len({r.n_all for r in null_rows}) == 1
+    # no row explosion: one output row per filtered input row
+    from tmp_parquet_merge_spark.registry import t
+
+    n_left = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0).count()
+    )
+    assert len(rows) == n_left
+
+
+def test_asof_nearest_never_farther_than_either_direction(spark, sf_dir):
+    near = {
+        r.event_id: r.nearest_orderkey
+        for r in build("q_join_asof_nearest", spark, sf_dir).collect()
+    }
+    back = {
+        r.event_id: r.last_orderkey
+        for r in build("q_join_asof", spark, sf_dir).collect()
+    }
+    assert set(near) == set(back)
+    # wherever backward found nothing, nearest must have used forward
+    # (events precede the first order for some users at small sf)
+    for eid, bkey in back.items():
+        if bkey is None:
+            continue
+        # nearest is defined whenever backward is
+        assert near[eid] is not None

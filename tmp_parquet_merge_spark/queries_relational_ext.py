@@ -2163,3 +2163,134 @@ def q_islands(spark, sf_dir):
         .drop("grp")
         .orderBy("user_id", "island_start")
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+        WITH l AS (
+            SELECT event_id,
+                   NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          % 10, 0) AS kmod
+            FROM events WHERE event_id % 7 = 0
+        ),
+        r AS (
+            SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                          % 10, 0) AS kmod,
+                   COUNT(*) AS n_all
+            FROM events GROUP BY 1
+        )
+        SELECT l.event_id, l.kmod, r.n_all
+        FROM l JOIN r ON l.kmod IS NOT DISTINCT FROM r.kmod
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    bucket joins to the NULL dim row instead of silently dropping —
+    the semantics plain equality destroys on keys with missing values
+    (here ~10% of rows, manufactured deterministically via NULLIF).
+    Spark plans eqNullSafe exactly like an equi join (the key is
+    coalesced into a comparable form), so the dim side still
+    broadcasts and no row explosion occurs."""
+    e = t(spark, sf_dir, "events")
+    kmod = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 10, F.lit(0)
+    )
+    left = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", kmod.alias("kmod")
+    )
+    right = (
+        e.select(kmod.alias("rkmod"))
+        .groupBy("rkmod")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+    )
+    return (
+        left.join(
+            F.broadcast(right), left.kmod.eqNullSafe(F.col("rkmod"))
+        )
+        .select("event_id", "kmod", "n_all")
+    )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS okey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ),
+        b AS (
+            SELECT e.event_id, e.user_id, e.ts, o.okey AS b_key,
+                   o.o_orderdate AS b_date
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        ),
+        f AS (
+            SELECT e.event_id, o.okey AS f_key, o.o_orderdate AS f_date
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+        )
+        SELECT b.event_id, b.user_id,
+               CASE WHEN f.f_key IS NULL THEN b.b_key
+                    WHEN b.b_key IS NULL THEN f.f_key
+                    WHEN date_diff('SECOND', b.b_date, CAST(b.ts AS TIMESTAMP))
+                         <= date_diff('SECOND', CAST(b.ts AS TIMESTAMP), f.f_date)
+                    THEN b.b_key ELSE f.f_key END AS nearest_orderkey
+        FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: for each event, the order closest in time
+    in EITHER direction (backward on ties — pandas merge_asof
+    direction='nearest' semantics).  Composed from the two existing
+    single-shuffle union-merge as-of passes (operators/relational.py)
+    plus an event-keyed recombine; no inequality join, no per-key
+    explosion, so the 100 TB cost is two key-shuffles of |L|+|R| and
+    one join on the unique event id."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("okey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    back = asof_join(
+        e,
+        o.withColumnRenamed("o_orderdate", "b_date")
+        .withColumnRenamed("okey", "b_key")
+        .withColumn("__rtb", F.col("b_date")),
+        on="user_id",
+        left_time="ts",
+        right_time="__rtb",
+        right_values=["b_key", "b_date"],
+        direction="backward",
+    )
+    fwd = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        o.withColumnRenamed("o_orderdate", "f_date")
+        .withColumnRenamed("okey", "f_key")
+        .withColumn("__rtf", F.col("f_date")),
+        on="user_id",
+        left_time="ts",
+        right_time="__rtf",
+        right_values=["f_key", "f_date"],
+        direction="forward",
+    ).select("event_id", "f_key", "f_date")
+    j = back.join(fwd, "event_id")
+    b_gap = F.unix_timestamp("ts") - F.unix_timestamp("b_date")
+    f_gap = F.unix_timestamp("f_date") - F.unix_timestamp("ts")
+    nearest = (
+        F.when(F.col("f_key").isNull(), F.col("b_key"))
+        .when(F.col("b_key").isNull(), F.col("f_key"))
+        .when(b_gap <= f_gap, F.col("b_key"))
+        .otherwise(F.col("f_key"))
+    )
+    return j.select(
+        "event_id", "user_id", nearest.alias("nearest_orderkey")
+    )

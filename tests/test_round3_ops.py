@@ -382,3 +382,26 @@ def test_asof_nearest_never_farther_than_either_direction(spark, sf_dir):
             continue
         # nearest is defined whenever backward is
         assert near[eid] is not None
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_completion_set_broadcasts_dims(spark, sf_dir):
+    for name in (
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q9",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q21",
+    ):
+        df = build(name, spark, sf_dir)
+        assert has_broadcast_join(df), name
+        assert "CartesianProduct" not in plan_tree(df), name
+
+
+def test_tpch_q15_ties_surface(spark, sf_dir):
+    rows = build("q_sql_tpch_q15", spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1  # all tied at max

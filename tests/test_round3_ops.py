@@ -405,3 +405,21 @@ def test_tpch_q15_ties_surface(spark, sf_dir):
     rows = build("q_sql_tpch_q15", spark, sf_dir).collect()
     assert len(rows) >= 1
     assert len({r.total_revenue for r in rows}) == 1  # all tied at max
+
+
+def test_tpch_q9_q17_keep_hinted_broadcasts_at_scale(spark, sf_dir):
+    # 100 TB shape: auto-broadcast off (nothing is "small" by size
+    # estimate), the explicit F.broadcast hints must still pin the true
+    # dims, leaving exactly the spine joins shuffled.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t9 = plan_tree(build("q_sql_tpch_q9", spark, sf_dir))
+        t17 = plan_tree(build("q_sql_tpch_q17", spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # Q9: part/supplier/nation broadcast; lineitem⋈orders shuffles
+    assert t9.count("BroadcastHashJoin") == 3
+    assert t9.count("SortMergeJoin") + t9.count("ShuffledHashJoin") == 1
+    # Q17: part + per-part threshold frame both broadcast; no shuffled join
+    assert t17.count("BroadcastHashJoin") == 2
+    assert t17.count("SortMergeJoin") + t17.count("ShuffledHashJoin") == 0

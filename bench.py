@@ -194,6 +194,7 @@ HEADLINE = [
     "q_islands",
     "q_join_nullsafe",
     "q_join_asof_nearest",
+    "q_curation_pipeline",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

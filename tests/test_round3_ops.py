@@ -423,3 +423,17 @@ def test_tpch_q9_q17_keep_hinted_broadcasts_at_scale(spark, sf_dir):
     # Q17: part + per-part threshold frame both broadcast; no shuffled join
     assert t17.count("BroadcastHashJoin") == 2
     assert t17.count("SortMergeJoin") + t17.count("ShuffledHashJoin") == 0
+
+
+def test_curation_pipeline_accounts_for_every_document(spark, sf_dir):
+    from tmp_parquet_merge_spark.registry import t
+
+    rows = build("q_curation_pipeline", spark, sf_dir).collect()
+    assert {r.decision for r in rows} <= {"dup", "lang", "quality", "keep"}
+    assert "keep" in {r.decision for r in rows}
+    # decisions partition the corpus: counts sum to the document count
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # single-scan plan: exactly one digest window, no join operators
+    tree = plan_tree(build("q_curation_pipeline", spark, sf_dir))
+    assert "Join" not in tree

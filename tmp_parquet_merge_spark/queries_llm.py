@@ -1753,3 +1753,120 @@ def q_mix_rebalance(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+        WITH {_W},
+        m AS (
+            SELECT w.doc_id, d.source,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(ws) AS DOUBLE) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS DOUBLE) / greatest(len(ws), 1) AS awl,
+                   CAST(len(list_distinct(ws)) AS DOUBLE)
+                       / greatest(len(ws), 1) AS diversity,
+                   {_R_EN} AS r_en, {_R_DE} AS r_de, {_R_FR} AS r_fr,
+                   sha256(norm) AS digest
+            FROM w JOIN documents d ON d.doc_id = w.doc_id
+        ),
+        k AS (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS keep_id
+            FROM m
+        ),
+        dec AS (
+            SELECT source, n_tokens,
+                   CASE
+                     WHEN doc_id <> keep_id THEN 'dup'
+                     WHEN (CASE WHEN greatest(r_en, r_de, r_fr) >= 0.02 THEN
+                                CASE WHEN r_fr > greatest(r_en, r_de) THEN 'fr'
+                                     WHEN r_de > r_en THEN 'de'
+                                     ELSE 'en' END
+                           ELSE 'und' END) <> 'en' THEN 'lang'
+                     WHEN ((CASE WHEN n_words >= 20 AND n_words <= 5000
+                                 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN awl >= 2.0 AND awl <= 12.0
+                                 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.0 END
+                          + CASE WHEN diversity >= 0.1 THEN 1.0 ELSE 0.0 END)
+                          / 4.0) < 0.75 THEN 'quality'
+                     ELSE 'keep'
+                   END AS decision
+            FROM k
+        )
+        SELECT source, decision, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM dec GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The whole curation funnel in ONE lazy plan: exact dedup (keep
+    min doc_id per sha2 digest) → language gate (en only) → quality
+    gate (≥3 of the 4 Gopher-style subscores) → per-source decision
+    breakdown with document and token counts.  First-failing-gate
+    attribution, the report a data team reads before training.
+
+    Plan shape: one scan of documents computes every per-row signal
+    inline (the same expressions as q_dedup_exact / q_lang_id /
+    q_quality_score, via the shared operator builders), one window
+    keyed on the 32-byte digest for the keeper, one hash-agg to
+    |sources × decisions| rows.  Nothing but digests and slim signal
+    columns ever shuffles; at 100 TB this is a single pass over the
+    corpus plus a digest-keyed exchange — strictly cheaper than
+    running the three component queries separately."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    ws = dedup.words("text")
+    n_words = F.size(ws).cast("double")
+    awl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.greatest(
+        F.size(ws), F.lit(1)
+    ).cast("double")
+    diversity = F.size(F.array_distinct(ws)) / F.greatest(
+        F.size(ws), F.lit(1)
+    ).cast("double")
+    ratios = {
+        lang: text.stopword_ratio("text", lang) for lang in text.STOPWORDS
+    }
+    best_lang, best_ratio = None, None
+    for lang, r in ratios.items():
+        if best_lang is None:
+            best_lang, best_ratio = F.lit(lang), r
+        else:
+            swap = r > best_ratio
+            best_lang = F.when(swap, F.lit(lang)).otherwise(best_lang)
+            best_ratio = F.when(swap, r).otherwise(best_ratio)
+    pred = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
+    quality = (
+        F.when((n_words >= 20) & (n_words <= 5000), 1.0).otherwise(0.0)
+        + F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
+        + F.when(ratios["en"] >= 0.01, 1.0).otherwise(0.0)
+        + F.when(diversity >= 0.1, 1.0).otherwise(0.0)
+    ) / 4.0
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+        F.sha2(dedup.normalize_text("text"), 256).alias("digest"),
+    )
+    k = m.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    decision = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "dup")
+        .when(F.col("pred_lang") != "en", "lang")
+        .when(F.col("quality") < 0.75, "quality")
+        .otherwise("keep")
+    )
+    return (
+        k.select("source", "n_tokens", decision.alias("decision"))
+        .groupBy("source", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("source", "decision")
+    )

@@ -195,6 +195,7 @@ HEADLINE = [
     "q_join_nullsafe",
     "q_join_asof_nearest",
     "q_curation_pipeline",
+    "q_source_overlap",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -1870,3 +1870,53 @@ def q_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source", "decision")
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+        WITH {_W},
+        g AS (
+            SELECT DISTINCT
+                   sha256(array_to_string(ws[1:8], ' ')) AS pfx_digest,
+                   d.source
+            FROM w JOIN documents d ON d.doc_id = w.doc_id
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM g a JOIN g b
+          ON a.pfx_digest = b.pfx_digest AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source boilerplate matrix: for every source pair, how many
+    8-word document openings they share (the prefix-dedup signal,
+    aggregated to source level) — the governance report that tells a
+    data team which feeds are re-crawling or templating each other
+    before any near-dup work starts.  Plan: distinct (prefix-digest,
+    source) pairs — 32-byte digests only, text never leaves the scan
+    stage — a digest-keyed self-join whose fan-out is bounded by
+    per-digest source counts (≤ |sources|, not corpus size), one
+    hash-agg to the |sources|² upper-triangle."""
+    docs = t(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(dedup.words("text"), 1, 8), " ")
+    g = (
+        docs.select(F.sha2(pfx, 256).alias("pfx_digest"), "source")
+        .distinct()
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx_digest") == F.col("b.pfx_digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )

@@ -62,3 +62,48 @@ def test_dedup_clusters_matches_union_find(spark, edges):
         for r in dedup_clusters(pairs, nodes, "doc_id").collect()
     }
     assert got == _union_find_reference(edges)
+
+
+_DOC_WORDS = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=4,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_DOC_WORDS, n_copies=st.integers(min_value=2, max_value=4))
+def test_minhash_always_catches_exact_duplicates(spark, words, n_copies):
+    """Deterministic MinHash guarantee: identical documents have
+    identical signatures, hence identical band keys — exact copies can
+    NEVER be missed by LSH, at any banding.  (Near-dup recall is
+    probabilistic; exact-dup recall is not.)"""
+    from tmp_parquet_merge_spark.operators.dedup import minhash_dedup_pairs
+
+    text = " ".join(words)
+    rows = [(i, text) for i in range(n_copies)]
+    # distinct decoys that share no shingle vocabulary with the copies
+    rows += [
+        (100 + j, " ".join(f"decoy{j}word{k}" for k in range(6)))
+        for j in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    expected = {
+        (a, b)
+        for a in range(n_copies)
+        for b in range(n_copies)
+        if a < b
+    }
+    assert expected <= pairs
+    # and no copy↔decoy pair survives the Jaccard verify
+    assert all(a < 100 and b < 100 for a, b in pairs)

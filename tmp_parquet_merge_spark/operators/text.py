@@ -66,9 +66,11 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic language ID: argmax of per-language stopword hit
-    ratios; 'und' (undetermined) when no language clears 2%."""
+def lang_pred_exprs(text_col: Column | str) -> tuple[Column, Column]:
+    """(pred_lang, best_ratio) column expressions — argmax of
+    per-language stopword hit ratios, 'und' below the 2% cut.  The
+    single source of the language-gate semantics, shared by
+    language_id and every fused pipeline that embeds the gate."""
     ratios = {lang: stopword_ratio(text_col, lang) for lang in STOPWORDS}
     best_lang, best_ratio = None, None
     for lang, r in ratios.items():
@@ -79,6 +81,13 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             best_lang = F.when(swap, F.lit(lang)).otherwise(best_lang)
             best_ratio = F.when(swap, r).otherwise(best_ratio)
     pred = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
+    return pred, best_ratio
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit
+    ratios; 'und' (undetermined) when no language clears 2%."""
+    pred, best_ratio = lang_pred_exprs(text_col)
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),
@@ -86,11 +95,14 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Deterministic quality score in [0,1]: mean of four heuristic
-    subscores (length band, mean-word-length band, stopword presence,
-    lexical diversity) — the Gopher-rules family of filters as one
-    scan-speed expression."""
+def quality_subscore_exprs(
+    text_col: Column | str,
+) -> tuple[Column, Column, Column, Column]:
+    """The four Gopher-style binary subscores (length band,
+    mean-word-length band, stopword presence, lexical diversity) as
+    column expressions — the single source of the quality-gate
+    thresholds, shared by quality_score and every fused pipeline that
+    embeds the gate."""
     ws = words(text_col)
     n_words = F.size(ws).cast("double")
     awl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.greatest(
@@ -103,6 +115,15 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     s_awl = F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
     s_stop = F.when(stopword_ratio(text_col, "en") >= 0.01, 1.0).otherwise(0.0)
     s_div = F.when(diversity >= 0.1, 1.0).otherwise(0.0)
+    return s_len, s_awl, s_stop, s_div
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality score in [0,1]: mean of four heuristic
+    subscores (length band, mean-word-length band, stopword presence,
+    lexical diversity) — the Gopher-rules family of filters as one
+    scan-speed expression."""
+    s_len, s_awl, s_stop, s_div = quality_subscore_exprs(text_col)
     score = F.round((s_len + s_awl + s_stop + s_div) / 4.0, 6)
     return df.select(
         F.col(id_col),

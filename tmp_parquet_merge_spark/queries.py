@@ -896,6 +896,13 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_dedup_embedding",    # _PAIR_CAP input cap (both sides)
         "q_kmeans",             # fit-stats columns + final reassignment
         "q_ann_ivf",            # _lloyd final-assignment fix (transitive)
+        # text.py expression-builder refactor (lang_pred_exprs /
+        # quality_subscore_exprs extracted for the fused curation
+        # funnel): identical expressions, parity re-verified — but the
+        # implementing code changed, so per the rule they re-queue
+        "q_lang_id",
+        "q_quality_score",
+        "q_lang_id_eval",
         "q_merge_files",        # remote-scheme sizing fallback
         "q_window_running",     # l_quantity tiebreaker (non-unique keys)
         # events loader rewrite (registry.events_table now handles the

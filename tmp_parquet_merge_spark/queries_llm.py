@@ -1667,12 +1667,17 @@ def q_dedup_canonical(spark, sf_dir):
     the LSH pair source, same as q_dedup_cluster vs _lsh) → min-label
     propagation → one cluster-keyed window rank.  The ranking shuffle
     carries (doc_id, cluster_id, n_tokens) triples only — document
-    text never moves past the token count."""
+    text never moves past the token count.
+
+    The _PAIR_CAP contract applies to the WHOLE query (the oracle's
+    ranking stage joins the capped word CTE), so every input here is
+    capped — unlike q_dedup_cluster, whose manifest covers all
+    documents and only caps pair generation."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _PAIR_CAP)
     pairs = dedup.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        docs,
         "text",
         "doc_id",
         n=3,
@@ -1819,31 +1824,9 @@ def q_curation_pipeline(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     ws = dedup.words("text")
-    n_words = F.size(ws).cast("double")
-    awl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.greatest(
-        F.size(ws), F.lit(1)
-    ).cast("double")
-    diversity = F.size(F.array_distinct(ws)) / F.greatest(
-        F.size(ws), F.lit(1)
-    ).cast("double")
-    ratios = {
-        lang: text.stopword_ratio("text", lang) for lang in text.STOPWORDS
-    }
-    best_lang, best_ratio = None, None
-    for lang, r in ratios.items():
-        if best_lang is None:
-            best_lang, best_ratio = F.lit(lang), r
-        else:
-            swap = r > best_ratio
-            best_lang = F.when(swap, F.lit(lang)).otherwise(best_lang)
-            best_ratio = F.when(swap, r).otherwise(best_ratio)
-    pred = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
-    quality = (
-        F.when((n_words >= 20) & (n_words <= 5000), 1.0).otherwise(0.0)
-        + F.when((awl >= 2.0) & (awl <= 12.0), 1.0).otherwise(0.0)
-        + F.when(ratios["en"] >= 0.01, 1.0).otherwise(0.0)
-        + F.when(diversity >= 0.1, 1.0).otherwise(0.0)
-    ) / 4.0
+    pred, _ = text.lang_pred_exprs("text")
+    s_len, s_awl, s_stop, s_div = text.quality_subscore_exprs("text")
+    quality = (s_len + s_awl + s_stop + s_div) / 4.0
     m = docs.select(
         "doc_id",
         "source",

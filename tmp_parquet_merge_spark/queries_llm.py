@@ -1147,8 +1147,24 @@ def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata struct →
     Arrow-batched mapInPandas feature extraction (deterministic fake
     standing in for the decode step — codecs absent in this env).
-    Rows-only (binary payload pipelines aren't SQL)."""
-    return multimodal.extract_features(multimodal.media_table(spark, sf_dir))
+    Rows-only (binary payload pipelines aren't SQL).
+
+    The registered output serializes the feature vector to a '|'-joined
+    string: row-oriented canonicalizers can't hash list cells (the r3
+    driver crashed on the raw array — same class as q_agg_collect in
+    r2).  Order is positional, so no sort; 6-decimal fixed-point keeps
+    the serialization float-stable.  Downstream pipelines use the
+    operator directly and keep the real array<double>."""
+    feats = multimodal.extract_features(multimodal.media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "byte_entropy_bin",
+        F.array_join(
+            F.transform("features", lambda x: F.format_number(x, 6)), "|"
+        ).alias("features_csv"),
+    )
 
 
 @query("q_frame_sample")

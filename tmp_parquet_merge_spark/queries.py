@@ -837,35 +837,56 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # — moves the query back to tier 0/1 via _CHANGED_THIS_ROUND.  Ties
 # keep definition order, so the sequence is stable run to run.
 
-# Cumulative hash_match == true rows (CORRECTNESS_r01 ∪ r02).
+# Cumulative hash_match == true rows (CORRECTNESS_r01 ∪ r02 ∪ r03),
+# MINUS names whose evidence no longer certifies current code: the 7
+# queries changed by the r3 events-loader / streaming-window rewrite
+# (q_funnel, q_join_asof_forward, q_resample_ffill, q_stream_dedup,
+# q_window_range_frame, q_window_session, q_window_sliding) were in r3's
+# _CHANGED_THIS_ROUND but the 50-slot window filled before re-running
+# them, so their r2 rows are stale (r3 verdict, "What's wrong" #2) and
+# they are deliberately absent here — they queue at tier 0.
 _HASH_GREEN = frozenset(
     {
         # round 1
         "q_scan_full", "q_scan_count", "q_project_one", "q_project_subset",
-        "q_merge_files", "q_filter_pushdown", "q_filter_nulls", "q_to_json",
+        "q_filter_pushdown", "q_filter_nulls", "q_to_json",
         "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_join_inner",
-        "q_join_multiway", "q_join_semi", "q_join_anti", "q_join_asof",
-        "q_join_range", "q_window_rank", "q_window_running", "q_window_lag",
+        "q_join_multiway", "q_join_semi", "q_join_anti",
+        "q_join_range", "q_window_rank", "q_window_lag",
         "q_topk_orders", "q_sort_global", "q_set_intersect", "q_set_except",
-        "q_scalar_string", "q_scalar_date", "q_scalar_array", "q_scalar_json",
-        "q_window_tumbling", "q_dedup_exact", "q_dedup_ngram",
-        "q_split_assign", "q_dedup_embedding", "q_topk_similarity",
-        "q_knn_classify", "q_text_stats", "q_lang_id", "q_quality_score",
+        "q_scalar_string", "q_scalar_date", "q_scalar_array",
+        "q_dedup_exact",
+        "q_split_assign", "q_topk_similarity",
+        "q_knn_classify", "q_text_stats",
         # round 2
-        "q_dedup_cluster", "q_token_count", "q_tfidf", "q_repetition",
+        "q_token_count", "q_tfidf", "q_repetition",
         "q_doc_fingerprint", "q_corpus_mix", "q_sample_stratified",
-        "q_lang_id_eval", "q_contamination", "q_redact", "q_histogram",
+        "q_redact", "q_histogram",
         "q_profile", "q_agg_cube", "q_agg_stats", "q_percentiles",
-        "q_pivot", "q_join_outer", "q_scalar_math", "q_scalar_regex",
+        "q_join_outer", "q_scalar_math", "q_scalar_regex",
         "q_scalar_conditional", "q_sql_scalar_subquery", "q_sql_tpch_q3",
-        "q_partition_pruning", "q_resample_ffill", "q_incremental_agg",
-        "q_zorder_layout", "q_table_diff", "q_upsert", "q_funnel",
-        "q_dpp_join", "q_bucketed_join", "q_join_asof_forward",
+        "q_partition_pruning", "q_incremental_agg",
+        "q_zorder_layout", "q_table_diff", "q_upsert",
+        "q_dpp_join", "q_bucketed_join",
         "q_salted_join", "q_window_ntile", "q_unpivot", "q_sql_tpch_q6",
-        "q_grouping_sets", "q_agg_argmax", "q_window_range_frame",
-        "q_window_sliding", "q_stream_dedup", "q_window_session",
+        "q_grouping_sets", "q_agg_argmax",
         "q_union_files", "q_udf_pandas", "q_grouped_apply",
         "q_csv_roundtrip", "q_json_roundtrip",
+        # round 3 (CORRECTNESS_r03 hash_match == true; includes the
+        # re-evidenced r3 _CHANGED_THIS_ROUND members)
+        "q_agg_collect", "q_merge_files", "q_join_asof",
+        "q_window_running", "q_scalar_map", "q_scalar_json",
+        "q_window_tumbling", "q_dedup_ngram", "q_dedup_prefix",
+        "q_dedup_editdist", "q_dedup_cluster", "q_dedup_embedding",
+        "q_lang_id", "q_quality_score", "q_entropy", "q_ngram_freq",
+        "q_pack_sequences", "q_chunk_docs", "q_vocab",
+        "q_sample_weighted", "q_lang_id_eval", "q_contamination",
+        "q_media_metadata", "q_bm25", "q_interleave_sources",
+        "q_vector_norm", "q_collocations", "q_dedup_containment",
+        "q_sample_reservoir", "q_media_dedup", "q_bpe_merge",
+        "q_lm_score", "q_dedup_canonical", "q_mix_rebalance",
+        "q_curation_pipeline", "q_source_overlap", "q_pivot",
+        "q_sql_exists",
     }
 )
 
@@ -875,49 +896,32 @@ _ROWS_SEEN = frozenset(
         "q_merge_schema_evolution", "q_rowgroup_read", "q_schema_dump",
         "q_metadata_stats", "q_column_stats",
         "q_roundtrip", "q_dedup_embedding_lsh",
+        # round 3 (spark_rows > 0, err == "no_oracle")
+        "q_agg_sketch", "q_frame_sample", "q_ann_lsh", "q_ann_ivf",
+        "q_kmeans", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_cluster_lsh", "q_contamination_lsh", "q_hll_rollup",
+        "q_merge_compaction",
     }
 )
 
-# Evidence recorded for an implementation that has since changed — the
-# round-1 rows-ok of the similarity/minhash family predates the round-2
-# rewrite of operators/similarity.py and dedup.py (the round-2 advisor
-# flagged exactly this), so those names are deliberately NOT in
-# _ROWS_SEEN and queue for fresh evidence.
-#
-# Changed in THIS round (round 3) and therefore re-queued regardless of
-# past evidence:
+# Changed in THIS round (round 4) and therefore re-queued regardless of
+# past evidence.  (The r3 change set is fully folded above: its members
+# either re-evidenced green in CORRECTNESS_r03 and moved to _HASH_GREEN,
+# or missed the window and were dropped from _HASH_GREEN so they queue
+# as unevidenced.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        "q_agg_collect",        # array_join serialization (r2 driver ERR)
-        "q_window_range_frame", # oracle epoch granularity aligned
-        "q_dedup_cluster",      # pair source now exact ngram (capped)
-        "q_contamination",      # pair source now exact ngram (capped)
-        "q_dedup_ngram",        # _PAIR_CAP input cap (both sides)
-        "q_dedup_embedding",    # _PAIR_CAP input cap (both sides)
-        "q_kmeans",             # fit-stats columns + final reassignment
-        "q_ann_ivf",            # _lloyd final-assignment fix (transitive)
-        # text.py expression-builder refactor (lang_pred_exprs /
-        # quality_subscore_exprs extracted for the fused curation
-        # funnel): identical expressions, parity re-verified — but the
-        # implementing code changed, so per the rule they re-queue
-        "q_lang_id",
-        "q_quality_score",
-        "q_lang_id_eval",
-        "q_merge_files",        # remote-scheme sizing fallback
-        "q_window_running",     # l_quantity tiebreaker (non-unique keys)
-        # events loader rewrite (registry.events_table now handles the
-        # regenerated TIMESTAMP(MICROS) testdata; was int64-ns) — every
-        # evidenced query that reads events re-queues, per the rule
-        "q_join_asof",
-        "q_scalar_json",
-        "q_window_tumbling",
-        "q_pivot",
-        "q_resample_ffill",
-        "q_funnel",
-        "q_join_asof_forward",
-        "q_window_sliding",
-        "q_stream_dedup",
-        "q_window_session",
+        # features array<double> serialized to '|'-joined fixed-point
+        # string — the raw list column crashed the r3 driver
+        # canonicalizer (ERR row, r3 verdict "What's wrong" #1)
+        "q_multimodal_features",
+        # global rank rewritten from single-partition window to
+        # bucketed two-pass rank (r3 advice: plan contradicted the
+        # docstring's scale claim)
+        "q_quantile_norm",
+        # IN-subquery respelled as hinted-broadcast qualifying CTE
+        # (shared SQL text changed on both engines)
+        "q_sql_tpch_q18",
     }
 )
 
@@ -932,28 +936,52 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# The round-2 verdict's #1 gap, verbatim: the queries that have NEVER
-# produced a driver row (q_agg_sketch / q_multimodal_features /
-# q_frame_sample after two rounds outside the window) plus the
-# similarity/minhash family whose round-1 rows evidence predates the
-# round-2 rewrite of operators/similarity.py + dedup.py.  More
-# unevidenced queries now exist than the driver's ~50-slot window can
-# check in one round, so these named debts go first; everything else
-# unevidenced follows in definition order and queues for later rounds.
+# Round-4 window plan (r3 verdict, "Next round" #2): 60 queries need
+# fresh evidence (1 driver-ERR fix + 7 stale + 52 never-windowed) but
+# only ~50 slots exist, so the head of the window is pinned explicitly:
+# the fixed q_multimodal_features first, then the 7 stale events/
+# streaming queries, then the 20-query TPC-H expansion (highest user
+# value), then the three most novel scale components with zero driver
+# rows (q_pagerank / q_ann_pq / q_dedup_semantic — verdict #7).  The
+# remaining unevidenced queries (events analytics etc.) follow via the
+# tier sort — oracle-backed (tier 0) before rows-only (tier 1), in
+# definition order — and whatever misses the window drains first in r5.
+# Registry growth is frozen this round so the backlog fits the window.
 _DRIVER_FIRST = (
-    "q_agg_collect",
-    "q_agg_sketch",
     "q_multimodal_features",
-    "q_frame_sample",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_kmeans",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_cluster_lsh",
-    "q_contamination_lsh",
-    "q_hll_rollup",
-    "q_merge_compaction",
+    # stale since the r3 events-loader / streaming-window rewrite
+    "q_funnel",
+    "q_join_asof_forward",
+    "q_resample_ffill",
+    "q_stream_dedup",
+    "q_window_range_frame",
+    "q_window_session",
+    "q_window_sliding",
+    # the r3 TPC-H expansion (q3/q6 already hash-green in r2)
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q16",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q18",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q20",
+    "q_sql_tpch_q21",
+    "q_sql_tpch_q22",
+    # most novel scale components still without a driver row
+    "q_pagerank",
+    "q_ann_pq",
+    "q_dedup_semantic",
 )
 
 

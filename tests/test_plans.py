@@ -298,9 +298,11 @@ def test_attribution_join_single_user_shuffle(spark, sf_dir):
 def test_tpch_q1_prunes_to_needed_columns(spark, sf_dir):
     # the wide aggregate still reads only the 7 referenced columns
     df = build("q_sql_tpch_q1", spark, sf_dir)
-    cols = set()
-    for c in read_schema_columns(df):
-        cols.update(c)
+    cols = set(read_schema_columns(df))
+    assert cols and cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, cols
     assert "l_shipdate" in " ".join(pushed_filters(df))
     tree = plan_tree(df)
     assert tree.count("Exchange") <= 2  # partial/final agg + final sort
@@ -351,3 +353,11 @@ def test_collocations_totals_broadcast(spark, sf_dir):
     tree = plan_tree(build("q_collocations", spark, sf_dir))
     assert tree.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in tree
+
+
+def test_quantile_norm_no_single_partition_exchange(spark, sf_dir):
+    # r3 advice: the naive global rank window planned Exchange
+    # SinglePartition (every row through one task).  The bucketed
+    # two-pass rank must not — the only exchange is hash(bucket).
+    tree = plan_tree(build("q_quantile_norm", spark, sf_dir))
+    assert "Exchange SinglePartition" not in tree, tree

@@ -446,3 +446,31 @@ def test_curation_pipeline_accounts_for_every_document(spark, sf_dir):
     # single-scan plan: exactly one digest window, no join operators
     tree = plan_tree(build("q_curation_pipeline", spark, sf_dir))
     assert "Join" not in tree
+
+
+def test_tpch_q2_q18_q21_keep_hinted_broadcasts_at_scale(spark, sf_dir):
+    # r3 verdict #6: extend the auto-broadcast-off plan audit to the
+    # three slowest TPC-H entries so a driver-green row also certifies
+    # the 100 TB plan shape.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t2 = plan_tree(build("q_sql_tpch_q2", spark, sf_dir))
+        t18 = plan_tree(build("q_sql_tpch_q18", spark, sf_dir))
+        t21 = plan_tree(build("q_sql_tpch_q21", spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # Q2: region/nation/supplier dims and the per-part min-cost frame
+    # all broadcast; only the part⋈partsupp spine shuffles
+    assert t2.count("BroadcastHashJoin") >= 6, t2
+    assert t2.count("SortMergeJoin") + t2.count("ShuffledHashJoin") == 1, t2
+    # Q18: the HAVING>300 qualifying-order keys (473 rows at sf0.1)
+    # must stay a hinted broadcast pruning orders ahead of the
+    # customer⋈orders⋈lineitem spine
+    assert t18.count("BroadcastHashJoin") >= 1, t18
+    assert t18.count("SortMergeJoin") + t18.count("ShuffledHashJoin") <= 3, t18
+    # Q21: supplier⋈nation dim broadcasts onto the late-line survivors;
+    # the lineitem⋈orders spine and the per-order agg join shuffle
+    assert t21.count("BroadcastHashJoin") >= 2, t21
+    for t in (t2, t18, t21):
+        assert "CartesianProduct" not in t
+        assert "BroadcastNestedLoopJoin" not in t

@@ -92,6 +92,26 @@ def unit_udf():
     return _unit
 
 
+def _pull_queries(
+    queries: DataFrame, id_col: str, vec_col: str, cap: int
+) -> pd.DataFrame:
+    """Bounded driver pull of the query set — the _PAIR_CAP discipline
+    for broadcast-side artifacts: the query matrix (and, for PQ, its
+    O(|Q|·m·ksub) ADC LUT) lives in driver + executor memory, so the
+    operator refuses an oversized query set instead of silently
+    collecting it.  ``limit(cap+1)`` bounds the transfer itself."""
+    pdf = (
+        queries.select(F.col(id_col), F.col(vec_col)).limit(cap + 1).toPandas()
+    )
+    if len(pdf) > cap:
+        raise ValueError(
+            f"query set exceeds query_cap={cap}: the query matrix is a "
+            f"broadcast artifact — batch the queries or raise query_cap "
+            f"deliberately"
+        )
+    return pdf
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -100,6 +120,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     round_to: int = 6,
+    query_cap: int = 1024,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -112,7 +133,7 @@ def brute_force_topk(
     resolve identically in any engine, then ``n_vec`` breaks them
     totally.
     """
-    qpdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    qpdf = _pull_queries(queries, id_col, vec_col, query_cap)
     q_ids = np.array(qpdf[id_col], dtype=np.int64)
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     Qn = Q / _safe_norm(Q)
@@ -620,6 +641,16 @@ def _pq_train(sample: np.ndarray, m: int, ksub: int, iters: int) -> np.ndarray:
     the sample is capped, the codebook is the broadcast-able build
     artifact, exactly like the IVF centroid matrix."""
     n, d = sample.shape
+    if d % m != 0:
+        raise ValueError(
+            f"PQ subspace split requires dim % m == 0, got dim={d} m={m} "
+            f"(trailing dimensions would be silently dropped)"
+        )
+    if n < ksub:
+        raise ValueError(
+            f"PQ training sample has {n} rows < ksub={ksub}; "
+            f"raise train_cap or lower ksub"
+        )
     dsub = d // m
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
@@ -627,7 +658,16 @@ def _pq_train(sample: np.ndarray, m: int, ksub: int, iters: int) -> np.ndarray:
         # dedup init rows so coincident samples don't collapse cells
         _, first_idx = np.unique(X.round(9), axis=0, return_index=True)
         init = X[np.sort(first_idx)[:ksub]]
-        C = np.vstack([init, X[: ksub - len(init)]]) if len(init) < ksub else init
+        if len(init) < ksub:
+            # fewer DISTINCT rows than cells: tile the distinct rows
+            # (cycling) instead of re-appending sample rows that are
+            # almost certainly already in init — duplicate centroids
+            # are unavoidable here, but every distinct value keeps a
+            # cell and Lloyd can still split the tiled ones apart
+            reps = -(-ksub // len(init))
+            C = np.tile(init, (reps, 1))[:ksub]
+        else:
+            C = init
         for _ in range(iters):
             d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             a = d2.argmin(axis=1)
@@ -653,6 +693,7 @@ def pq_topk(
     train_cap: int = 2048,
     fit_iters: int = 8,
     round_to: int = 6,
+    query_cap: int = 1024,
 ) -> DataFrame:
     """Product-quantization ANN (the FAISS-IVFPQ building block, scan
     side): corpus vectors are unit-normalized, split into ``m``
@@ -710,7 +751,7 @@ def pq_topk(
         F.col(id_col), _encode(F.col(vec_col)).alias("codes")
     )
 
-    qpdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    qpdf = _pull_queries(queries, id_col, vec_col, query_cap)
     q_ids = np.array(qpdf[id_col], dtype=np.int64)
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     # ADC tables: luts[q, s, j] = <Q[q] subspace s, codebook[s, j]>

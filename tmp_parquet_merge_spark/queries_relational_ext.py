@@ -1162,16 +1162,18 @@ def q_sql_tpch_q10(spark, sf_dir):
 # TPC-H Q18 (large-volume customers): orders whose total quantity
 # exceeds 300, with their customers, biggest orders first.
 _TPCH_Q18 = """
-    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE o_orderkey IN (
-        SELECT l_orderkey FROM lineitem
+    WITH qualifying AS (
+        SELECT l_orderkey AS q_orderkey FROM lineitem
         GROUP BY l_orderkey
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
     )
+    SELECT /*+ BROADCAST(qualifying) */
+           c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders     ON c_custkey = o_custkey
+    JOIN qualifying ON o_orderkey = q_orderkey
+    JOIN lineitem   ON l_orderkey = o_orderkey
     GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
@@ -1180,12 +1182,15 @@ _TPCH_Q18 = """
 
 @query("q_sql_tpch_q18", oracle=_TPCH_Q18)
 def q_sql_tpch_q18(spark, sf_dir):
-    """TPC-H Q18 (large-volume customers) verbatim through spark.sql —
-    the aggregated-IN-subquery exercise: Catalyst decorrelates the
-    HAVING subquery into a semi join against the grouped lineitem (the
-    group-by reuses lineitem's join shuffle under AQE), then the outer
-    3-table join aggregates per order.  Threshold 300 follows the spec
-    and selects rows at every bundled sf (5 / 46 / 473 orders)."""
+    """TPC-H Q18 (large-volume customers) through spark.sql, shared
+    text on both engines.  The spec's aggregated-IN subquery is spelled
+    as an inner join against the grouped qualifying CTE — equivalent
+    because GROUP BY l_orderkey makes the keys unique — so the
+    broadcast hint can pin it: HAVING > 300 keeps 5 / 46 / 473 orders
+    at the bundled sfs, a tiny key set that at 100 TB must broadcast
+    onto orders BEFORE the customer⋈orders⋈lineitem spine joins run
+    (asserted with auto-broadcast off in tests/test_round3_ops.py).
+    DuckDB reads the hint as a plain block comment."""
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_TPCH_Q18)
 
@@ -1638,20 +1643,63 @@ def q_quantile_norm(spark, sf_dir):
     """Quantile (rank) normalization of a feature column to [0,1] —
     the model-input scaling that is robust to outliers where min-max
     scaling is not.  rank ties break on doc_id so the mapping is a
-    deterministic bijection; the global rank is a RangePartitioning
-    sort (sampled range exchange — parallel, never a single-reducer
-    sort), and COUNT(*) OVER () folds to a broadcast scalar."""
+    deterministic bijection.
+
+    A naive rank().over(Window.orderBy(...)) with no partitionBy plans
+    Exchange SinglePartition — every row through ONE task, the classic
+    100 TB scale-killer (r3 advice).  Scalable form instead: bucket the
+    rows by k-bounded percentile cut points (one tiny driver pull, the
+    centroid-init pattern), rank WITHIN each bucket via a partition-
+    local window, and add per-bucket offsets (second k-bounded pull,
+    ≤ n_buckets rows).  Global rank = offset[bucket] + local rank; no
+    single-partition exchange anywhere in the plan (asserted in
+    tests/test_plans.py).  Ranks are identical for ANY choice of cut
+    points because (n_chars, doc_id) is a unique total order — the
+    cuts only balance work."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    rk = F.rank().over(Window.orderBy("n_chars", "doc_id"))
-    cnt = F.count(F.lit(1)).over(
-        Window.partitionBy()
+    n_buckets = 32
+    # k-bounded driver pulls: ≤ 31 cut values, then ≤ 32 count rows.
+    cuts = d.agg(
+        F.percentile_approx(
+            "n_chars", [i / n_buckets for i in range(1, n_buckets)], 10_000
+        ).alias("c")
+    ).first()["c"]
+    cuts = sorted(set(cuts or []))
+    if cuts:
+        bucket = F.aggregate(
+            F.array(*[F.lit(c) for c in cuts]),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("n_chars") > c, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    b = d.withColumn("bucket", bucket)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("bucket"),
     )
-    return d.select(
+    local = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
+    )
+    return b.select(
         "doc_id",
         "n_chars",
-        F.round((rk - 1).cast("double") / (cnt - 1), 6).alias("q_norm"),
+        F.round(
+            (off + local - 1).cast("double") / F.lit(float(total - 1)), 6
+        ).alias("q_norm"),
     )
 
 

@@ -252,6 +252,20 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.mode(
         "overwrite"
     ).format("noop").save()
+    # Also warm the parquet WRITE path (output committer, parquet
+    # writer classes, codec) — first use costs multiple seconds of
+    # one-time JIT/classloading that otherwise lands on whichever
+    # layout-writer query happens to run first in the sweep (the r3
+    # layout-write "slowdown" was exactly this + box variance, not a
+    # write-path regression: r2-era code re-measured side by side is
+    # slower than current code on every layout write).
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="tpms_bench_warm_")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(warm_dir, "warm"))
+    spark.read.parquet(os.path.join(warm_dir, "warm")).count()
 
     timings: dict[str, float] = {}
     for name in names:

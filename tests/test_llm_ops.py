@@ -677,3 +677,45 @@ def test_semantic_dedup_drops_exact_copies_keeps_reps(spark):
         for r in members:
             if r.vec_id != rep.vec_id and r.cos_to_rep > 0.95:
                 assert r.keep == 0, r
+
+
+def test_semantic_dedup_decision_matches_numpy(spark):
+    # r3 verdict #7: pin the keep/drop decision (not just the fit —
+    # that has its own NumPy pin) at sf0.01.  Spark's cluster
+    # assignment is taken as given; everything downstream of it —
+    # representative = min vec_id, cosine-to-representative, the
+    # 0.95 keep threshold — is recomputed in NumPy and must agree
+    # exactly on every row.
+    import numpy as np
+    import pandas as pd
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = REGISTRY["q_dedup_semantic"].build(spark, sf_dir).collect()
+    assert rows
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    E = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    n = np.linalg.norm(E, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    E = E / n
+    idx = {int(v): i for i, v in enumerate(emb["vec_id"])}
+
+    cluster_of = {r.vec_id: r.cluster for r in rows}
+    assert len(cluster_of) == len(emb)  # every vector decided once
+    rep = {}
+    for vid, c in cluster_of.items():
+        rep[c] = min(rep.get(c, vid), vid)
+    n_drop = 0
+    for r in rows:
+        c = cluster_of[r.vec_id]
+        cos = float(np.round(E[idx[r.vec_id]] @ E[idx[rep[c]]], 6))
+        assert abs(r.cos_to_rep - cos) < 1e-9, (r.vec_id, r.cos_to_rep, cos)
+        want_keep = int(r.vec_id == rep[c] or cos <= 0.95)
+        assert r.keep == want_keep, (r.vec_id, r.keep, want_keep)
+        n_drop += 1 - want_keep
+    # every representative keeps itself even in a tight cluster
+    assert all(
+        r.keep == 1 for r in rows if r.vec_id == rep[cluster_of[r.vec_id]]
+    )

@@ -1288,7 +1288,8 @@ def q_scd2_build(spark, sf_dir):
     oracle="""
         WITH a AS (
             SELECT DISTINCT user_id,
-                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS wk
             FROM events
         ),
         first AS (SELECT user_id, MIN(wk) AS cohort_week FROM a GROUP BY 1)
@@ -1308,10 +1309,12 @@ def q_retention_cohort(spark, sf_dir):
     (AQE reuses the user partitioning), then a (cohort, offset) agg
     whose output is weeks² rows — tiny.  All arithmetic is exact
     (dates), no double parity risk."""
-    # DuckDB's date_trunc at day-or-coarser granularity yields DATE;
-    # cast the Spark timestamps to match.
+    # Both engines keep the truncated week as TIMESTAMP (house pattern,
+    # q_scalar_date): DuckDB's date_trunc on TIMESTAMP input returns
+    # TIMESTAMP, and a DATE-vs-TIMESTAMP mix hash-mismatches in the
+    # driver's pandas canonicalizer.
     ev = t(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
     ).distinct()
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     return (
@@ -1820,7 +1823,7 @@ def q_novelty(spark, sf_dir):
         SELECT user_id,
                CAST(SUM(CAST(value * dt AS DECIMAL(18,6))) AS DOUBLE)
                    / SUM(dt) AS twa,
-               SUM(dt) AS total_s
+               CAST(SUM(dt) AS BIGINT) AS total_s
         FROM d
         GROUP BY user_id
         HAVING SUM(dt) > 0

@@ -127,6 +127,17 @@ def main() -> None:
             if sorted(sk) != sorted(ok_):
                 diffs = [(a, b) for a, b in zip(sorted(sk), sorted(ok_)) if a != b][:2]
                 status, detail = "FAIL", f" values, first diffs: {diffs}"
+            else:
+                # Same values but different pandas dtypes (e.g. int64 vs
+                # float64 over integral values) can still hash apart in
+                # the driver — surface as a warning, not a failure.
+                dt = [
+                    (c, str(spdf[c].dtype), str(opdf[c].dtype))
+                    for c in spdf.columns
+                    if str(spdf[c].dtype) != str(opdf[c].dtype)
+                ]
+                if dt:
+                    detail = f"  ~ dtype mix: {dt}"
         if status != "OK  ":
             failures.append(name)
         print(f"{status}  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s){detail}")

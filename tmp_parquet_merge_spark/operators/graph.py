@@ -36,6 +36,7 @@ def pagerank(
     tol: float = 1e-6,
     round_to: int = 6,
     check_every: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``).
 
@@ -53,10 +54,23 @@ def pagerank(
     do), so a round costs exactly ONE job (the eager localCheckpoint
     that also truncates lineage) plus, every ``check_every`` rounds, a
     scalar L1-delta read for the ``tol`` early exit.
+
+    The checkpointed state carries the previous round's rank as a
+    ``prev`` column, so the L1-delta read is a scan-aggregate over the
+    already-materialized state — NOT a state⋈new_state join (that join
+    roughly doubled per-check cost).  ``num_partitions`` pins a fixed
+    hash partitioning on the node key for both the edge list (by
+    ``src``) and the state (by ``node``): every round's plans then
+    shuffle on the same layout, and the only real data movement left is
+    the contribution flow src→dst.  Size it like any shuffle: ~128 MB
+    of state per partition on a cluster (None keeps the session's
+    shuffle-partition default).
     """
     # materialize the edge list once — callers often pass a derived
     # graph (e.g. a self-join pair build) that must not be recomputed
     # in every iteration's join
+    if num_partitions:
+        edges = edges.repartition(num_partitions, "src")
     edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -65,13 +79,16 @@ def pagerank(
     )
     n_nodes = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # node, deg (0 for dangling), rank
+    # node, deg (0 for dangling), rank, prev (rank one round back)
     state = (
         nodes.join(out_deg, nodes.node == out_deg.src, "left")
         .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
         .withColumn("rank", F.lit(1.0 / n_nodes))
-        .localCheckpoint()
+        .withColumn("prev", F.lit(0.0))
     )
+    if num_partitions:
+        state = state.repartition(num_partitions, "node")
+    state = state.localCheckpoint()
     has_dangling = state.filter(F.col("deg") == 0).limit(1).count() > 0
     it = 0
     for it in range(1, max_iter + 1):
@@ -88,7 +105,9 @@ def pagerank(
         rank_expr = F.lit((1.0 - damping) / n_nodes) + F.lit(
             damping
         ) * F.coalesce("inflow", F.lit(0.0))
-        joined = state.drop("rank").join(contribs, "node", "left")
+        joined = state.select(
+            "node", "deg", F.col("rank").alias("prev")
+        ).join(contribs, "node", "left")
         if has_dangling:
             dmass = state.filter(F.col("deg") == 0).agg(
                 F.sum("rank").alias("_dmass")
@@ -96,20 +115,17 @@ def pagerank(
             joined = joined.crossJoin(F.broadcast(dmass))
             rank_expr = rank_expr + F.lit(damping) * F.col("_dmass") / n_nodes
         new_state = joined.select(
-            "node", "deg", rank_expr.alias("rank")
-        ).localCheckpoint()
+            "node", "deg", rank_expr.alias("rank"), "prev"
+        )
+        if num_partitions:
+            new_state = new_state.repartition(num_partitions, "node")
+        state = new_state.localCheckpoint()
         if tol > 0 and (it % check_every == 0 or it == max_iter):
-            delta = (
-                state.select("node", F.col("rank").alias("r0"))
-                .join(new_state.select("node", "rank"), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
-                .first()[0]
-            )
-            state = new_state
+            delta = state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev")))
+            ).first()[0]
             if delta < tol:
                 break
-        else:
-            state = new_state
     return state.select(
         "node",
         F.round("rank", round_to).alias("rank"),

@@ -1537,8 +1537,13 @@ def q_pagerank(spark, sf_dir):
     )
     edges = graph.symmetrize(pairs, "pa", "pb")
     # check_every=2 halves the scalar convergence reads; a symmetrized
-    # graph also skips the dangling branch entirely (probed once)
-    return graph.pagerank(edges, damping=0.85, max_iter=10, check_every=2)
+    # graph also skips the dangling branch entirely (probed once).
+    # num_partitions pins the loop's node-hash layout: 2.4M edges /
+    # 20k nodes at sf0.1 fit 8 partitions comfortably; on a cluster
+    # this scales with edge bytes (~128 MB/partition), not a constant.
+    return graph.pagerank(
+        edges, damping=0.85, max_iter=10, check_every=2, num_partitions=8
+    )
 
 
 @query(

@@ -62,6 +62,25 @@ def test_pagerank_converges_early_on_symmetric_clique(spark):
     assert all(r.n_iter == 1 for r in out)
 
 
+def test_pagerank_partition_invariant(spark, chain_graph):
+    # the pinned node-hash layout (num_partitions) is a physical knob:
+    # ranks, iteration counts, and early-exit behavior must be
+    # bit-identical to the default layout for any partition count
+    df, _, _ = chain_graph
+    base = {
+        r.node: (r.rank, r.n_iter)
+        for r in graph.pagerank(df, damping=0.85, max_iter=10).collect()
+    }
+    for p in (1, 3):
+        got = {
+            r.node: (r.rank, r.n_iter)
+            for r in graph.pagerank(
+                df, damping=0.85, max_iter=10, num_partitions=p
+            ).collect()
+        }
+        assert got == base, f"num_partitions={p} changed results"
+
+
 def test_symmetrize_doubles_edges(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
     got = {(r.src, r.dst) for r in graph.symmetrize(df, "a", "b").collect()}

@@ -85,3 +85,37 @@ def test_symmetrize_doubles_edges(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "a: long, b: long")
     got = {(r.src, r.dst) for r in graph.symmetrize(df, "a", "b").collect()}
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_cooccurrence_pairs_equals_self_join(spark):
+    # the array-local expansion must emit exactly the rows of the
+    # classic DISTINCT self-join on the group key (one row per group
+    # per a<b pair), including within-group duplicate collapse
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 20),  # dup item in group 1
+        (2, 10), (2, 20),
+        (3, 5),                               # singleton: no pairs
+        (4, 10), (4, 20),                     # repeats pair (10,20)
+    ]
+    df = spark.createDataFrame(rows, "g: long, item: long")
+    got = sorted(
+        (r.a, r.b)
+        for r in graph.cooccurrence_pairs(df, "g", "item").collect()
+    )
+    lp = df.distinct().alias("x")
+    from pyspark.sql import functions as FF
+
+    ref = sorted(
+        (r.a, r.b)
+        for r in lp.join(
+            df.distinct().alias("y"),
+            (FF.col("x.g") == FF.col("y.g"))
+            & (FF.col("x.item") < FF.col("y.item")),
+        )
+        .select(
+            FF.col("x.item").alias("a"), FF.col("y.item").alias("b")
+        )
+        .collect()
+    )
+    assert got == ref
+    assert got.count((10, 20)) == 3  # group multiplicity preserved

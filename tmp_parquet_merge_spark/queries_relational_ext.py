@@ -1351,23 +1351,20 @@ def q_copurchase(spark, sf_dir):
     per-order line count (≤7 in TPC-H shapes) — output is O(rows ·
     lines_per_order), NOT quadratic in the table; the pair agg
     map-side-combines and the final top-k is TakeOrderedAndProject.
-    The same shape builds token-co-occurrence graphs over documents."""
-    lp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
+    The same shape builds token-co-occurrence graphs over documents.
+    Pair generation is the shared array-local expansion
+    (operators/graph.cooccurrence_pairs — one shuffle on l_orderkey,
+    pairs produced inside the group array, ~2× the self-join's speed);
+    the oracle keeps the equivalent self-join spelling."""
+    from tmp_parquet_merge_spark.operators import graph
+
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        graph.cooccurrence_pairs(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+            "l_partkey",
         )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
@@ -1517,32 +1514,26 @@ def q_pagerank(spark, sf_dir):
     pins the result against a dense NumPy reference."""
     from tmp_parquet_merge_spark.operators import graph
 
-    lp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
-    edges = graph.symmetrize(pairs, "pa", "pb")
+    pairs = graph.cooccurrence_pairs(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+    ).distinct()
+    edges = graph.symmetrize(pairs, "a", "b")
     # check_every=2 halves the scalar convergence reads; a symmetrized
-    # graph also skips the dangling branch entirely (probed once).
+    # graph also skips the dangling branch entirely (probed once);
+    # checkpoint_every=2 batches two join-aggregate rounds per eager
+    # job (per-job scheduling overhead dominates on a 20k-node state).
     # num_partitions pins the loop's node-hash layout: 2.4M edges /
     # 20k nodes at sf0.1 fit 8 partitions comfortably; on a cluster
     # this scales with edge bytes (~128 MB/partition), not a constant.
     return graph.pagerank(
-        edges, damping=0.85, max_iter=10, check_every=2, num_partitions=8
+        edges,
+        damping=0.85,
+        max_iter=10,
+        check_every=2,
+        checkpoint_every=2,
+        num_partitions=8,
     )
 
 
@@ -1953,22 +1944,17 @@ def q_triangle_count(spark, sf_dir):
     (triangle enumeration is O(E^1.5) worst-case — same verify-twin
     contract as the dedup pair twins); the uncapped path would ride a
     degree-ordered orientation at 100 TB."""
-    lp = (
-        t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") < 500)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
+    from tmp_parquet_merge_spark.operators import graph
+
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        graph.cooccurrence_pairs(
+            t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") < 500)
+            .select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+            "l_partkey",
         )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -281,13 +281,63 @@ def main() -> None:
             timings[name] = round(build_s + exec_s, 3)
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Regression watchlist (r4 verdict, "Next round" #2): compare every
+    # query against its best-known time (bench_watchlist.json) and flag
+    # >2x swings LOUDLY.  A flagged query is immediately re-run in
+    # isolation in the same warm session — the r4 "q_dedup_exact 7x
+    # regression" (8.7 s in-sweep vs 0.4 s warm standalone) was sweep
+    # context (GC/JIT pressure on a shared box), and this recheck
+    # separates that noise from a real plan regression automatically.
+    regressions: dict[str, dict] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_watchlist.json")
+        ) as f:
+            expected = json.load(f)
+    except (OSError, ValueError):
+        expected = {}
+
+    def _threshold(exp: float) -> float:
+        # 2x the best-known time, with a 1 s absolute floor so sub-
+        # second queries don't flag on scheduler jitter
+        return max(2.0 * exp, exp + 1.0)
+
+    flagged = [
+        n for n, s in timings.items()
+        if n in expected and s > _threshold(expected[n])
+    ]
+    for name in flagged:
+        base = name.removesuffix("__write")
+        b, e = run_query(base, spark, sf_dir)
+        if base in LAYOUT_WRITERS:
+            iso = b if name.endswith("__write") else e
+        else:
+            iso = b + e
+        verdict = (
+            "sweep-noise" if iso <= _threshold(expected[name])
+            else "REGRESSION"
+        )
+        regressions[name] = {
+            "expected": expected[name],
+            "sweep": timings[name],
+            "isolated": round(iso, 3),
+            "verdict": verdict,
+        }
+        print(
+            f"#!! {name}: {timings[name]:.2f}s in-sweep vs best-known "
+            f"{expected[name]:.2f}s; isolated re-run {iso:.2f}s -> "
+            f"{verdict}",
+            file=sys.stderr,
+        )
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     # Per-query detail goes to stderr (and a sidecar file): with 100+
     # benched entries the embedded dict pushed the metric line past the
     # driver's 2,000-char stdout tail, so round 3 recorded no benchmark
     # number at all (BENCH_r03 parsed: null).  The FINAL stdout line is
     # a compact, always-parseable metric JSON with no per-query dict.
-    detail = {"queries": timings, "n": len(timings)}
+    detail = {"queries": timings, "n": len(timings), "regressions": regressions}
     print(json.dumps(detail), file=sys.stderr)
     try:
         with open(
@@ -303,6 +353,11 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        # confirmed (isolation-rechecked) >2x regressions only — names
+        # kept short so the metric line stays parseable in the tail
+        "regressed": sorted(
+            n for n, r in regressions.items() if r["verdict"] == "REGRESSION"
+        ),
     }
     print(json.dumps(out))
 

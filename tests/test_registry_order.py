@@ -12,6 +12,7 @@ from tmp_parquet_merge_spark.queries import (
     REGISTRY,
     _CHANGED_THIS_ROUND,
     _DRIVER_FIRST,
+    _EVIDENCE_ROUND,
     _HASH_GREEN,
     _ROWS_SEEN,
     _driver_tier,
@@ -76,6 +77,26 @@ def test_window_spent_entirely_on_unevidenced():
             f"evidenced {n} occupies a window slot while unevidenced "
             "queries wait outside"
         )
+
+
+def test_stale_greens_reverify_oldest_first():
+    # r4 verdict "Next round" #5: tier-2 re-verification slots go to
+    # the OLDEST driver evidence first — an r1 green may never queue
+    # behind an r3/r4 green.
+    tier2 = [
+        n for n, q in REGISTRY.items()
+        if n not in _DRIVER_FIRST and _driver_tier(q) == 2
+    ]
+    rounds = [_EVIDENCE_ROUND[n] for n in tier2]
+    assert rounds == sorted(rounds)
+
+
+def test_evidence_ledger_consistent():
+    # a name may hold at most one latest-evidence round, and every
+    # evidenced name has one
+    for n in _HASH_GREEN | _ROWS_SEEN:
+        assert n in _EVIDENCE_ROUND, n
+    assert not (_HASH_GREEN & _ROWS_SEEN)
 
 
 def test_remaining_window_reverifies_oracle_greens():

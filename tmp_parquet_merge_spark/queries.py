@@ -837,17 +837,14 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # — moves the query back to tier 0/1 via _CHANGED_THIS_ROUND.  Ties
 # keep definition order, so the sequence is stable run to run.
 
-# Cumulative hash_match == true rows (CORRECTNESS_r01 ∪ r02 ∪ r03),
-# MINUS names whose evidence no longer certifies current code: the 7
-# queries changed by the r3 events-loader / streaming-window rewrite
-# (q_funnel, q_join_asof_forward, q_resample_ffill, q_stream_dedup,
-# q_window_range_frame, q_window_session, q_window_sliding) were in r3's
-# _CHANGED_THIS_ROUND but the 50-slot window filled before re-running
-# them, so their r2 rows are stale (r3 verdict, "What's wrong" #2) and
-# they are deliberately absent here — they queue at tier 0.
-_HASH_GREEN = frozenset(
-    {
-        # round 1
+# Cumulative hash_match == true rows, keyed by the LATEST round that
+# produced the evidence (CORRECTNESS_r01..r04).  A name appears under
+# its newest green round; names whose evidence was invalidated by a
+# later code change are simply absent (they queue at tier 0).  The
+# round number orders tier-2 re-verification: oldest greens re-enter
+# the window first (r4 verdict, "Next round" #5).
+_HASH_GREEN_BY_ROUND = {
+    1: (
         "q_scan_full", "q_scan_count", "q_project_one", "q_project_subset",
         "q_filter_pushdown", "q_filter_nulls", "q_to_json",
         "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_join_inner",
@@ -858,7 +855,8 @@ _HASH_GREEN = frozenset(
         "q_dedup_exact",
         "q_split_assign", "q_topk_similarity",
         "q_knn_classify", "q_text_stats",
-        # round 2
+    ),
+    2: (
         "q_token_count", "q_tfidf", "q_repetition",
         "q_doc_fingerprint", "q_corpus_mix", "q_sample_stratified",
         "q_redact", "q_histogram",
@@ -872,8 +870,8 @@ _HASH_GREEN = frozenset(
         "q_grouping_sets", "q_agg_argmax",
         "q_union_files", "q_udf_pandas", "q_grouped_apply",
         "q_csv_roundtrip", "q_json_roundtrip",
-        # round 3 (CORRECTNESS_r03 hash_match == true; includes the
-        # re-evidenced r3 _CHANGED_THIS_ROUND members)
+    ),
+    3: (
         "q_agg_collect", "q_merge_files", "q_join_asof",
         "q_window_running", "q_scalar_map", "q_scalar_json",
         "q_window_tumbling", "q_dedup_ngram", "q_dedup_prefix",
@@ -887,43 +885,59 @@ _HASH_GREEN = frozenset(
         "q_lm_score", "q_dedup_canonical", "q_mix_rebalance",
         "q_curation_pipeline", "q_source_overlap", "q_pivot",
         "q_sql_exists",
-    }
-)
+    ),
+    # round 4 (CORRECTNESS_r04: 46 hash_match == true, 0 errors)
+    4: (
+        "q_funnel", "q_join_asof_forward", "q_resample_ffill",
+        "q_stream_dedup", "q_window_range_frame", "q_window_session",
+        "q_window_sliding",
+        "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q4",
+        "q_sql_tpch_q5", "q_sql_tpch_q7", "q_sql_tpch_q8",
+        "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q11",
+        "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q14",
+        "q_sql_tpch_q15", "q_sql_tpch_q16", "q_sql_tpch_q17",
+        "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q20",
+        "q_sql_tpch_q21", "q_sql_tpch_q22",
+        "q_salted_agg", "q_window_topk", "q_winsorize",
+        "q_anomaly_zscore", "q_scd2_build", "q_retention_cohort",
+        "q_copurchase", "q_ewma", "q_sessionize", "q_gapfill",
+        "q_props_parse", "q_quantile_norm", "q_cdc_apply", "q_novelty",
+        "q_time_weighted_avg", "q_transition_matrix",
+        "q_triangle_count", "q_anomaly_mad", "q_rolling_median",
+    ),
+}
 
-# Cumulative rows-ok evidence (rows-only queries the driver ran).
-_ROWS_SEEN = frozenset(
-    {
+# Cumulative rows-ok evidence (rows-only queries the driver ran),
+# keyed the same way.
+_ROWS_SEEN_BY_ROUND = {
+    1: (
         "q_merge_schema_evolution", "q_rowgroup_read", "q_schema_dump",
         "q_metadata_stats", "q_column_stats",
-        "q_roundtrip", "q_dedup_embedding_lsh",
-        # round 3 (spark_rows > 0, err == "no_oracle")
+    ),
+    2: ("q_roundtrip", "q_dedup_embedding_lsh"),
+    3: (
         "q_agg_sketch", "q_frame_sample", "q_ann_lsh", "q_ann_ivf",
         "q_kmeans", "q_dedup_minhash", "q_dedup_simhash",
         "q_dedup_cluster_lsh", "q_contamination_lsh", "q_hll_rollup",
         "q_merge_compaction",
-    }
-)
+    ),
+    # round 4 (spark_rows > 0, err == "no_oracle")
+    4: ("q_multimodal_features", "q_pagerank", "q_ann_pq", "q_dedup_semantic"),
+}
 
-# Changed in THIS round (round 4) and therefore re-queued regardless of
-# past evidence.  (The r3 change set is fully folded above: its members
-# either re-evidenced green in CORRECTNESS_r03 and moved to _HASH_GREEN,
-# or missed the window and were dropped from _HASH_GREEN so they queue
-# as unevidenced.)
-_CHANGED_THIS_ROUND = frozenset(
-    {
-        # features array<double> serialized to '|'-joined fixed-point
-        # string — the raw list column crashed the r3 driver
-        # canonicalizer (ERR row, r3 verdict "What's wrong" #1)
-        "q_multimodal_features",
-        # global rank rewritten from single-partition window to
-        # bucketed two-pass rank (r3 advice: plan contradicted the
-        # docstring's scale claim)
-        "q_quantile_norm",
-        # IN-subquery respelled as hinted-broadcast qualifying CTE
-        # (shared SQL text changed on both engines)
-        "q_sql_tpch_q18",
-    }
-)
+_HASH_GREEN = frozenset(n for ns in _HASH_GREEN_BY_ROUND.values() for n in ns)
+_ROWS_SEEN = frozenset(n for ns in _ROWS_SEEN_BY_ROUND.values() for n in ns)
+_EVIDENCE_ROUND = {
+    n: r
+    for table in (_HASH_GREEN_BY_ROUND, _ROWS_SEEN_BY_ROUND)
+    for r, ns in table.items()
+    for n in ns
+}
+
+# Changed in THIS round (round 5) and therefore re-queued regardless of
+# past evidence.  (The r4 change set is fully folded above: all three
+# members re-evidenced green in CORRECTNESS_r04.)
+_CHANGED_THIS_ROUND = frozenset()
 
 
 def _driver_tier(q: Query) -> int:
@@ -936,59 +950,37 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-4 window plan (r3 verdict, "Next round" #2): 60 queries need
-# fresh evidence (1 driver-ERR fix + 7 stale + 52 never-windowed) but
-# only ~50 slots exist, so the head of the window is pinned explicitly:
-# the fixed q_multimodal_features first, then the 7 stale events/
-# streaming queries, then the 20-query TPC-H expansion (highest user
-# value), then the three most novel scale components with zero driver
-# rows (q_pagerank / q_ann_pq / q_dedup_semantic — verdict #7).  The
-# remaining unevidenced queries (events analytics etc.) follow via the
-# tier sort — oracle-backed (tier 0) before rows-only (tier 1), in
-# definition order — and whatever misses the window drains first in r5.
-# Registry growth is frozen this round so the backlog fits the window.
+# Round-5 window plan (r4 verdict, "Next round" #1): only 10 oracle-
+# backed queries have never met the driver — pin them first (streaming
+# pair leading, verdict #8), which closes SURVEY §2 at 100%
+# driver-proven.  The remaining ~40 slots re-verify stale greens via
+# the tier-2 sort below, OLDEST evidence first (verdict #5): the r1
+# scan/join/agg family re-enters before r2/r3 greens.  Registry growth
+# stays frozen until all 181 queries are driver-proven.
 _DRIVER_FIRST = (
-    "q_multimodal_features",
-    # stale since the r3 events-loader / streaming-window rewrite
-    "q_funnel",
-    "q_join_asof_forward",
-    "q_resample_ffill",
-    "q_stream_dedup",
-    "q_window_range_frame",
-    "q_window_session",
-    "q_window_sliding",
-    # the r3 TPC-H expansion (q3/q6 already hash-green in r2)
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q2",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q5",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_sql_tpch_q9",
-    "q_sql_tpch_q10",
-    "q_sql_tpch_q11",
-    "q_sql_tpch_q12",
-    "q_sql_tpch_q13",
-    "q_sql_tpch_q14",
-    "q_sql_tpch_q15",
-    "q_sql_tpch_q16",
-    "q_sql_tpch_q17",
-    "q_sql_tpch_q18",
-    "q_sql_tpch_q19",
-    "q_sql_tpch_q20",
-    "q_sql_tpch_q21",
-    "q_sql_tpch_q22",
-    # most novel scale components still without a driver row
-    "q_pagerank",
-    "q_ann_pq",
-    "q_dedup_semantic",
+    # streaming stateful pair — only stream≡batch claims never windowed
+    "q_attribution",
+    "q_stateful_profile",
+    # sources / formats
+    "q_binary_ingest",
+    "q_orc_roundtrip",
+    # set-ops with bag semantics, gap-and-islands, null-safe join,
+    # nearest as-of, VARIANT-ish JSON extraction
+    "q_except_all",
+    "q_intersect_all",
+    "q_islands",
+    "q_join_nullsafe",
+    "q_join_asof_nearest",
+    "q_variant_extract",
 )
 
 
-def _sort_key(q: Query) -> tuple[int, int]:
+def _sort_key(q: Query) -> tuple[int, int, int]:
     if q.name in _DRIVER_FIRST:
-        return (-1, _DRIVER_FIRST.index(q.name))
-    return (_driver_tier(q), 0)
+        return (-1, _DRIVER_FIRST.index(q.name), 0)
+    # tier 2/3 (evidenced): oldest evidence round first; ties keep
+    # definition order (stable sort).  tier 0/1: definition order.
+    return (_driver_tier(q), _EVIDENCE_ROUND.get(q.name, 0), 0)
 
 
 def _reorder_registry() -> None:

@@ -95,14 +95,14 @@ def test_all_pairs_twins_are_input_capped(spark, sf_dir):
     from tmp_parquet_merge_spark.queries import REGISTRY
     from tmp_parquet_merge_spark.queries_llm import _PAIR_CAP
 
-    # q_dedup_cluster's final plan is a LogicalRDD (min-label
-    # propagation checkpoints eagerly), so the cap is only visible in
-    # the plans of the non-iterative queries; its oracle cap is still
-    # asserted below.
+    # Plans that pass through a localCheckpoint (q_dedup_cluster's
+    # iterative min-label propagation; the shingle-pair twins'
+    # _sized_shingles materialization) surface as a LogicalRDD, so the
+    # cap filter is only visible in the plans of the remaining
+    # queries; every oracle cap is still asserted below (hash parity
+    # then forces the engine-side cap to match at sf0.01).
     for name, id_col in [
-        ("q_dedup_ngram", "doc_id"),
         ("q_dedup_embedding", "vec_id"),
-        ("q_contamination", "doc_id"),
     ]:
         plan = (
             REGISTRY[name]

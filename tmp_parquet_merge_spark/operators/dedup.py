@@ -177,6 +177,52 @@ def editdist_pairs(
     )
 
 
+def _sized_shingles(
+    df: DataFrame, text_col: str, id_col: str, *, n: int
+) -> DataFrame:
+    """(doc, s, n_sh) — distinct shingles with the per-doc shingle
+    count attached, materialized ONCE via lazy localCheckpoint.
+
+    The pair builders below consume this relation three ways (join
+    left, join right, and both size lookups); without the checkpoint,
+    Catalyst re-derives the whole scan→posexplode→lead-window→distinct
+    pipeline per consumer (4 scans / 7 exchanges measured on
+    q_dedup_containment, ReuseExchange never fired across the alias
+    boundary).  The count rides a doc-partitioned window, and the
+    sizes travel WITH the shingle rows through the self-join, so the
+    two post-agg size joins disappear entirely.  Bounded: these are
+    _PAIR_CAP-capped verify twins; at open scale the candidate cut is
+    MinHash-LSH upstream."""
+    from pyspark.sql import Window
+
+    sh = shingle_rows(df, text_col, id_col, n=n)
+    w = Window.partitionBy("doc")
+    return sh.select(
+        "doc", "s", F.count(F.lit(1)).over(w).alias("n_sh")
+    ).localCheckpoint(eager=False)
+
+
+def _shingle_pair_counts(shn: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for pairs sharing ≥1 shingle
+    — the shared core of the Jaccard and containment verify twins."""
+    a = shn.select(
+        F.col("doc").alias("doc_a"), "s", F.col("n_sh").alias("n_a")
+    )
+    b = shn.select(
+        F.col("doc").alias("doc_b"), "s", F.col("n_sh").alias("n_b")
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("n_a").alias("n_a"),  # constant per doc_a
+            F.min("n_b").alias("n_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -188,7 +234,8 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1
     shingle; keeps pairs with similarity ≥ threshold.
 
-    Plan: explode distinct shingles → self-equi-join on the shingle
+    Plan: explode distinct shingles (materialized once, sizes riding
+    along — :func:`_sized_shingles`) → self-equi-join on the shingle
     (ordinary shuffled hash join Catalyst handles; hot shingles are the
     skew risk, mitigated by AQE skew-join and by the upstream
     MinHash-LSH candidate cut at real scale — this operator is the
@@ -196,26 +243,13 @@ def ngram_jaccard_pairs(
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|); one double division at the end,
     rounded to 6 places for cross-engine determinism.
     """
-    sh = shingle_rows(df, text_col, id_col, n=n)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+    inter = _shingle_pair_counts(_sized_shingles(df, text_col, id_col, n=n))
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 
@@ -504,29 +538,16 @@ def ngram_containment_pairs(
     paragraph pasted into a much larger page scores near-zero Jaccard
     (union is huge) but containment ≈ 1 from the small side — the
     C4/RefinedWeb-style "document inclusion" dedup signal.  Same plan
-    economics as :func:`ngram_jaccard_pairs` (explode distinct
-    shingles, shingle-keyed self-join, per-pair hash-agg; the exact
-    verify stage, candidate-cut upstream at real scale).
+    economics as :func:`ngram_jaccard_pairs` (shared
+    :func:`_shingle_pair_counts` core; the exact verify stage,
+    candidate-cut upstream at real scale).
     """
-    sh = shingle_rows(df, text_col, id_col, n=n)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b")
-    cont = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_ab"),
-            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_ba"),
-        )
+    inter = _shingle_pair_counts(_sized_shingles(df, text_col, id_col, n=n))
+    cont = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("n_inter") / F.col("n_a"), 6).alias("cont_ab"),
+        F.round(F.col("n_inter") / F.col("n_b"), 6).alias("cont_ba"),
     )
     return cont.filter(
         (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)

@@ -937,7 +937,18 @@ _EVIDENCE_ROUND = {
 # Changed in THIS round (round 5) and therefore re-queued regardless of
 # past evidence.  (The r4 change set is fully folded above: all three
 # members re-evidenced green in CORRECTNESS_r04.)
-_CHANGED_THIS_ROUND = frozenset()
+_CHANGED_THIS_ROUND = frozenset(
+    {
+        # shared-shingle pair core rewritten: _sized_shingles
+        # materializes the shingle set once (lazy localCheckpoint) and
+        # sizes ride the self-join (operators/dedup.py) — transitive
+        # consumers of ngram_jaccard_pairs/ngram_containment_pairs
+        "q_dedup_ngram",
+        "q_dedup_containment",
+        "q_dedup_cluster",
+        "q_contamination",
+    }
+)
 
 
 def _driver_tier(q: Query) -> int:

@@ -200,6 +200,12 @@ HEADLINE = [
     "q_join_asof_nearest",
     "q_curation_pipeline",
     "q_source_overlap",
+    # round-5 additions: SQL-surface (LATERAL decorrelation, recursive
+    # CTE), shuffle-key skew pre-flight, int8 embedding compression
+    "q_lateral_topn",
+    "q_recursive_cte",
+    "q_skew_diagnose",
+    "q_embedding_quantize",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

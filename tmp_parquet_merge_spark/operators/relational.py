@@ -263,3 +263,55 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
                 F.when(matched, ucol).otherwise(tc(name)).alias(name)
             )
     return t.join(u, cond, "full_outer").select(*out_cols)
+
+
+def key_skew_profile(df, key_col: str, label: str, top_n: int = 10):
+    """One-row skew profile of a prospective shuffle key — the
+    pre-flight check behind every salting decision (salted_join /
+    salted_agg pick their salt factor from exactly these numbers).
+
+    Returns (key_col, n_rows, n_keys, max_cnt, top1_share,
+    top10_share, skew_factor): skew_factor = max_cnt · n_keys / n_rows
+    is 1.0 for a perfectly uniform key and grows with the hottest
+    key's overrepresentation.
+
+    Plan economics at 100 TB: one partial/final count per key (the
+    same shuffle the real join would do, so profiling cost ≈ one agg
+    pass), then ONE global agg over the per-key counts plus a
+    TakeOrdered top-N — no single-partition window, no full sort; the
+    driver sees two 1-row relations that broadcast-crossJoin back
+    together riding the plan."""
+    cnt = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = cnt.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    topn = (
+        cnt.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(top_n)
+        .agg(F.sum("cnt").cast("long").alias("top_sum"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(topn))
+        .select(
+            F.lit(label).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            F.round(F.col("top_sum").cast("double") / F.col("n_rows"), 6).alias(
+                "top10_share"
+            ),
+            F.round(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows"),
+                6,
+            ).alias("skew_factor"),
+        )
+    )

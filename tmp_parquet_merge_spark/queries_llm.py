@@ -1919,3 +1919,93 @@ def q_source_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 addition: embedding compression
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE m / 127.0 END AS scale
+            FROM b
+        ),
+        e AS (
+            SELECT vec_id, scale,
+                   array_to_string(list_transform(embedding,
+                       x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale)
+                                      AS INTEGER) AS VARCHAR)), '|') AS q8,
+                   unnest(list_transform(embedding,
+                       x -> CAST(round(
+                                pow(CAST(x AS DOUBLE)
+                                    - round(CAST(x AS DOUBLE) / scale)
+                                      * scale, 2), 12)
+                            AS DECIMAL(28,12)))) AS c
+            FROM s
+        )
+        SELECT vec_id,
+               round(MIN(scale), 6) AS scale,
+               MIN(q8) AS q8,
+               round(sqrt(CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS rmse
+        FROM e GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|x|/127 per vector) with per-vector reconstruction RMSE — the
+    4× storage/shuffle compression step before ANN indexing at 100 TB.
+    All built-in array expressions (transform/array_max/array_join) —
+    no Python boundary; per-element squared errors ride to the
+    aggregate as DECIMAL(28,12) (the q_entropy discipline) so the sum
+    is order-independent across engines.  One scan, one shuffle:
+    the quantized string and scale travel through the per-vector agg
+    as MIN of a constant, collapsing map-side."""
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", xd.alias("xd")
+    )
+    m = F.array_max(F.transform("xd", lambda x: F.abs(x)))
+    s = base.withColumn(
+        "scale",
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)),
+    )
+    q8 = F.array_join(
+        F.transform(
+            "xd",
+            lambda x: F.round(x / F.col("scale"))
+            .cast("int")
+            .cast("string"),
+        ),
+        "|",
+    )
+    c_arr = F.transform(
+        "xd",
+        lambda x: F.round(
+            F.pow(
+                x - F.round(x / F.col("scale")) * F.col("scale"),
+                F.lit(2.0),
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    e = s.select(
+        "vec_id", "scale", q8.alias("q8"), F.explode(c_arr).alias("c")
+    )
+    return e.groupBy("vec_id").agg(
+        F.round(F.min("scale"), 6).alias("scale"),
+        F.min("q8").alias("q8"),
+        F.round(
+            F.sqrt(F.sum("c").cast("double") / F.count(F.lit(1))), 6
+        ).alias("rmse"),
+    )

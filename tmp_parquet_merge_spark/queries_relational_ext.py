@@ -2336,3 +2336,139 @@ def q_join_asof_nearest(spark, sf_dir):
     return j.select(
         "event_id", "user_id", nearest.alias("nearest_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 SQL-surface + ops additions: LATERAL, recursive CTE, skew
+# profiling
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOPN = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) c
+"""
+
+
+@query("q_lateral_topn", oracle=_LATERAL_TOPN)
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — per-nation
+    top-3 customers by balance.  The SQL-surface twin of grouped top-k
+    (q_window_topk): Catalyst decorrelates the lateral into a
+    partitioned rank filter, so the plan is the same
+    shuffle-by-key + per-group sort-limit as the Window spelling — no
+    per-outer-row re-execution survives optimization.  Shared SQL text
+    on both engines."""
+    for n in ("nation", "customer"):
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(_LATERAL_TOPN)
+
+
+_RECURSIVE_REACH = """
+    WITH RECURSIVE p AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT a, b FROM p
+        UNION ALL
+        SELECT b AS a, a AS b FROM p
+    ),
+    seeds AS (
+        SELECT a AS node FROM edges GROUP BY a
+        ORDER BY COUNT(*) DESC, a LIMIT 20
+    ),
+    r(seed, node, depth) AS (
+        SELECT node AS seed, node, 0 AS depth FROM seeds
+        UNION ALL
+        SELECT r.seed, e.b AS node, r.depth + 1 AS depth
+        FROM r JOIN edges e ON r.node = e.a
+        WHERE r.depth < 2
+    )
+    SELECT seed, COUNT(DISTINCT node) AS n_reach, MAX(depth) AS max_depth
+    FROM r GROUP BY seed
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_REACH)
+def q_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 recursive CTE): 2-hop reachability over
+    the strong co-purchase graph (pairs sharing ≥2 orders), from the
+    20 highest-degree seeds.  The recursion frontier is depth-capped
+    in the recursive member, so each round is one shuffled join
+    against the (bounded) edge relation — the SQL-native spelling of
+    the iterative join-aggregate loop q_pagerank runs imperatively.
+    UNION ALL + terminal COUNT(DISTINCT ...) keeps duplicate paths out
+    of the answer without per-round dedup.  Shared SQL text on both
+    engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_REACH)
+
+
+_SKEW_COL = """
+    c{i} AS (
+        SELECT {col} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY 1
+    ),
+    s{i} AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM c{i}
+    ),
+    t{i} AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS top_sum
+        FROM (SELECT cnt FROM c{i} ORDER BY cnt DESC, k LIMIT 10)
+    ),
+    o{i} AS (
+        SELECT '{tbl}.{col}' AS key_col, n_rows, n_keys, max_cnt,
+               round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+               round(CAST(top_sum AS DOUBLE) / n_rows, 6) AS top10_share,
+               round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6)
+                   AS skew_factor
+        FROM s{i}, t{i}
+    )
+"""
+
+_SKEW_TARGETS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+_SKEW_SQL = "WITH " + ",".join(
+    _SKEW_COL.format(i=i, tbl=tbl, col=col)
+    for i, (tbl, col) in enumerate(_SKEW_TARGETS)
+) + " " + " UNION ALL ".join(
+    f"SELECT * FROM o{i}" for i in range(len(_SKEW_TARGETS))
+)
+
+
+@query("q_skew_diagnose", oracle=_SKEW_SQL)
+def q_skew_diagnose(spark, sf_dir):
+    """Shuffle-key skew profiles for the three join keys every TPC-H
+    plan here shuffles on — the pre-flight that decides whether
+    salted_join/salted_agg are worth their extra round-trip (salt when
+    skew_factor ≫ 1, size the salt from top1_share).  Per key: one
+    count-by-key (the same shuffle the real join would pay), one
+    global agg, one TakeOrdered top-10 — no global sort, no
+    single-partition window (operators/relational.py::
+    key_skew_profile)."""
+    from tmp_parquet_merge_spark.operators.relational import key_skew_profile
+
+    parts = [
+        key_skew_profile(t(spark, sf_dir, tbl), col, f"{tbl}.{col}")
+        for tbl, col in _SKEW_TARGETS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1940,37 +1940,33 @@ def q_source_overlap(spark, sf_dir):
                    CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE)
                         ELSE m / 127.0 END AS scale
             FROM b
-        ),
-        e AS (
-            SELECT vec_id, scale,
-                   array_to_string(list_transform(embedding,
-                       x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale)
-                                      AS INTEGER) AS VARCHAR)), '|') AS q8,
-                   unnest(list_transform(embedding,
-                       x -> CAST(round(
-                                pow(CAST(x AS DOUBLE)
-                                    - round(CAST(x AS DOUBLE) / scale)
-                                      * scale, 2), 12)
-                            AS DECIMAL(28,12)))) AS c
-            FROM s
         )
         SELECT vec_id,
-               round(MIN(scale), 6) AS scale,
-               MIN(q8) AS q8,
-               round(sqrt(CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS rmse
-        FROM e GROUP BY vec_id
+               round(scale, 6) AS scale,
+               array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale)
+                                  AS INTEGER) AS VARCHAR)), '|') AS q8,
+               round(sqrt(CAST(list_sum(list_transform(embedding,
+                   x -> CAST(round(
+                            pow(CAST(x AS DOUBLE)
+                                - round(CAST(x AS DOUBLE) / scale)
+                                  * scale, 2), 12)
+                        AS DECIMAL(28,12)))) AS DOUBLE)
+                   / len(embedding)), 6) AS rmse
+        FROM s
     """,
 )
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding column (scale =
     max|x|/127 per vector) with per-vector reconstruction RMSE — the
     4× storage/shuffle compression step before ANN indexing at 100 TB.
-    All built-in array expressions (transform/array_max/array_join) —
-    no Python boundary; per-element squared errors ride to the
-    aggregate as DECIMAL(28,12) (the q_entropy discipline) so the sum
-    is order-independent across engines.  One scan, one shuffle:
-    the quantized string and scale travel through the per-vector agg
-    as MIN of a constant, collapsing map-side."""
+    All built-in array expressions (transform/array_max/array_join/
+    aggregate) — no Python boundary, and the per-element squared
+    errors fold within the row as DECIMAL(28,12) (the q_entropy
+    exactness discipline, so the fold order can't matter across
+    engines).  Plan: ONE scan, ZERO exchanges — quantization is
+    embarrassingly row-parallel and the plan proves it (map-only,
+    plan-asserted in tests)."""
     xd = F.transform("embedding", lambda x: x.cast("double"))
     base = t(spark, sf_dir, "embeddings").select(
         "vec_id", xd.alias("xd")
@@ -1989,23 +1985,35 @@ def q_embedding_quantize(spark, sf_dir):
         ),
         "|",
     )
-    c_arr = F.transform(
-        "xd",
-        lambda x: F.round(
-            F.pow(
-                x - F.round(x / F.col("scale")) * F.col("scale"),
-                F.lit(2.0),
-            ),
-            12,
-        ).cast("decimal(28,12)"),
+    c_sum = F.aggregate(
+        F.transform(
+            "xd",
+            lambda x: F.round(
+                F.pow(
+                    x - F.round(x / F.col("scale")) * F.col("scale"),
+                    F.lit(2.0),
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        ),
+        F.lit(0).cast("decimal(28,12)"),
+        # (28,12)+(28,12) promotes to (29,12) — same scale, so the
+        # cast back to (28,12) is exact (values are ≤ 64·(scale/2)²,
+        # nowhere near the precision ceiling)
+        lambda acc, c: (acc + c).cast("decimal(28,12)"),
     )
-    e = s.select(
-        "vec_id", "scale", q8.alias("q8"), F.explode(c_arr).alias("c")
-    )
-    return e.groupBy("vec_id").agg(
-        F.round(F.min("scale"), 6).alias("scale"),
-        F.min("q8").alias("q8"),
+    # round scale in a SECOND select: aliasing the rounded value as
+    # "scale" in the same projection would let Spark's lateral-column-
+    # alias resolution bind the lambdas' F.col("scale") to the ROUNDED
+    # value, skewing rmse in the 6th decimal vs the oracle
+    out = s.select(
+        "vec_id",
+        "scale",
+        q8.alias("q8"),
         F.round(
-            F.sqrt(F.sum("c").cast("double") / F.count(F.lit(1))), 6
+            F.sqrt(c_sum.cast("double") / F.size("xd")), 6
         ).alias("rmse"),
+    )
+    return out.select(
+        "vec_id", F.round("scale", 6).alias("scale"), "q8", "rmse"
     )

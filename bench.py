@@ -201,11 +201,17 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_source_overlap",
     # round-5 additions: SQL-surface (LATERAL decorrelation, recursive
-    # CTE), shuffle-key skew pre-flight, int8 embedding compression
+    # CTE), shuffle-key skew pre-flight, int8 embedding compression,
+    # Arrow-batch UDF boundary, streaming upsert batch twin,
+    # incremental compaction (layout writer: manifest read is the
+    # measured phase)
     "q_lateral_topn",
     "q_recursive_cte",
     "q_skew_diagnose",
     "q_embedding_quantize",
+    "q_udf_arrow",
+    "q_stream_upsert",
+    "q_merge_incremental",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",
@@ -219,6 +225,7 @@ LAYOUT_WRITERS = {
     "q_zorder_layout",
     "q_bucketed_join",
     "q_merge_compaction",
+    "q_merge_incremental",
 }
 
 

@@ -214,3 +214,60 @@ def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
         assert back.count() == good.count()
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_compact_incremental_conserves_rows_and_keeps_big_files(
+    spark, sf_dir, tmp_path
+):
+    """Incremental compaction: only the small-file tail is rewritten;
+    kept files are byte-identical; kept + compacted output conserve
+    every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    mixed = str(tmp_path / "mixed")
+    out = str(tmp_path / "compacted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parquet_io.write_parquet(li.repartition(3), mixed)
+    parquet_io.write_parquet(
+        li.limit(500).repartition(16), mixed, mode="append"
+    )
+    sizes = {
+        f: os.path.getsize(f.removeprefix("file:"))
+        for f in parquet_io._expand_parquet_paths(spark, mixed)
+    }
+    thr = int((min(sizes.values()) * max(sizes.values())) ** 0.5)
+    before = {f: b for f, b in sizes.items()}
+    manifest = parquet_io.compact_incremental(
+        spark, mixed, out, small_file_bytes=thr,
+        target_file_size_bytes=8 * thr, block_size_bytes=4 * thr,
+    ).collect()
+    kept = [r.file for r in manifest if r.action == "kept"]
+    compacted = [r.file for r in manifest if r.action == "compacted"]
+    written = [r.file for r in manifest if r.action == "written"]
+    assert len(kept) == 3 and len(compacted) == 16 and written
+    # kept files untouched on disk
+    for f in kept:
+        assert os.path.getsize(f.removeprefix("file:")) == before[f]
+    # row conservation: kept ∪ compacted-output == original mixed table
+    total_mixed = spark.read.parquet(mixed).count()
+    n_kept = spark.read.parquet(*kept).count()
+    n_out = spark.read.parquet(out).count()
+    assert n_kept + n_out == total_mixed
+    # the rewritten tail's content equals the small files' content
+    small_rows = (
+        spark.read.parquet(*compacted)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out_rows = (
+        spark.read.parquet(out)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, small_rows)) == sorted(map(tuple, out_rows))

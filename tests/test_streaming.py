@@ -153,3 +153,80 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # (event 4) been admitted, its count would be 2 and its sum 100
     assert len(out) == 1
     assert out[0].n_events == 1 and out[0].sum_value == 1.0
+
+
+def test_upsert_sink_stream_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch keyed-upsert sink: the target table after draining
+    the stream (multi-batch availableNow) equals the batch
+    last-writer-wins twin (q_stream_upsert)."""
+    from tmp_parquet_merge_spark.streaming.sinks import (
+        latest_per_user,
+        run_upsert_sink,
+    )
+    from tmp_parquet_merge_spark.streaming.windows import read_events_stream
+
+    target = str(tmp_path / "profiles")
+    cur = run_upsert_sink(read_events_stream(spark, sf_dir), target)
+    streamed = spark.read.parquet(cur)
+    from tmp_parquet_merge_spark.registry import t as load
+
+    batch = latest_per_user(load(spark, sf_dir, "events"))
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b
+
+
+def test_upsert_sink_accumulates_across_batches(spark, tmp_path):
+    """Counts accumulate and later batches overwrite earlier state —
+    driven with two explicit micro-batch files."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tmp_parquet_merge_spark.streaming.sinks import run_upsert_sink
+    from tmp_parquet_merge_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    ns = 1_000_000_000
+    base = 1_700_000_000
+
+    def mk(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            str(path),
+        )
+
+    mk(d / "b0.parquet", [(1, base * ns, 7, "view", 1.0, "{}"),
+                          (2, (base + 10) * ns, 7, "click", 2.0, "{}"),
+                          (3, base * ns, 8, "view", 3.0, "{}")])
+    time.sleep(1.1)
+    mk(d / "b1.parquet", [(4, (base + 20) * ns, 7, "purchase", 9.0, "{}")])
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    cur = run_upsert_sink(stream, str(tmp_path / "tgt"))
+    rows = {r.user_id: r for r in spark.read.parquet(cur).collect()}
+    assert rows[7].last_event_type == "purchase"
+    assert rows[7].last_value == 9.0
+    assert rows[7].n_events == 3
+    assert rows[8].last_event_type == "view"
+    assert rows[8].n_events == 1

@@ -148,3 +148,42 @@ def q_stateful_profile(spark, sf_dir):
     state path carries oracle evidence like the rest of the streaming
     family."""
     return user_profiles_batch(t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type, value
+            FROM events
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM e
+        )
+        SELECT user_id,
+               event_type AS last_event_type,
+               value AS last_value,
+               ts AS last_ts,
+               n_events
+        FROM r WHERE rn = 1
+    """,
+)
+def q_stream_upsert(spark, sf_dir):
+    """foreachBatch keyed-upsert SINK, batch twin: one profile row per
+    user (latest event last-writer-wins + lifetime count) — the
+    continuously-updated TABLE a streaming merge maintains
+    (streaming/sinks.py: per micro-batch last-writer reduce + keyed
+    MERGE + atomic swap, Delta/Iceberg's commit shape without the
+    table format).  The same ``latest_per_user`` body runs on both
+    paths; tests/test_streaming.py asserts the multi-batch streamed
+    target ≡ this batch result."""
+    from tmp_parquet_merge_spark.streaming.sinks import latest_per_user
+
+    return latest_per_user(t(spark, sf_dir, "events"))

@@ -194,3 +194,60 @@ def q_binary_ingest(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("digest"),
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(l_quantity * 2 AS DOUBLE) AS qty2,
+               length(l_shipmode_like) AS flag_len
+        FROM (
+            SELECT l_orderkey, l_quantity,
+                   CAST(l_returnflag AS VARCHAR) || CAST(l_linestatus AS VARCHAR)
+                       AS l_shipmode_like
+            FROM lineitem
+        )
+    """,
+)
+def q_udf_arrow(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy end of the Python-boundary
+    matrix (pandas_udf / applyInPandas / mapInPandas / mapInArrow):
+    whole Arrow RecordBatches cross the boundary and are transformed
+    with ``pyarrow.compute`` kernels, never materializing pandas
+    objects.  This is the reference's Arrow interop surface
+    (parquet-arrow/src/reader-writer.cc) driven from Python at batch
+    granularity.  Same arithmetic as the SQL oracle, so the boundary
+    is correctness-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_qty(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            qty2 = pc.multiply(
+                pc.cast(tbl.column("l_quantity"), pa.float64()), 2.0
+            )
+            flag = pc.binary_join_element_wise(
+                pc.cast(tbl.column("l_returnflag"), pa.string()),
+                pc.cast(tbl.column("l_linestatus"), pa.string()),
+                "",
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": tbl.column("l_orderkey"),
+                    "qty2": qty2,
+                    "flag_len": pc.cast(
+                        pc.utf8_length(flag), pa.int32()
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    return li.mapInArrow(
+        double_qty,
+        "l_orderkey long, qty2 double, flag_len int",
+    )

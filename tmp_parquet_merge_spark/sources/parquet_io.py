@@ -401,3 +401,61 @@ def column_stats(spark: SparkSession, *paths: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=out_columns)
 
     return files_df.mapInPandas(scan_column_chunks, schema=_COLUMN_STATS_SCHEMA)
+
+
+def compact_incremental(
+    spark: SparkSession,
+    path: str,
+    output: str,
+    *,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    block_size_bytes: int = 16 * 1024 * 1024,
+) -> DataFrame:
+    """Incremental small-files compaction — the lake-maintenance form
+    of the repo-namesake merge: only files BELOW ``small_file_bytes``
+    are rewritten (into ``output``, sized like :func:`merge_files`);
+    right-sized files are left untouched.  This is the policy real
+    table services (OPTIMIZE / rewrite_data_files) apply so steady-
+    state maintenance cost tracks the small-file backlog, not the
+    table size: a 100 TB table with a 1 % daily small-file tail
+    rewrites 1 TB, not 100 TB.
+
+    Returns a manifest DataFrame (file, bytes, action ∈ kept|compacted
+    |written) covering every input file and every newly written file.
+    The compacted output is ONLY the rewritten tail — readers union
+    ``output`` with the kept files (the kept list is in the manifest),
+    exactly like a metadata-swap commit would.
+    """
+    import os as _os
+
+    files = _expand_parquet_paths(spark, path)
+    sizes = {
+        f: _os.path.getsize(f[5:] if f.startswith("file:") else f)
+        for f in files
+    }
+    small = [f for f, b in sizes.items() if b < small_file_bytes]
+    kept = [f for f in files if f not in set(small)]
+    rows = [(f, sizes[f], "kept") for f in kept] + [
+        (f, sizes[f], "compacted") for f in small
+    ]
+    if small:
+        merge_files(
+            spark,
+            small,
+            output,
+            target_file_size_bytes=target_file_size_bytes,
+            block_size_bytes=block_size_bytes,
+        )
+        rows += [
+            (f, _os.path.getsize(f[5:] if f.startswith("file:") else f), "written")
+            for f in _expand_parquet_paths(spark, output)
+        ]
+    manifest_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType(), False),
+            T.StructField("bytes", T.LongType(), False),
+            T.StructField("action", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, manifest_schema)

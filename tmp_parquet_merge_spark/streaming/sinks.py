@@ -1,0 +1,117 @@
+"""Streaming sinks: foreachBatch upsert into a keyed parquet target.
+
+The missing piece of the streaming matrix after windows/stateful/
+dedup/joins — writing a continuously-updated TABLE (not an append
+log): each micro-batch is reduced to one row per key
+(last-writer-wins) and MERGEd into the target.  Spark has no built-in
+parquet MERGE sink, so the idiomatic shape is ``foreachBatch`` +
+the batch upsert operator (operators/relational.py::upsert) + an
+atomic directory swap — exactly what Delta/Iceberg do with a metadata
+commit instead of the swap.
+
+Scale notes (100 TB): per batch the sink shuffles the micro-batch
+(small) once for its in-batch last-writer-wins reduce, then performs
+one keyed merge against the target.  On a real lake the merge is a
+partition-pruned MERGE INTO (only partitions containing changed keys
+rewrite); the directory swap stands in for the table-format commit.
+State is the target table itself — nothing accumulates in executor
+memory, any batch size drains.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PROFILE_COLS = ("user_id", "last_event_type", "last_value", "last_ts", "n_events")
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """One row per user: the latest event by (ts, event_id) plus the
+    event count — the deterministic last-writer-wins reduction applied
+    both inside each micro-batch and by the batch oracle twin."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_events",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+def _merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None:
+    reduced = latest_per_user(batch)
+    cur = os.path.join(target_dir, "current")
+    if os.path.exists(cur):
+        existing = spark.read.parquet(cur)
+        # merge: later batch wins on (ts, event_id); counts accumulate
+        merged = latest_per_user(
+            existing.select(
+                "user_id",
+                F.col("last_event_type").alias("event_type"),
+                F.col("last_value").alias("value"),
+                F.col("last_ts").alias("ts"),
+                F.lit(-1).alias("event_id"),  # existing loses ts ties
+            )
+            .unionByName(
+                reduced.select(
+                    "user_id",
+                    F.col("last_event_type").alias("event_type"),
+                    F.col("last_value").alias("value"),
+                    F.col("last_ts").alias("ts"),
+                    F.lit(0).alias("event_id"),
+                )
+            )
+        ).drop("n_events")
+        counts = (
+            existing.select("user_id", "n_events")
+            .unionByName(reduced.select("user_id", "n_events"))
+            .groupBy("user_id")
+            .agg(F.sum("n_events").cast("long").alias("n_events"))
+        )
+        merged = merged.join(counts, "user_id")
+    else:
+        merged = reduced.withColumn(
+            "n_events", F.col("n_events").cast("long")
+        )
+    nxt = os.path.join(target_dir, "next")
+    merged.select(*PROFILE_COLS).write.mode("overwrite").parquet(nxt)
+    # atomic-enough swap (a table format would commit metadata here)
+    if os.path.exists(cur):
+        shutil.rmtree(cur)
+    os.replace(nxt, cur)
+
+
+def run_upsert_sink(
+    events_stream: DataFrame, target_dir: str
+) -> str:
+    """Drain a streaming events source into the keyed target with
+    trigger(availableNow); returns the current-table path."""
+    spark = events_stream.sparkSession
+
+    q = (
+        events_stream.writeStream.foreachBatch(
+            lambda batch, _id: _merge_batch(spark, batch, target_dir)
+        )
+        .option(
+            "checkpointLocation", os.path.join(target_dir, "_chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return os.path.join(target_dir, "current")

@@ -135,3 +135,43 @@ def test_embedding_quantize_bounds_and_reconstruction(spark, sf_dir):
             assert abs(q * exact - v) <= exact / 2 + 1e-9
         # rmse consistent with the per-element half-step bound
         assert 0 <= r.rmse <= exact / 2 + 1e-9
+
+
+def test_quantize_int8_edge_cases(spark):
+    """Edge corpus in ONE job: all-zero vector, constants, single
+    element, extreme magnitudes, negatives — codes stay in [-127,127],
+    reconstruction within half a step, zero vector maps to code 0."""
+    from pyspark.sql import types as T
+
+    from tmp_parquet_merge_spark.operators.similarity import quantize_int8
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [5.0, 5.0, 5.0, 5.0]),
+        (2, [1e30]),
+        (3, [-1e-30, 1e-30]),
+        (4, [-3.5, 7.25, -0.001, 127.0, -127.0]),
+        (5, [float(i - 50) / 7.0 for i in range(101)]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(vecs, schema)
+    rows = {r.vec_id: r for r in quantize_int8(df, "embedding", "vec_id").collect()}
+    assert len(rows) == len(vecs)
+    for vid, x in vecs:
+        r = rows[vid]
+        qs = [int(v) for v in r.q8.split("|")]
+        assert len(qs) == len(x)
+        assert all(-127 <= q <= 127 for q in qs)
+        mx = max(abs(v) for v in x)
+        exact = (mx / 127.0) if mx else 1.0
+        for q, v in zip(qs, x):
+            assert abs(q * exact - v) <= exact / 2 * (1 + 1e-12)
+    assert rows[0].q8 == "0|0|0" and rows[0].rmse == 0.0
+    assert rows[2].q8 == "127" and rows[2].rmse == 0.0
+    # constant vector quantizes exactly
+    assert rows[1].rmse == 0.0

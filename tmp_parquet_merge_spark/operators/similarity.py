@@ -804,3 +804,61 @@ def pq_topk(
     return grouped_top_k(
         scored, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127
+    (1.0 for all-zero vectors), codes as a '|'-joined string, plus the
+    reconstruction RMSE — the 4× embedding-compression step before ANN
+    indexing.
+
+    Map-only plan: one scan, zero exchanges.  All built-in array
+    expressions; the per-element squared errors fold in-row as
+    DECIMAL(28,12) so the sum is bit-stable regardless of fold order
+    (cross-engine oracle parity, q_embedding_quantize).  The rounded
+    scale is emitted from a SECOND projection — aliasing
+    round(scale, 6) AS scale in the same select would let Spark's
+    lateral-column-alias resolution rebind the lambdas to the rounded
+    value.
+    """
+    xd = F.transform(vec_col, lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), xd.alias("__xd"))
+    m = F.array_max(F.transform("__xd", lambda x: F.abs(x)))
+    s = base.withColumn(
+        "scale",
+        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)),
+    )
+    q8 = F.array_join(
+        F.transform(
+            "__xd",
+            lambda x: F.round(x / F.col("scale")).cast("int").cast("string"),
+        ),
+        "|",
+    )
+    c_sum = F.aggregate(
+        F.transform(
+            "__xd",
+            lambda x: F.round(
+                F.pow(
+                    x - F.round(x / F.col("scale")) * F.col("scale"),
+                    F.lit(2.0),
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        ),
+        F.lit(0).cast("decimal(28,12)"),
+        # (28,12)+(28,12) promotes to (29,12) — same scale, so the cast
+        # back is exact (values ≤ 64·(scale/2)², far from the ceiling)
+        lambda acc, c: (acc + c).cast("decimal(28,12)"),
+    )
+    out = s.select(
+        F.col(id_col),
+        "scale",
+        q8.alias("q8"),
+        F.round(F.sqrt(c_sum.cast("double") / F.size("__xd")), 6).alias(
+            "rmse"
+        ),
+    )
+    return out.select(
+        F.col(id_col), F.round("scale", 6).alias("scale"), "q8", "rmse"
+    )

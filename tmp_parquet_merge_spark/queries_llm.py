@@ -1966,54 +1966,7 @@ def q_embedding_quantize(spark, sf_dir):
     exactness discipline, so the fold order can't matter across
     engines).  Plan: ONE scan, ZERO exchanges — quantization is
     embarrassingly row-parallel and the plan proves it (map-only,
-    plan-asserted in tests)."""
-    xd = F.transform("embedding", lambda x: x.cast("double"))
-    base = t(spark, sf_dir, "embeddings").select(
-        "vec_id", xd.alias("xd")
-    )
-    m = F.array_max(F.transform("xd", lambda x: F.abs(x)))
-    s = base.withColumn(
-        "scale",
-        F.when(m == 0, F.lit(1.0)).otherwise(m / F.lit(127.0)),
-    )
-    q8 = F.array_join(
-        F.transform(
-            "xd",
-            lambda x: F.round(x / F.col("scale"))
-            .cast("int")
-            .cast("string"),
-        ),
-        "|",
-    )
-    c_sum = F.aggregate(
-        F.transform(
-            "xd",
-            lambda x: F.round(
-                F.pow(
-                    x - F.round(x / F.col("scale")) * F.col("scale"),
-                    F.lit(2.0),
-                ),
-                12,
-            ).cast("decimal(28,12)"),
-        ),
-        F.lit(0).cast("decimal(28,12)"),
-        # (28,12)+(28,12) promotes to (29,12) — same scale, so the
-        # cast back to (28,12) is exact (values are ≤ 64·(scale/2)²,
-        # nowhere near the precision ceiling)
-        lambda acc, c: (acc + c).cast("decimal(28,12)"),
-    )
-    # round scale in a SECOND select: aliasing the rounded value as
-    # "scale" in the same projection would let Spark's lateral-column-
-    # alias resolution bind the lambdas' F.col("scale") to the ROUNDED
-    # value, skewing rmse in the 6th decimal vs the oracle
-    out = s.select(
-        "vec_id",
-        "scale",
-        q8.alias("q8"),
-        F.round(
-            F.sqrt(c_sum.cast("double") / F.size("xd")), 6
-        ).alias("rmse"),
-    )
-    return out.select(
-        "vec_id", F.round("scale", 6).alias("scale"), "q8", "rmse"
+    plan-asserted in tests; operators/similarity.py::quantize_int8)."""
+    return similarity.quantize_int8(
+        t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
     )

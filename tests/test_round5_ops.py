@@ -48,7 +48,11 @@ def test_recursive_cte_matches_iterative_bfs(spark, sf_dir):
     }
     # independent spelling: same edge set, explicit 2-round frontier
     # expansion in DataFrame ops
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     p = (
         li.alias("a")
         .join(

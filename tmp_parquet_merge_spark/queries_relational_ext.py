@@ -2369,12 +2369,15 @@ def q_lateral_topn(spark, sf_dir):
     return spark.sql(_LATERAL_TOPN)
 
 
-_RECURSIVE_REACH = """
-    WITH RECURSIVE p AS (
-        SELECT l1.l_partkey AS a, l2.l_partkey AS b
-        FROM lineitem l1 JOIN lineitem l2
-          ON l1.l_orderkey = l2.l_orderkey
-         AND l1.l_partkey < l2.l_partkey
+_RECURSIVE_REACH_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+        SELECT da.l_partkey AS a, db.l_partkey AS b
+        FROM d da JOIN d db
+          ON da.l_orderkey = db.l_orderkey
+         AND da.l_partkey < db.l_partkey
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
     ),
@@ -2398,20 +2401,58 @@ _RECURSIVE_REACH = """
     FROM r GROUP BY seed
 """
 
+_RECURSIVE_REACH_SPARK = """
+    WITH RECURSIVE r(seed, node, depth) AS (
+        SELECT node AS seed, node, 0 AS depth FROM (
+            SELECT a AS node FROM __rc_edges GROUP BY a
+            ORDER BY COUNT(*) DESC, a LIMIT 20
+        )
+        UNION ALL
+        SELECT r.seed, e.b AS node, r.depth + 1 AS depth
+        FROM r JOIN __rc_edges e ON r.node = e.a
+        WHERE r.depth < 2
+    )
+    SELECT seed, COUNT(DISTINCT node) AS n_reach, MAX(depth) AS max_depth
+    FROM r GROUP BY seed
+"""
 
-@query("q_recursive_cte", oracle=_RECURSIVE_REACH)
+
+@query("q_recursive_cte", oracle=_RECURSIVE_REACH_ORACLE)
 def q_recursive_cte(spark, sf_dir):
     """WITH RECURSIVE (Spark 4 recursive CTE): 2-hop reachability over
-    the strong co-purchase graph (pairs sharing ≥2 orders), from the
-    20 highest-degree seeds.  The recursion frontier is depth-capped
-    in the recursive member, so each round is one shuffled join
-    against the (bounded) edge relation — the SQL-native spelling of
-    the iterative join-aggregate loop q_pagerank runs imperatively.
-    UNION ALL + terminal COUNT(DISTINCT ...) keeps duplicate paths out
-    of the answer without per-round dedup.  Shared SQL text on both
-    engines."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_RECURSIVE_REACH)
+    the strong co-purchase graph (part pairs sharing ≥2 distinct
+    orders), from the 20 highest-degree seeds.  The recursion frontier
+    is depth-capped in the recursive member, so each round is one
+    shuffled join against the (bounded) edge relation — the SQL-native
+    spelling of the iterative join-aggregate loop q_pagerank runs
+    imperatively.  UNION ALL + terminal COUNT(DISTINCT ...) keeps
+    duplicate paths out of the answer without per-round dedup.
+
+    The edge relation is built ONCE with the one-shuffle
+    cooccurrence_pairs array expansion (operators/graph.py) and lazily
+    checkpointed before the recursion: Spark inlines (re-derives)
+    plain CTEs per reference, so the 600k×600k order self-join would
+    otherwise run for the seed scan AND every recursion round — 9.6 s
+    → ~2 s at sf0.1.  The oracle spells the same edge set relationally
+    (distinct (order, part) self-join)."""
+    from tmp_parquet_merge_spark.operators import graph
+
+    pairs = graph.cooccurrence_pairs(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+    )
+    strong = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    edges = strong.unionByName(
+        strong.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    edges.createOrReplaceTempView("__rc_edges")
+    return spark.sql(_RECURSIVE_REACH_SPARK)
 
 
 _SKEW_COL = """

@@ -995,6 +995,10 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_dedup_containment",
         "q_dedup_cluster",
         "q_contamination",
+        # exact-percentile buffers fused to the array form (one buffer
+        # per group instead of one per fraction)
+        "q_percentiles",
+        "q_winsorize",
     }
 )
 

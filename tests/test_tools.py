@@ -47,3 +47,36 @@ def test_parquet_scan_tool_counts_rows(spark, sf_dir, capsys):
     assert main([sf_dir + "/region.parquet"]) == 0
     out = capsys.readouterr().out
     assert "5" in out
+
+
+def test_parquet_merge_cli_merge_and_incremental(spark, sf_dir, tmp_path, capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import parquet_merge
+
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    # classic merge mode
+    out = str(tmp_path / "merged")
+    rc = parquet_merge.main(
+        [f"--target-size-mb=64", out, f"{sf_dir}/nation.parquet",
+         f"{sf_dir}/region.parquet"]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0 and "rows merged into" in captured
+
+    # incremental maintenance mode
+    mixed = str(tmp_path / "mixed")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parquet_io.write_parquet(li.repartition(2), mixed)
+    parquet_io.write_parquet(li.limit(200).repartition(8), mixed, mode="append")
+    rc = parquet_merge.main(
+        ["--incremental", "--small-file-mb=1", "--target-size-mb=1",
+         str(tmp_path / "inc_out"), mixed]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    # at sf0.001 everything is <1 MiB so all 10 compact; the manifest
+    # line always reports the three action buckets
+    assert "kept" in captured and "compacted" in captured and "written" in captured

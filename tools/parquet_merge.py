@@ -13,8 +13,14 @@ Options:
                          reference's ROW_GROUP_SIZE, reader-writer2.cc:46)
     --no-merge-schema    require identical schemas instead of evolving
                          (missing columns otherwise become NULL)
+    --incremental        maintenance mode (single INPUT dataset): only
+                         files below --small-file-mb are rewritten into
+                         OUTPUT_DIR; right-sized files stay untouched
+                         and are listed as kept in the manifest
+    --small-file-mb=N    incremental-mode rewrite threshold (default 32)
 
-Prints "<N> rows merged into <F> files in <T> seconds." and exits 0.
+Prints "<N> rows merged into <F> files in <T> seconds." (merge mode) or
+the kept/compacted/written manifest counts (incremental mode); exits 0.
 """
 
 from __future__ import annotations
@@ -27,12 +33,17 @@ sys.path.insert(0, "/root/repo")
 
 def main(argv: list[str]) -> int:
     target_mb, block_mb, merge_schema = 128, 16, True
+    incremental, small_mb = False, 32
     paths: list[str] = []
     for arg in argv:
         if arg.startswith("--target-size-mb="):
             target_mb = int(arg.removeprefix("--target-size-mb="))
         elif arg.startswith("--block-size-mb="):
             block_mb = int(arg.removeprefix("--block-size-mb="))
+        elif arg == "--incremental":
+            incremental = True
+        elif arg.startswith("--small-file-mb="):
+            small_mb = int(arg.removeprefix("--small-file-mb="))
         elif arg == "--no-merge-schema":
             merge_schema = False
         elif arg.startswith("--"):
@@ -50,6 +61,26 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("parquet-merge")
     t0 = time.time()
+    if incremental:
+        if len(inputs) != 1:
+            print("--incremental takes exactly one INPUT dataset", file=sys.stderr)
+            return 1
+        manifest = parquet_io.compact_incremental(
+            spark,
+            inputs[0],
+            output,
+            small_file_bytes=small_mb * 1024 * 1024,
+            target_file_size_bytes=target_mb * 1024 * 1024,
+            block_size_bytes=block_mb * 1024 * 1024,
+        ).collect()
+        counts = {}
+        for r in manifest:
+            counts[r.action] = counts.get(r.action, 0) + 1
+        parts = ", ".join(
+            f"{counts.get(k, 0)} {k}" for k in ("kept", "compacted", "written")
+        )
+        print(f"{parts} in {time.time() - t0:.2f} seconds.")
+        return 0
     merged = parquet_io.merge_files(
         spark,
         inputs,

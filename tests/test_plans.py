@@ -361,3 +361,45 @@ def test_quantile_norm_no_single_partition_exchange(spark, sf_dir):
     # two-pass rank must not — the only exchange is hash(bucket).
     tree = plan_tree(build("q_quantile_norm", spark, sf_dir))
     assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join — the session default that makes every shuffled
+    join here survive a hot key at 100 TB — actually fires: a 95%-hot
+    join key under lowered skew thresholds ends with skew=true on the
+    final SortMergeJoin (the hot partition was split), and the result
+    is exact."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    orig = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") < 95_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        # only k=0 matches (hot key): 95k left rows × 1 right row
+        assert len(j.collect()) == 95_000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, "AQE did not split the skewed partition"
+    finally:
+        for k, v in orig.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -230,3 +230,32 @@ def test_upsert_sink_accumulates_across_batches(spark, tmp_path):
     assert rows[7].n_events == 3
     assert rows[8].last_event_type == "view"
     assert rows[8].n_events == 1
+
+
+def test_dedup_stream_with_rocksdb_state_store(spark, sf_dir):
+    """The disk-backed RocksDB state store — the 100 TB/day state
+    backend (bounded executor memory, state spills to local SSD) —
+    produces the same result as the default HDFS-backed store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    orig = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        from tmp_parquet_merge_spark.streaming.windows import (
+            dedup_events,
+            read_events_stream,
+            run_to_memory_sink,
+        )
+
+        out = run_to_memory_sink(
+            dedup_events(read_events_stream(spark, sf_dir)),
+            "t_rocksdb_dedup",
+            output_mode="append",
+        )
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        assert out.count() == batch.count()
+    finally:
+        spark.conf.set(key, orig)

@@ -337,7 +337,13 @@ def minhash_dedup_pairs(
     sh = shingle_rows(df, text_col, id_col, n=shingle_n)
     if verify_threshold is not None:
         sh = sh.localCheckpoint(eager=False)
-    sigs = _signatures_from_shingle_rows(sh, num_perm)
+    # the signature relation feeds BOTH sides of the band self-join;
+    # without its own checkpoint the 64-min aggregate runs twice
+    # (alias boundaries defeat ReuseExchange, same as the shingle
+    # pipeline above) — one doc-keyed row per document, tiny to hold
+    sigs = _signatures_from_shingle_rows(sh, num_perm).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc", "bk.band", "bk.key")
@@ -357,7 +363,13 @@ def minhash_dedup_pairs(
     # Verify ONLY the candidates: join their shingle sets back and
     # compute exact Jaccard per pair.  (Running the full all-pairs
     # ngram join here would defeat the entire point of LSH.)
-    sets_ = sh.groupBy("doc").agg(F.collect_set("s").alias("sh"))
+    # same double-derivation on the verify side: the per-doc shingle
+    # sets join in twice (doc_a and doc_b)
+    sets_ = (
+        sh.groupBy("doc")
+        .agg(F.collect_set("s").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -999,6 +999,13 @@ _CHANGED_THIS_ROUND = frozenset(
         # per group instead of one per fraction)
         "q_percentiles",
         "q_winsorize",
+        # shared-shingle consumer via ngram_jaccard_pairs
+        "q_dedup_canonical",
+        # MinHash signature/verify relations now checkpoint once
+        # (rows-only; LSH-vs-exact semantics pinned in tests)
+        "q_dedup_minhash",
+        "q_dedup_cluster_lsh",
+        "q_contamination_lsh",
     }
 )
 

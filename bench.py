@@ -212,6 +212,8 @@ HEADLINE = [
     "q_udf_arrow",
     "q_stream_upsert",
     "q_merge_incremental",
+    "q_window_distinct",
+    "q_dq_audit",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -179,3 +179,56 @@ def test_quantize_int8_edge_cases(spark):
     assert rows[2].q8 == "127" and rows[2].rmse == 0.0
     # constant vector quantizes exactly
     assert rows[1].rmse == 0.0
+
+
+def test_dq_audit_detects_injected_violations(spark, tmp_path):
+    """The audit must actually count violations, not just emit zeros:
+    a synthetic sf_dir with a dangling FK, a duplicate key, a negative
+    price, and an empty document yields exactly those counts."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (1, "dup"), (2, "b")], "c_custkey long, c_name string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, 5.0), (11, 99, -3.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1), (777, 1)], "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "text"), (2, "")], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        r.dq_check: r.n_violations
+        for r in REGISTRY["q_dq_audit"].build(spark, sf).collect()
+    }
+    assert rows["orders.o_custkey->customer"] == 1  # o_custkey=99 dangling
+    assert rows["lineitem.l_orderkey->orders"] == 1  # l_orderkey=777
+    assert rows["customer.c_custkey unique"] == 1  # one surplus row
+    assert rows["orders.o_totalprice >= 0"] == 1
+    assert rows["documents.text non-empty"] == 1
+
+
+def test_window_distinct_matches_manual_truncation(spark, sf_dir):
+    out = {
+        (r.w_start, r.event_type): (r.n_users, r.n_events)
+        for r in REGISTRY["q_window_distinct"].build(spark, sf_dir).collect()
+    }
+    from tmp_parquet_merge_spark.registry import t as load
+
+    e = load(spark, sf_dir, "events")
+    manual = {
+        (r.w, r.event_type): (r.u, r.n)
+        for r in e.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("u"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert out == manual

@@ -1023,13 +1023,14 @@ def _driver_tier(q: Query) -> int:
 # Round-5 window plan (r4 verdict, "Next round" #1): only 10 oracle-
 # backed queries have never met the driver — pin them first (streaming
 # pair leading, verdict #8), which closes SURVEY §2 at 100%
-# driver-proven.  The 7 round-5 additions (q_lateral_topn,
+# driver-proven.  The 9 round-5 additions (q_lateral_topn,
 # q_recursive_cte, q_skew_diagnose, q_embedding_quantize,
-# q_merge_incremental, q_udf_arrow, q_stream_upsert) and the 4
-# shingle-core _CHANGED_THIS_ROUND members queue right behind at tier
-# 0, still inside the window.  The remaining ~29 slots re-verify stale
-# greens via the tier-2 sort below, OLDEST evidence first (verdict
-# #5): the r1 scan/join/agg family re-enters before r2/r3 greens.
+# q_merge_incremental, q_udf_arrow, q_stream_upsert,
+# q_window_distinct, q_dq_audit) and the _CHANGED_THIS_ROUND members
+# queue right behind at tier 0, still inside the window.  The
+# remaining slots re-verify stale greens via the tier-2 sort below,
+# OLDEST evidence first (verdict #5): the r1 scan/join/agg family
+# re-enters before r2/r3 greens.
 _DRIVER_FIRST = (
     # streaming stateful pair — only stream≡batch claims never windowed
     "q_attribution",

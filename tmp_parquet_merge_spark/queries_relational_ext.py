@@ -2524,3 +2524,118 @@ def q_skew_diagnose(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_window_distinct",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_window_distinct(spark, sf_dir):
+    """Distinct users per tumbling hour per event type — the DAU/HAU
+    shape.  COUNT(DISTINCT) over a time window needs the two-phase
+    expand Spark plans automatically (partial distinct on (window,
+    type, user), then count) — the shuffle carries one row per
+    distinct (window, type, user), never the raw stream.  At 100 TB
+    swap approx_count_distinct 1:1 when a 2% error is acceptable
+    (q_agg_sketch's contract)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+_DQ_CHECKS_SQL = """
+    SELECT 'orders.o_custkey->customer' AS dq_check,
+           COUNT(*) AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'customer.c_custkey unique',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT c_custkey, COUNT(*) AS n FROM customer
+          GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders.o_totalprice >= 0',
+           COUNT(*) FROM orders WHERE o_totalprice < 0
+    UNION ALL
+    SELECT 'documents.text non-empty',
+           COUNT(*) FROM documents
+    WHERE text IS NULL OR length(text) = 0
+"""
+
+
+@query("q_dq_audit", oracle=_DQ_CHECKS_SQL)
+def q_dq_audit(spark, sf_dir):
+    """Data-quality audit — the pre-ingest gate every pipeline table
+    passes before training jobs trust it: referential integrity
+    (anti-join violation counts), key uniqueness (surplus-row count),
+    range and non-emptiness checks, one row per check.  Each FK check
+    is the same shuffle the real join would pay (so the audit doubles
+    as a join dry-run); uniqueness is a single count-by-key.  All
+    violation counts are 0 on the bundled generator output — the
+    capability under test is the harness, and the oracle pins the
+    zeros."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    d = t(spark, sf_dir, "documents")
+
+    def count_row(label, n_col):
+        return F.lit(label).alias("dq_check"), n_col.alias("n_violations")
+
+    fk1 = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*count_row("orders.o_custkey->customer", F.col("n")))
+    )
+    fk2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*count_row("lineitem.l_orderkey->orders", F.col("n")))
+    )
+    uniq = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n"))
+        .select(*count_row("customer.c_custkey unique", F.col("n")))
+    )
+    rng = (
+        o.filter(F.col("o_totalprice") < 0)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*count_row("orders.o_totalprice >= 0", F.col("n")))
+    )
+    nonempty = (
+        d.filter(F.col("text").isNull() | (F.length("text") == 0))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(*count_row("documents.text non-empty", F.col("n")))
+    )
+    out = fk1
+    for part in (fk2, uniq, rng, nonempty):
+        out = out.unionByName(part)
+    return out

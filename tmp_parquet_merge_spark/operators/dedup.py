@@ -390,6 +390,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     *,
     max_iter: int = 25,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components over near-dup pairs — the final stage of a
     dedup pipeline: (doc_a, doc_b) edges → one ``cluster_id`` per
@@ -410,7 +411,14 @@ def dedup_clusters(
     cluster prefer ``checkpoint`` to a reliable dir for fault
     tolerance).  Convergence is detected from the monotonically
     decreasing sum of labels — one lightweight agg per round instead of
-    a change-count join against the previous labels.
+    a change-count join against the previous labels.  ``check_every``
+    batches N propagation rounds into one eager checkpoint job and one
+    convergence read (the PageRank loop's cadence knob): labels are
+    monotone, so skipped checks can only cost up to N-1 no-op rounds
+    after the fixpoint, never wrong labels.  Measured a wash at bench
+    scale (the saved scalar reads ≈ the extra propagation rounds), so
+    callers keep the default 1; the knob matters when a round is
+    expensive relative to a cached-state scan (deep graphs).
     """
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
@@ -421,22 +429,21 @@ def dedup_clusters(
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         nbr_min = (
             edges.join(lab, edges.src == lab.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        lab = (
-            lab.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        lab = lab.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                "label"
+            ),
         )
+        if it % check_every != 0 and it != max_iter:
+            continue
+        lab = lab.localCheckpoint(eager=True)
         # labels only ever decrease, so an unchanged sum ⇔ a fixpoint
         cur_sum = lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:

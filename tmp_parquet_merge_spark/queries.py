@@ -886,91 +886,225 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # keep definition order, so the sequence is stable run to run.
 
 # Cumulative hash_match == true rows, keyed by the LATEST round that
-# produced the evidence (CORRECTNESS_r01..r04).  A name appears under
+# produced the evidence (CORRECTNESS_r01..r05, regenerated each round
+# by tools/fold_evidence.py).  A name appears under
 # its newest green round; names whose evidence was invalidated by a
 # later code change are simply absent (they queue at tier 0).  The
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
     1: (
-        "q_scan_full", "q_scan_count", "q_project_one", "q_project_subset",
-        "q_filter_pushdown", "q_filter_nulls", "q_to_json",
-        "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_join_inner",
-        "q_join_multiway", "q_join_semi", "q_join_anti",
-        "q_join_range", "q_window_rank", "q_window_lag",
-        "q_topk_orders", "q_sort_global", "q_set_intersect", "q_set_except",
-        "q_scalar_string", "q_scalar_date", "q_scalar_array",
         "q_dedup_exact",
-        "q_split_assign", "q_topk_similarity",
-        "q_knn_classify", "q_text_stats",
+        "q_knn_classify",
+        "q_scalar_array",
+        "q_scalar_date",
+        "q_scalar_string",
+        "q_split_assign",
+        "q_text_stats",
+        "q_topk_similarity",
     ),
     2: (
-        "q_token_count", "q_tfidf", "q_repetition",
-        "q_doc_fingerprint", "q_corpus_mix", "q_sample_stratified",
-        "q_redact", "q_histogram",
-        "q_profile", "q_agg_cube", "q_agg_stats", "q_percentiles",
-        "q_join_outer", "q_scalar_math", "q_scalar_regex",
-        "q_scalar_conditional", "q_sql_scalar_subquery", "q_sql_tpch_q3",
-        "q_partition_pruning", "q_incremental_agg",
-        "q_zorder_layout", "q_table_diff", "q_upsert",
-        "q_dpp_join", "q_bucketed_join",
-        "q_salted_join", "q_window_ntile", "q_unpivot", "q_sql_tpch_q6",
-        "q_grouping_sets", "q_agg_argmax",
-        "q_union_files", "q_udf_pandas", "q_grouped_apply",
-        "q_csv_roundtrip", "q_json_roundtrip",
+        "q_agg_argmax",
+        "q_agg_cube",
+        "q_agg_stats",
+        "q_bucketed_join",
+        "q_corpus_mix",
+        "q_csv_roundtrip",
+        "q_doc_fingerprint",
+        "q_dpp_join",
+        "q_grouped_apply",
+        "q_grouping_sets",
+        "q_histogram",
+        "q_incremental_agg",
+        "q_join_outer",
+        "q_json_roundtrip",
+        "q_partition_pruning",
+        "q_profile",
+        "q_redact",
+        "q_repetition",
+        "q_salted_join",
+        "q_sample_stratified",
+        "q_scalar_conditional",
+        "q_scalar_math",
+        "q_scalar_regex",
+        "q_sql_scalar_subquery",
+        "q_sql_tpch_q3",
+        "q_sql_tpch_q6",
+        "q_table_diff",
+        "q_tfidf",
+        "q_token_count",
+        "q_udf_pandas",
+        "q_union_files",
+        "q_unpivot",
+        "q_upsert",
+        "q_window_ntile",
+        "q_zorder_layout",
     ),
     3: (
-        "q_agg_collect", "q_merge_files", "q_join_asof",
-        "q_window_running", "q_scalar_map", "q_scalar_json",
-        "q_window_tumbling", "q_dedup_ngram", "q_dedup_prefix",
-        "q_dedup_editdist", "q_dedup_cluster", "q_dedup_embedding",
-        "q_lang_id", "q_quality_score", "q_entropy", "q_ngram_freq",
-        "q_pack_sequences", "q_chunk_docs", "q_vocab",
-        "q_sample_weighted", "q_lang_id_eval", "q_contamination",
-        "q_media_metadata", "q_bm25", "q_interleave_sources",
-        "q_vector_norm", "q_collocations", "q_dedup_containment",
-        "q_sample_reservoir", "q_media_dedup", "q_bpe_merge",
-        "q_lm_score", "q_dedup_canonical", "q_mix_rebalance",
-        "q_curation_pipeline", "q_source_overlap", "q_pivot",
+        "q_agg_collect",
+        "q_bm25",
+        "q_bpe_merge",
+        "q_chunk_docs",
+        "q_collocations",
+        "q_curation_pipeline",
+        "q_dedup_editdist",
+        "q_dedup_embedding",
+        "q_dedup_prefix",
+        "q_entropy",
+        "q_interleave_sources",
+        "q_join_asof",
+        "q_lang_id",
+        "q_lang_id_eval",
+        "q_lm_score",
+        "q_media_dedup",
+        "q_media_metadata",
+        "q_merge_files",
+        "q_mix_rebalance",
+        "q_ngram_freq",
+        "q_pack_sequences",
+        "q_pivot",
+        "q_quality_score",
+        "q_sample_reservoir",
+        "q_sample_weighted",
+        "q_scalar_json",
+        "q_scalar_map",
+        "q_source_overlap",
         "q_sql_exists",
+        "q_vector_norm",
+        "q_vocab",
+        "q_window_running",
+        "q_window_tumbling",
     ),
-    # round 4 (CORRECTNESS_r04: 46 hash_match == true, 0 errors)
     4: (
-        "q_funnel", "q_join_asof_forward", "q_resample_ffill",
-        "q_stream_dedup", "q_window_range_frame", "q_window_session",
+        "q_anomaly_mad",
+        "q_anomaly_zscore",
+        "q_cdc_apply",
+        "q_copurchase",
+        "q_ewma",
+        "q_funnel",
+        "q_gapfill",
+        "q_join_asof_forward",
+        "q_novelty",
+        "q_props_parse",
+        "q_quantile_norm",
+        "q_resample_ffill",
+        "q_retention_cohort",
+        "q_rolling_median",
+        "q_salted_agg",
+        "q_scd2_build",
+        "q_sessionize",
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q10",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q18",
+        "q_sql_tpch_q19",
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q5",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_stream_dedup",
+        "q_time_weighted_avg",
+        "q_transition_matrix",
+        "q_triangle_count",
+        "q_window_range_frame",
+        "q_window_session",
         "q_window_sliding",
-        "q_sql_tpch_q1", "q_sql_tpch_q2", "q_sql_tpch_q4",
-        "q_sql_tpch_q5", "q_sql_tpch_q7", "q_sql_tpch_q8",
-        "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q11",
-        "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q14",
-        "q_sql_tpch_q15", "q_sql_tpch_q16", "q_sql_tpch_q17",
-        "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q20",
-        "q_sql_tpch_q21", "q_sql_tpch_q22",
-        "q_salted_agg", "q_window_topk", "q_winsorize",
-        "q_anomaly_zscore", "q_scd2_build", "q_retention_cohort",
-        "q_copurchase", "q_ewma", "q_sessionize", "q_gapfill",
-        "q_props_parse", "q_quantile_norm", "q_cdc_apply", "q_novelty",
-        "q_time_weighted_avg", "q_transition_matrix",
-        "q_triangle_count", "q_anomaly_mad", "q_rolling_median",
+        "q_window_topk",
+    ),
+    5: (
+        "q_agg_basic",
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_attribution",
+        "q_binary_ingest",
+        "q_contamination",
+        "q_dedup_canonical",
+        "q_dedup_cluster",
+        "q_dedup_containment",
+        "q_dedup_ngram",
+        "q_dq_audit",
+        "q_embedding_quantize",
+        "q_except_all",
+        "q_filter_nulls",
+        "q_filter_pushdown",
+        "q_intersect_all",
+        "q_islands",
+        "q_join_anti",
+        "q_join_asof_nearest",
+        "q_join_inner",
+        "q_join_multiway",
+        "q_join_nullsafe",
+        "q_join_range",
+        "q_join_semi",
+        "q_lateral_topn",
+        "q_orc_roundtrip",
+        "q_percentiles",
+        "q_project_one",
+        "q_project_subset",
+        "q_recursive_cte",
+        "q_scan_count",
+        "q_scan_full",
+        "q_set_except",
+        "q_set_intersect",
+        "q_skew_diagnose",
+        "q_sort_global",
+        "q_stateful_profile",
+        "q_stream_upsert",
+        "q_to_json",
+        "q_topk_orders",
+        "q_udf_arrow",
+        "q_variant_extract",
+        "q_window_distinct",
+        "q_window_lag",
+        "q_window_rank",
+        "q_winsorize",
     ),
 }
-
-# Cumulative rows-ok evidence (rows-only queries the driver ran),
-# keyed the same way.
 _ROWS_SEEN_BY_ROUND = {
     1: (
-        "q_merge_schema_evolution", "q_rowgroup_read", "q_schema_dump",
-        "q_metadata_stats", "q_column_stats",
+        "q_column_stats",
+        "q_merge_schema_evolution",
+        "q_metadata_stats",
+        "q_rowgroup_read",
+        "q_schema_dump",
     ),
-    2: ("q_roundtrip", "q_dedup_embedding_lsh"),
+    2: (
+        "q_dedup_embedding_lsh",
+        "q_roundtrip",
+    ),
     3: (
-        "q_agg_sketch", "q_frame_sample", "q_ann_lsh", "q_ann_ivf",
-        "q_kmeans", "q_dedup_minhash", "q_dedup_simhash",
-        "q_dedup_cluster_lsh", "q_contamination_lsh", "q_hll_rollup",
+        "q_agg_sketch",
+        "q_ann_ivf",
+        "q_ann_lsh",
+        "q_dedup_simhash",
+        "q_frame_sample",
+        "q_hll_rollup",
+        "q_kmeans",
         "q_merge_compaction",
     ),
-    # round 4 (spark_rows > 0, err == "no_oracle")
-    4: ("q_multimodal_features", "q_pagerank", "q_ann_pq", "q_dedup_semantic"),
+    4: (
+        "q_ann_pq",
+        "q_dedup_semantic",
+        "q_multimodal_features",
+        "q_pagerank",
+    ),
+    5: (
+        "q_contamination_lsh",
+        "q_dedup_cluster_lsh",
+        "q_dedup_minhash",
+        "q_merge_incremental",
+    ),
 }
 
 _HASH_GREEN = frozenset(n for ns in _HASH_GREEN_BY_ROUND.values() for n in ns)
@@ -982,30 +1116,34 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 5) and therefore re-queued regardless of
-# past evidence.  (The r4 change set is fully folded above: all three
-# members re-evidenced green in CORRECTNESS_r04.)
+# Changed in THIS round (round 6) and therefore re-queued regardless
+# of past evidence.  (The r5 change set is fully folded above: every
+# member re-evidenced in CORRECTNESS_r05 — 46 hash-green + 4
+# rows-only, zero errors.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # shared-shingle pair core rewritten: _sized_shingles
-        # materializes the shingle set once (lazy localCheckpoint) and
-        # sizes ride the self-join (operators/dedup.py) — transitive
-        # consumers of ngram_jaccard_pairs/ngram_containment_pairs
-        "q_dedup_ngram",
-        "q_dedup_containment",
-        "q_dedup_cluster",
-        "q_contamination",
-        # exact-percentile buffers fused to the array form (one buffer
-        # per group instead of one per fraction)
-        "q_percentiles",
-        "q_winsorize",
-        # shared-shingle consumer via ngram_jaccard_pairs
-        "q_dedup_canonical",
-        # MinHash signature/verify relations now checkpoint once
-        # (rows-only; LSH-vs-exact semantics pinned in tests)
-        "q_dedup_minhash",
-        "q_dedup_cluster_lsh",
-        "q_contamination_lsh",
+        # cooccurrence_pairs gained a max_group_size guard
+        # (operators/graph.py) — transitive consumers re-queued even
+        # though the default-path plan is unchanged (plan pinned in
+        # tests/test_plans.py)
+        "q_copurchase",
+        "q_pagerank",
+        "q_triangle_count",
+        "q_recursive_cte",
+        # editdist_pairs now accepts an external candidate-pair feed
+        # (operators/dedup.py); the blocked-join default is unchanged
+        "q_dedup_editdist",
+        # write_parquet gained kv_metadata; metadata_stats surfaces
+        # footer key-value pairs (sources/parquet_io.py)
+        "q_metadata_stats",
+        "q_roundtrip",
+        # multimodal decode path now tries a real codec (PIL) before
+        # the deterministic byte-histogram fallback
+        "q_multimodal_features",
+        "q_frame_sample",
+        # streaming upsert sink tie-break now persists the real
+        # event_id (streaming/sinks.py) — batch twin oracle unchanged
+        "q_stream_upsert",
     }
 )
 
@@ -1020,33 +1158,15 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-5 window plan (r4 verdict, "Next round" #1): only 10 oracle-
-# backed queries have never met the driver — pin them first (streaming
-# pair leading, verdict #8), which closes SURVEY §2 at 100%
-# driver-proven.  The 9 round-5 additions (q_lateral_topn,
-# q_recursive_cte, q_skew_diagnose, q_embedding_quantize,
-# q_merge_incremental, q_udf_arrow, q_stream_upsert,
-# q_window_distinct, q_dq_audit) and the _CHANGED_THIS_ROUND members
-# queue right behind at tier 0, still inside the window.  The
-# remaining slots re-verify stale greens via the tier-2 sort below,
-# OLDEST evidence first (verdict #5): the r1 scan/join/agg family
-# re-enters before r2/r3 greens.
-_DRIVER_FIRST = (
-    # streaming stateful pair — only stream≡batch claims never windowed
-    "q_attribution",
-    "q_stateful_profile",
-    # sources / formats
-    "q_binary_ingest",
-    "q_orc_roundtrip",
-    # set-ops with bag semantics, gap-and-islands, null-safe join,
-    # nearest as-of, VARIANT-ish JSON extraction
-    "q_except_all",
-    "q_intersect_all",
-    "q_islands",
-    "q_join_nullsafe",
-    "q_join_asof_nearest",
-    "q_variant_extract",
-)
+# Round-6 window plan (r5 verdict, "Next round" #1): the registry is
+# FROZEN except for the two judge-mandated additions
+# (q_dedup_editdist_lsh, q_scan_batch_size — both rows-only).  No
+# never-evidenced queries remain, so no pin list: tier 0/1 puts the
+# round-6 change set plus the two additions first (~12 slots), and the
+# remaining ~38 window slots rotate stale greens OLDEST-FIRST via the
+# tier-2/3 sort — the 8 remaining r1 greens, then the 36-strong r2
+# cohort (r5 verdict: "r2 then r3 cohorts").
+_DRIVER_FIRST: tuple[str, ...] = ()
 
 
 def _sort_key(q: Query) -> tuple[int, int, int]:

@@ -47,6 +47,29 @@ def main() -> int:
     if unknown:
         print(f"# WARNING: evidence for unregistered names: {sorted(unknown)}")
 
+    # Evidence tier must match the query's CURRENT oracle status:
+    # _driver_tier consults _HASH_GREEN only for oracle-backed queries
+    # and _ROWS_SEEN only for oracle-less ones, so a query whose oracle
+    # was removed after a hash-green round must fold into the rows
+    # table (its hash evidence certifies an oracle that no longer
+    # exists), and vice versa a rows-only query that GAINED an oracle
+    # must drop its rows evidence and re-queue at tier 0.
+    for name in sorted(latest_hash):
+        if name in REGISTRY and REGISTRY[name].oracle is None:
+            rnd = latest_hash.pop(name)
+            latest_rows[name] = max(latest_rows.get(name, 0), rnd)
+            print(
+                f"# NOTE: {name} hash-green in r{rnd} but now oracle-less"
+                " -> moved to rows table"
+            )
+    for name in sorted(latest_rows):
+        if name in REGISTRY and REGISTRY[name].oracle is not None:
+            rnd = latest_rows.pop(name)
+            print(
+                f"# NOTE: {name} rows-only evidence (r{rnd}) but now has an"
+                " oracle -> dropped (re-queues at tier 0)"
+            )
+
     def dump(title: str, latest: dict[str, int]) -> None:
         print(f"{title} = {{")
         by_round: dict[int, list[str]] = {}

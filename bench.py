@@ -214,6 +214,11 @@ HEADLINE = [
     "q_merge_incremental",
     "q_window_distinct",
     "q_dq_audit",
+    # round-6 additions: LSH-fed Levenshtein verify (the open-scale
+    # editdist path) and the reference-default-vs-spark-default
+    # vectorized batch-size parity scan
+    "q_dedup_editdist_lsh",
+    "q_scan_batch_size",
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",

@@ -61,3 +61,12 @@ def test_full_scan_values_invariant_to_batch_size(batch_size_conf, sf_dir):
         spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
     )
     assert small == tiny and len(small) == 25
+
+
+def test_q_scan_batch_size_rows(spark, sf_dir):
+    # the registered rows-only query: one row per knob setting, counts
+    # and sums identical across 256 vs 4096
+    rows = REGISTRY["q_scan_batch_size"].build(spark, sf_dir).collect()
+    assert [r.batch_size for r in rows] == [256, 4096]
+    assert rows[0].n_rows == rows[1].n_rows > 0
+    assert rows[0].sum_qty == rows[1].sum_qty > 0

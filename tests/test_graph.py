@@ -119,3 +119,55 @@ def test_cooccurrence_pairs_equals_self_join(spark):
     )
     assert got == ref
     assert got.count((10, 20)) == 3  # group multiplicity preserved
+
+
+def test_cooccurrence_oversized_group_raises(spark):
+    # r5 verdict #3: the bounded-group contract is ENFORCED — a group
+    # over max_group_size fails the job with a descriptive error
+    # instead of silently buffering an unbounded array
+    rows = [(1, i) for i in range(50)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "g: long, item: long")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        graph.cooccurrence_pairs(df, "g", "item", max_group_size=10).collect()
+    assert "max_group_size" in str(ei.value)
+
+
+def test_cooccurrence_selfjoin_fallback_matches_array_path(spark):
+    # oversized groups routed through the streaming self-join must
+    # produce exactly the same multiset of pairs as the (unguarded)
+    # array expansion
+    rows = [(1, i) for i in range(20)] + [(2, 1), (2, 2), (3, 7)]
+    df = spark.createDataFrame(rows, "g: long, item: long")
+    unguarded = sorted(
+        (r.a, r.b)
+        for r in graph.cooccurrence_pairs(
+            df, "g", "item", max_group_size=None
+        ).collect()
+    )
+    hybrid = sorted(
+        (r.a, r.b)
+        for r in graph.cooccurrence_pairs(
+            df, "g", "item", max_group_size=5, on_oversize="selfjoin"
+        ).collect()
+    )
+    assert hybrid == unguarded
+    assert len(hybrid) == 20 * 19 // 2 + 1
+
+
+def test_cooccurrence_guard_adds_no_exchange(spark):
+    # the default (error) guard is an expression inside the kept
+    # projection: plan shape — exchange count in particular — must be
+    # identical to the unguarded form (consumer plans unchanged)
+    rows = [(1, 10), (1, 20), (2, 10)]
+    df = spark.createDataFrame(rows, "g: long, item: long")
+    plan_guarded = graph.cooccurrence_pairs(
+        df, "g", "item"
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_open = graph.cooccurrence_pairs(
+        df, "g", "item", max_group_size=None
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan_guarded.count("Exchange") == plan_open.count("Exchange")
+    assert "raise_error" in plan_guarded or "raiseerror" in plan_guarded.lower()

@@ -69,6 +69,28 @@ def test_minhash_verified_equals_exact_at_half(spark, docs):
     assert m == e
 
 
+def test_editdist_lsh_fed_equals_blocked_join(spark, docs, sf_dir):
+    """r5 verdict #4: editdist_pairs fed with MinHash-LSH candidate
+    pairs (the open-scale path — no full-body blocking join) must
+    reproduce the blocked-join output on the bundled corpus, where
+    every small-edit pair both shares its 2-word prefix and sits far
+    above the LSH S-curve knee."""
+    blocked = dedup.editdist_pairs(docs, "text", "doc_id")
+    cand = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=None
+    )
+    fed = dedup.editdist_pairs(docs, "text", "doc_id", candidates=cand)
+    b = sorted(map(tuple, blocked.collect()))
+    f = sorted(map(tuple, fed.collect()))
+    assert b, "corpus should contain small-edit near-dup pairs"
+    assert f == b
+    # the registered query twin composes the same pipeline
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    q = REGISTRY["q_dedup_editdist_lsh"].build(spark, sf_dir)
+    assert sorted(map(tuple, q.collect())) == b
+
+
 def test_lsh_twin_queries_equal_exact_on_bundled_corpus(spark, sf_dir):
     """q_dedup_cluster_lsh / q_contamination_lsh are registered
     rows-only because LSH recall at the J=0.5 boundary is
@@ -396,6 +418,34 @@ def test_multimodal_features_shape(spark, sf_dir):
     rows = feats.limit(20).collect()
     assert all(len(r.features) == 16 for r in rows)
     assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in rows)
+    # text payloads never take the image-decode path, with or without
+    # a codec in the environment
+    assert all(r.decoded is False for r in rows)
+
+
+def test_multimodal_real_codec_decodes_images(spark):
+    """With PIL present, real image payloads route through the decoder
+    (decoded=True, pixel-histogram features); skipped where the
+    environment has no codec — the upgrade path needs no code change
+    (r5 verdict #6)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, bytearray(png), {"mime": "image/png", "n_bytes": len(png), "source": "t"}),
+         (2, bytearray(b"plain text"), {"mime": "text/plain", "n_bytes": 10, "source": "t"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in multimodal.extract_features(media, bins=16).collect()}
+    assert rows[1].decoded is True
+    # a uniform gray image concentrates the pixel histogram in 1 bin
+    assert max(rows[1].features) == 1.0
+    assert rows[2].decoded is False
     assert feats.count() == media.count()
 
 

@@ -271,3 +271,62 @@ def test_compact_incremental_conserves_rows_and_keeps_big_files(
         .collect()
     )
     assert sorted(map(tuple, small_rows)) == sorted(map(tuple, out_rows))
+
+
+def test_kv_metadata_roundtrip(spark, tmp_path):
+    """write_parquet(kv_metadata=...) stamps custom footer key-value
+    pairs (r5 verdict #5 — the write side of parquet_reader.cc:46-47);
+    the appended footer preserves row groups, data, and existing keys,
+    and metadata_stats surfaces the engine-written keys."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "kv")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    parquet_io.write_parquet(
+        df,
+        out,
+        block_size_bytes=64 * 1024,
+        kv_metadata={"engine.writer": "tmp-parquet-merge-spark",
+                     "engine.tag": "r6"},
+    )
+    files = parquet_io._expand_parquet_paths(spark, out)
+    assert files
+    for f in files:
+        md = pq.read_metadata(f.removeprefix("file:"))
+        kv = {k.decode(): v.decode() for k, v in (md.metadata or {}).items()}
+        assert kv["engine.writer"] == "tmp-parquet-merge-spark"
+        assert kv["engine.tag"] == "r6"
+        assert "org.apache.spark.sql.parquet.row.metadata" in kv  # kept
+    # data unchanged through the appended footer, via Spark's reader
+    assert spark.read.parquet(out).count() == 1000
+    assert spark.read.parquet(out).agg(F.sum("id")).first()[0] == 499500
+    # metadata_stats surfaces the engine-written keys
+    rows = parquet_io.metadata_stats(spark, out).collect()
+    for r in rows:
+        kv = json.loads(r.key_value_metadata)
+        assert kv["engine.tag"] == "r6"
+    # re-stamping merges: new key added, old ones preserved, and the
+    # file keeps exactly one readable (latest) footer
+    parquet_io.attach_kv_metadata(spark, out, {"engine.pass": "2"})
+    md = pq.read_metadata(files[0].removeprefix("file:"))
+    kv = {k.decode(): v.decode() for k, v in (md.metadata or {}).items()}
+    assert kv["engine.pass"] == "2" and kv["engine.tag"] == "r6"
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_q_metadata_stats_includes_engine_kv(spark):
+    """The registered dump query must include at least one file whose
+    kv map carries engine-written keys."""
+    import json
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_metadata_stats"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    kvs = [json.loads(r.key_value_metadata) for r in rows]
+    assert any(
+        kv.get("engine.query") == "q_metadata_stats" for kv in kvs
+    )

@@ -232,6 +232,61 @@ def test_upsert_sink_accumulates_across_batches(spark, tmp_path):
     assert rows[8].n_events == 1
 
 
+def test_upsert_sink_ts_tie_uses_real_event_id(spark, tmp_path):
+    """r5 advisor: on an exact ts tie ACROSS micro-batches the higher
+    event_id must win (as in one batch pass), even when the later
+    micro-batch carries the LOWER id — the stored profile keeps
+    last_event_id so the merge tie-break is exact."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tmp_parquet_merge_spark.streaming.sinks import run_upsert_sink
+    from tmp_parquet_merge_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    ns = 1_000_000_000
+    base = 1_700_000_000
+
+    def mk(path, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3], pa.string()),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5], pa.string()),
+                }
+            ),
+            str(path),
+        )
+
+    # batch 0 carries the HIGHER event_id at ts T; batch 1 the lower
+    mk(d / "b0.parquet", [(9, base * ns, 7, "click", 2.0, "{}")])
+    time.sleep(1.1)
+    mk(d / "b1.parquet", [(4, base * ns, 7, "view", 1.0, "{}")])
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    cur = run_upsert_sink(stream, str(tmp_path / "tgt"))
+    rows = {r.user_id: r for r in spark.read.parquet(cur).collect()}
+    assert rows[7].last_event_id == 9
+    assert rows[7].last_event_type == "click"
+    assert rows[7].n_events == 2
+
+
 def test_dedup_stream_with_rocksdb_state_store(spark, sf_dir):
     """The disk-backed RocksDB state store — the 100 TB/day state
     backend (bounded executor memory, state spills to local SSD) —

@@ -141,6 +141,7 @@ def editdist_pairs(
     *,
     prefix_words: int = 2,
     max_rel_dist_pct: int = 20,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs with prefix blocking:
     candidates are documents sharing their first ``prefix_words``
@@ -154,14 +155,40 @@ def editdist_pairs(
     shingle-Jaccard one (ngram_jaccard_pairs): it catches small-edit
     duplicates (typo fixes, template fills) whose shingle sets already
     diverge.  The blocking join shuffles normalized bodies, so the
-    registered query caps its input like the other exact verify twins;
-    at 100 TB the candidate source is MinHash-LSH and this verify runs
-    on id-joined candidate pairs only."""
+    registered query caps its input like the other exact verify twins.
+
+    ``candidates`` is the open-scale path (r5 verdict #4): a
+    (doc_a, doc_b) candidate-pair DataFrame — typically
+    ``minhash_dedup_pairs(..., verify_threshold=None)`` — replaces the
+    prefix-blocking self-join entirely.  Normalized bodies then move
+    only for ids that appear in a candidate pair (two id-keyed joins,
+    uniform keys), so the verify cost tracks |candidates|, not
+    |corpus|², and no full-body blocking join ever runs."""
     d = df.select(
         F.col(id_col).alias("id"),
         normalize_text(text_col).alias("norm"),
         F.array_join(F.slice(words(text_col), 1, prefix_words), " ").alias("pfx"),
     )
+    if candidates is not None:
+        na = d.select(F.col("id").alias("doc_a"), F.col("norm").alias("_na"))
+        nb = d.select(F.col("id").alias("doc_b"), F.col("norm").alias("_nb"))
+        lev = F.levenshtein(F.col("_na"), F.col("_nb"))
+        mx = F.greatest(F.length("_na"), F.length("_nb"))
+        return (
+            candidates.select("doc_a", "doc_b")
+            .distinct()
+            .join(na, "doc_a")
+            .join(nb, "doc_b")
+            .filter(lev * 100 <= mx * max_rel_dist_pct)
+            .select(
+                "doc_a",
+                "doc_b",
+                lev.alias("lev"),
+                F.round(
+                    F.lit(1.0) - lev.cast("double") / mx, 6
+                ).alias("sim"),
+            )
+        )
     a, b = d.alias("a"), d.alias("b")
     lev = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
     mx = F.greatest(F.length("a.norm"), F.length("b.norm"))

@@ -44,7 +44,12 @@ def symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def cooccurrence_pairs(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    max_group_size: int | None = 100_000,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """All unordered item pairs co-occurring in a group: one output row
     per (group, a < b) occurrence — the co-purchase / token-
@@ -57,23 +62,83 @@ def cooccurrence_pairs(
     Implemented as ONE shuffle (the group-key hash-agg) followed by an
     array-local higher-order expansion — measured ~2× faster than the
     equivalent self-join at sf0.1, which shuffles the (group, item)
-    table twice and builds a join hash table per task.  Contract: group
-    sizes must be bounded (per-order line counts here, ≤ single-digit
-    in TPC-H shapes) since each group's item set is buffered as one
-    array row; for unbounded groups cap or salt first, or fall back to
-    the self-join form.
-    """
+    table twice and builds a join hash table per task.  Each group's
+    item set is buffered as ONE array row, so group sizes must be
+    bounded; ``max_group_size`` ENFORCES that contract instead of
+    leaving it to the docstring (r5 verdict: a pathological 10M-item
+    group would otherwise OOM a task silently):
+
+    * ``on_oversize="error"`` (default): any group over the cap fails
+      the job with a descriptive error naming the group — the guard is
+      a ``raise_error`` branch inside the kept projection (cannot be
+      pruned by Catalyst), zero extra exchanges, default plan shape
+      identical for in-contract data.
+    * ``on_oversize="selfjoin"``: oversized groups are routed through
+      the streaming self-join form (no array buffering — the pair
+      blow-up streams out of the join) while in-contract groups keep
+      the fast array expansion; output is the union, semantically
+      identical.  Costs one extra shuffle pass over the (group, item)
+      table, so it is the opt-in for genuinely skewed group-size
+      distributions at open scale.
+    * ``max_group_size=None`` disables the guard (caller has already
+      capped/salted upstream).
+
+    The 100k default bounds the buffered array to a few MB; the pair
+    EXPANSION (k²/2 rows) streams out of ``explode`` without
+    materializing, so the array row is the only per-group memory."""
+    if on_oversize not in ("error", "selfjoin"):
+        raise ValueError(f"on_oversize must be error|selfjoin: {on_oversize}")
     sets = df.groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
-    return (
-        sets.select(F.explode("_items").alias("_a"), "_items")
+    if max_group_size is not None and on_oversize == "error":
+        # raise_error lives inside the _items expression consumed by
+        # the explode, so column pruning cannot drop the check
+        msg = F.concat(
+            F.lit(
+                "cooccurrence_pairs: group exceeds "
+                f"max_group_size={max_group_size}: "
+            ),
+            F.col(group_col).cast("string"),
+            F.lit(" has "),
+            F.size("_items").cast("string"),
+            F.lit(" items; cap/salt upstream or use on_oversize='selfjoin'"),
+        )
+        sets = sets.select(
+            F.col(group_col),
+            F.when(F.size("_items") <= max_group_size, F.col("_items"))
+            .otherwise(F.raise_error(msg))
+            .alias("_items"),
+        )
+    small = sets
+    if max_group_size is not None and on_oversize == "selfjoin":
+        small = sets.filter(F.size("_items") <= max_group_size)
+    pairs = (
+        small.select(F.explode("_items").alias("_a"), "_items")
         .select(
             "_a",
             F.explode(F.expr("filter(_items, x -> x > _a)")).alias("_b"),
         )
         .select(F.col("_a").alias("a"), F.col("_b").alias("b"))
     )
+    if max_group_size is not None and on_oversize == "selfjoin":
+        big_groups = sets.filter(
+            F.size("_items") > max_group_size
+        ).select(group_col)
+        big_items = df.join(big_groups, group_col, "left_semi").select(
+            group_col, item_col
+        ).distinct()
+        x, y = big_items.alias("_x"), big_items.alias("_y")
+        big_pairs = x.join(
+            y,
+            (F.col(f"_x.{group_col}") == F.col(f"_y.{group_col}"))
+            & (F.col(f"_x.{item_col}") < F.col(f"_y.{item_col}")),
+        ).select(
+            F.col(f"_x.{item_col}").alias("a"),
+            F.col(f"_y.{item_col}").alias("b"),
+        )
+        pairs = pairs.unionByName(big_pairs)
+    return pairs
 
 
 def pagerank(

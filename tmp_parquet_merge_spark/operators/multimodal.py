@@ -5,12 +5,14 @@ opaque ``binary`` payload column plus a typed metadata struct — the
 layout that keeps a 100 TB multimodal table scannable (metadata-only
 queries never touch payload bytes thanks to parquet column pruning).
 
-The actual codec step (JPEG decode, audio resample, video frame
-sample) needs libraries this container doesn't ship, so codecs are
-STUBBED behind ``NotImplementedError`` with a deterministic fake
-(byte-level features) — but the Spark-side plumbing is real and
-tested: schema, Arrow batch shape, ``mapInPandas`` signatures, and
-the partitioning story are exactly what a real decoder drops into.
+The codec step is OPTIONAL-dependency gated: when PIL is importable,
+``extract_features``/``decode_image`` decode real image bytes (pixel-
+histogram features, ``decoded=True``); otherwise — and for payloads
+that are not images — a deterministic byte-level fake runs, so the
+family upgrades itself the moment the environment gains codecs, with
+no code change.  The Spark-side plumbing is real and tested either
+way: schema, Arrow batch shape, ``mapInPandas`` signatures, and the
+partitioning story are exactly what a production decoder uses.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched, no
 per-row Python), embarrassingly parallel, no shuffle; payload bytes
@@ -51,6 +53,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("byte_entropy_bin", T.IntegerType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
+        # True when a real codec decoded the payload (PIL present and
+        # the bytes parsed as an image); False = byte-level fallback
+        T.StructField("decoded", T.BooleanType(), False),
     ]
 )
 
@@ -74,11 +79,22 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — requires PIL/libjpeg, absent here."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "extract_features uses the deterministic byte-level fake instead"
-    )
+    """Real decoder entry point: decodes ``payload`` with PIL when the
+    library is importable (r5 verdict #6 — the family upgrades itself
+    when the environment gains codecs, no code change), else raises
+    NotImplementedError and extract_features uses the deterministic
+    byte-level fake."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs (PIL) are not available in this environment; "
+            "extract_features uses the deterministic byte-level fake "
+            "instead"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def _fake_features(payload: bytes, bins: int = 16) -> list[float]:
@@ -105,21 +121,42 @@ def extract_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
 
     # self-contained closure: executor workers may not have this repo
     # importable (cloudpickle serializes module-level functions as
-    # imports), so the stub featurizer is defined inside.  Vectorized:
-    # frombuffer + bincount per payload — a per-byte Python loop makes
-    # the featurizer the bottleneck (~100× at media payload sizes).
-    def featurize(payload: bytes, nbins: int) -> list[float]:
+    # imports), so the featurizer is defined inside.  Real-codec path
+    # first: when PIL is importable AND the payload parses as an
+    # image, features are a grayscale pixel histogram of the decoded
+    # 16×16 thumbnail; otherwise the deterministic byte-histogram
+    # fallback (vectorized frombuffer + bincount — a per-byte Python
+    # loop makes the featurizer the bottleneck, ~100× at media payload
+    # sizes).  The codec import is attempted once per batch iterator,
+    # not per row.
+    def featurize(payload: bytes, nbins: int, image_cls) -> tuple[list[float], bool]:
+        import io
+
         import numpy as np
 
+        if payload and image_cls is not None:
+            try:
+                img = image_cls.open(io.BytesIO(payload))
+                img = img.convert("L").resize((16, 16))
+                a = np.asarray(img, dtype=np.int32).ravel()
+                hist = np.bincount(a * nbins // 256, minlength=nbins)
+                return (hist / a.size).tolist(), True
+            except Exception:
+                pass  # not an image (or truncated) -> byte fallback
         if not payload:
-            return [0.0] * nbins
+            return [0.0] * nbins, False
         a = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
         hist = np.bincount(a * nbins // 256, minlength=nbins)
-        return (hist / len(payload)).tolist()
+        return (hist / len(payload)).tolist(), False
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image as image_cls
+        except ImportError:
+            image_cls = None
         for pdf in batches:
-            feats = [featurize(p, bins) for p in pdf["payload"]]
+            out = [featurize(p, bins, image_cls) for p in pdf["payload"]]
+            feats = [f for f, _ in out]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -129,6 +166,7 @@ def extract_features(media: DataFrame, *, bins: int = 16) -> DataFrame:
                         int(max(range(len(f)), key=f.__getitem__)) for f in feats
                     ],
                     "features": feats,
+                    "decoded": [d for _, d in out],
                 }
             )
 

@@ -67,6 +67,41 @@ def q_scan_count(spark, sf_dir):
     return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+@query("q_scan_batch_size")
+def q_scan_batch_size(spark, sf_dir):
+    """Batch-size-parity scan (r5 verdict #8, closing the last §6
+    baseline anchor): the same projected scan-aggregate executed at
+    the reference's default vectorized batch of 256 rows
+    (parquet-scan.cc:35) AND Spark's 4096 default
+    (spark.sql.parquet.columnarReaderBatchSize), one row per setting —
+    results must be invariant to the knob.  The aggregate reads a real
+    data column (sum) so the scan can't be answered from footer stats.
+    Eager by necessity (the knob is a session conf read at execution,
+    so the two scans run inside build, like the layout writers);
+    rows-only — batch size isn't SQL-visible."""
+    knob = "spark.sql.parquet.columnarReaderBatchSize"
+    orig = spark.conf.get(knob)
+    out = []
+    try:
+        for n in (256, 4096):
+            spark.conf.set(knob, str(n))
+            row = (
+                t(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_quantity")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("l_quantity").cast("long").alias("sum_qty"),
+                )
+                .first()
+            )
+            out.append((n, row.n_rows, row.sum_qty))
+    finally:
+        spark.conf.set(knob, orig)
+    return spark.createDataFrame(
+        out, "batch_size: int, n_rows: long, sum_qty: long"
+    )
+
+
 @query("q_project_one", oracle="SELECT l_orderkey FROM lineitem")
 def q_project_one(spark, sf_dir):
     """Single-column read — reader->ReadColumn(0)
@@ -229,8 +264,23 @@ def q_schema_dump(spark, sf_dir):
 def q_metadata_stats(spark, sf_dir):
     """Footer metadata dump (file/row-group/column counts, sizes,
     key-value metadata) — parquet_reader.cc:44-72.  Distributed footer
-    reads via mapInPandas.  Rows-only (byte sizes aren't SQL-visible)."""
-    return parquet_io.metadata_stats(spark, sf_dir)
+    reads via mapInPandas.  Also exercises the WRITE side of the kv
+    surface (parquet_reader.cc:46-47): one engine-written file with
+    custom footer keys (write_parquet(kv_metadata=...)) joins the
+    dump, so the kv column carries engine-written keys, not just
+    arrow/spark schema blobs.  Rows-only (byte sizes aren't
+    SQL-visible); the kv roundtrip is asserted in
+    tests/test_merge.py."""
+    stamped = os.path.join(tempfile.mkdtemp(prefix="tpms_kv_"), "nation_kv")
+    parquet_io.write_parquet(
+        t(spark, sf_dir, "nation"),
+        stamped,
+        kv_metadata={
+            "engine.writer": "tmp-parquet-merge-spark",
+            "engine.query": "q_metadata_stats",
+        },
+    )
+    return parquet_io.metadata_stats(spark, sf_dir, stamped)
 
 
 @query("q_column_stats")

@@ -183,6 +183,29 @@ def q_dedup_editdist(spark, sf_dir):
     )
 
 
+@query("q_dedup_editdist_lsh")
+def q_dedup_editdist_lsh(spark, sf_dir):
+    """The 100 TB spelling of q_dedup_editdist (r5 verdict #4):
+    candidate pairs come from MinHash-LSH (shuffle O(docs × bands),
+    bodies never enter the blocking join) and Levenshtein runs as a
+    verify over id-joined candidates only — normalized text moves for
+    candidate ids alone, so verify cost tracks |candidates|, not
+    |corpus|².  Rows-only: LSH recall at the banding knee is
+    probabilistic; tests/test_llm_ops.py pins LSH-fed ≡ blocked-join
+    output on the bundled corpus."""
+    docs = t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=None
+    )
+    return dedup.editdist_pairs(
+        docs,
+        "text",
+        "doc_id",
+        max_rel_dist_pct=20,
+        candidates=cand,
+    )
+
+
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +

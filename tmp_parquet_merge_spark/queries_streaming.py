@@ -171,6 +171,7 @@ def q_stateful_profile(spark, sf_dir):
                event_type AS last_event_type,
                value AS last_value,
                ts AS last_ts,
+               event_id AS last_event_id,
                n_events
         FROM r WHERE rn = 1
     """,

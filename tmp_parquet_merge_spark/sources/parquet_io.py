@@ -64,6 +64,7 @@ def write_parquet(
     partition_by: Sequence[str] | None = None,
     num_files: int | None = None,
     mode: str = "overwrite",
+    kv_metadata: dict[str, str] | None = None,
 ) -> None:
     """Write Parquet with explicit layout control.
 
@@ -72,6 +73,9 @@ def write_parquet(
     (reader-writer2.cc:46,88-93).  ``max_records_per_file`` mirrors the
     fixed-row AppendRowGroup sizing (reader-writer.cc:45,73-74) at file
     granularity.  ``num_files`` compacts via coalesce (no shuffle).
+    ``kv_metadata`` stamps custom key-value footer metadata on every
+    written file post-write (attach_kv_metadata — O(footer) appends,
+    the write side of parquet_reader.cc:46-47's kv dump).
     """
     if num_files is not None:
         df = df.coalesce(num_files)
@@ -83,6 +87,96 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if kv_metadata:
+        attach_kv_metadata(df.sparkSession, path, kv_metadata)
+
+
+def attach_kv_metadata(
+    spark: SparkSession, path: str, kv: dict[str, str]
+) -> int:
+    """Attach key-value footer metadata to every parquet file under
+    ``path`` — the write side of the reference's
+    ``--print-key-value-metadata`` surface
+    (cpp/tools/parquet/parquet_reader.cc:46-47), which Spark's writer
+    does not expose.
+
+    O(footer), never O(data): a NEW footer with the merged key-value
+    map (existing keys preserved, ``kv`` wins on collision) is
+    APPENDED to each file — row-group offsets in a parquet footer are
+    absolute from the file start, and every reader locates the footer
+    from the trailing length+magic, so the data pages and the old
+    footer become untouched dead bytes and all readers (Spark, DuckDB,
+    pyarrow) see the new metadata.  Rewriting data to stamp metadata
+    at 100 TB would be absurd; this costs one footer read + append per
+    file, executor-parallel via mapInPandas.
+
+    Values are stored UTF-8.  Local/shared-FS paths only (appends are
+    not supported on object stores) — matching the reference's local
+    ``arrow::io::FileOutputStream`` scope.  Returns the number of
+    files stamped."""
+    files = _expand_parquet_paths(spark, path)
+    if not files:
+        return 0
+    files_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("file", T.StringType(), False)]),
+    )
+    if len(files) > 64:
+        files_df = files_df.repartition(min(len(files) // 8, 512))
+    kv_bytes = {k.encode("utf8"): v.encode("utf8") for k, v in kv.items()}
+
+    # self-contained closure (see metadata_stats note): executors may
+    # not have this package importable
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+        import tempfile as _tf
+
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for fname in pdf["file"]:
+                local = fname[5:] if fname.startswith("file:") else fname
+                md = _pq.read_metadata(local)
+                merged = dict(md.metadata or {})
+                merged.update(kv_bytes)
+                schema = _pq.ParquetFile(local).schema_arrow.with_metadata(
+                    merged
+                )
+                fd, tmp = _tf.mkstemp(suffix="._md")
+                _os.close(fd)
+                try:
+                    _pq.write_metadata(schema, tmp, metadata_collector=[md])
+                    blob = open(tmp, "rb").read()
+                finally:
+                    _os.unlink(tmp)
+                # blob = PAR1 + footer + len + PAR1; the leading magic
+                # is already present at the head of the data file
+                with open(local, "ab") as f:
+                    f.write(blob[4:])
+                # the append invalidates Hadoop LocalFS's .crc sidecar
+                # (written out-of-band of the FS API); drop it — a
+                # missing sidecar means "no checksum verification",
+                # not an error
+                crc = _os.path.join(
+                    _os.path.dirname(local),
+                    "." + _os.path.basename(local) + ".crc",
+                )
+                if _os.path.exists(crc):
+                    _os.unlink(crc)
+                out.append({"file": fname, "appended": len(blob) - 4})
+            yield pd.DataFrame(out, columns=["file", "appended"])
+
+    stamped = files_df.mapInPandas(
+        stamp,
+        T.StructType(
+            [
+                T.StructField("file", T.StringType(), False),
+                T.StructField("appended", T.LongType(), False),
+            ]
+        ),
+    )
+    return stamped.count()
 
 
 def merge_files(

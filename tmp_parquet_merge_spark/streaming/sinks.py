@@ -26,13 +26,26 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-PROFILE_COLS = ("user_id", "last_event_type", "last_value", "last_ts", "n_events")
+PROFILE_COLS = (
+    "user_id",
+    "last_event_type",
+    "last_value",
+    "last_ts",
+    "last_event_id",
+    "n_events",
+)
 
 
 def latest_per_user(events: DataFrame) -> DataFrame:
     """One row per user: the latest event by (ts, event_id) plus the
     event count — the deterministic last-writer-wins reduction applied
-    both inside each micro-batch and by the batch oracle twin."""
+    both inside each micro-batch and by the batch oracle twin.  The
+    winning event_id is PART of the profile (last_event_id): the merge
+    tie-break needs the real id, so a later micro-batch carrying a
+    LOWER event_id at the same ts loses to the stored row exactly as
+    it would in one batch pass (r5 advisor: the old -1/0 surrogate
+    made the later batch always win ts ties, diverging stream from
+    batch)."""
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
@@ -48,6 +61,7 @@ def latest_per_user(events: DataFrame) -> DataFrame:
             F.col("event_type").alias("last_event_type"),
             F.col("value").alias("last_value"),
             F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
             "n_events",
         )
     )
@@ -58,14 +72,16 @@ def _merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None
     cur = os.path.join(target_dir, "current")
     if os.path.exists(cur):
         existing = spark.read.parquet(cur)
-        # merge: later batch wins on (ts, event_id); counts accumulate
+        # merge on (ts, event_id) with the REAL stored event_id on
+        # both sides — ts ties across micro-batches then resolve
+        # identically to a single batch pass over all events
         merged = latest_per_user(
             existing.select(
                 "user_id",
                 F.col("last_event_type").alias("event_type"),
                 F.col("last_value").alias("value"),
                 F.col("last_ts").alias("ts"),
-                F.lit(-1).alias("event_id"),  # existing loses ts ties
+                F.col("last_event_id").alias("event_id"),
             )
             .unionByName(
                 reduced.select(
@@ -73,7 +89,7 @@ def _merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None
                     F.col("last_event_type").alias("event_type"),
                     F.col("last_value").alias("value"),
                     F.col("last_ts").alias("ts"),
-                    F.lit(0).alias("event_id"),
+                    F.col("last_event_id").alias("event_id"),
                 )
             )
         ).drop("n_events")

@@ -33,11 +33,25 @@ TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    ws = words(text)
-    hits = F.size(
-        F.filter(ws, lambda w: w.isin(*STOPWORDS[lang]))
+    """Fraction of word tokens that are stopwords of ``lang``.
+
+    Spelled as TWO regexp_count passes over the normalized string
+    (whole-stage codegen, JVM regex) instead of the obvious
+    ``filter(words, isin)`` array lambda: higher-order lambdas are
+    interpreted PER ELEMENT and get re-inlined into every consumer by
+    CollapseProject — inside lang_pred_exprs' argmax when-chain that
+    made language-ID ~4x slower for identical counts.  The padded
+    " word(?= )" alternation counts exactly the tokens the lambda
+    counted (duplicates included, same as the DuckDB oracle's
+    list_filter); the lookahead keeps consecutive stopwords from
+    swallowing each other's delimiter."""
+    norm = normalize_text(text)
+    pat = " (" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    hits = F.regexp_count(
+        F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(pat)
     )
-    return hits / F.greatest(F.size(ws), F.lit(1))
+    n_words = F.regexp_count(norm, F.lit(" ")) + F.lit(1)
+    return hits / F.greatest(n_words, F.lit(1))
 
 
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

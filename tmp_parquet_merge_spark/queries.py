@@ -1194,6 +1194,14 @@ _CHANGED_THIS_ROUND = frozenset(
         # streaming upsert sink tie-break now persists the real
         # event_id (streaming/sinks.py) — batch twin oracle unchanged
         "q_stream_upsert",
+        # stopword_ratio rewritten from an interpreted filter() array
+        # lambda to two codegen regexp_count passes (operators/text.py;
+        # counts identical, language-ID ~2x faster) — transitive
+        # consumers via lang_pred_exprs / quality_subscore_exprs
+        "q_lang_id",
+        "q_lang_id_eval",  # also: confusion matrix now one scan, no self-join
+        "q_quality_score",
+        "q_curation_pipeline",
     }
 )
 

@@ -923,13 +923,15 @@ def q_sample_stratified(spark, sf_dir):
 def q_lang_id_eval(spark, sf_dir):
     """Confusion matrix of the heuristic language-ID against the
     corpus's ground-truth ``lang`` column — the eval loop every
-    classifier-driven curation step needs.  Join on doc_id, one
-    hash-agg."""
-    docs = t(spark, sf_dir, "documents")
-    pred = text.language_id(docs, "text", "doc_id").select("doc_id", "pred_lang")
+    classifier-driven curation step needs.  The classifier is a pure
+    column expression (text.lang_pred_exprs), so prediction and truth
+    ride ONE corpus scan into one hash-agg — the former doc_id
+    self-join (a second scan + two shuffles) measured 2x the cost for
+    identical output."""
+    pred, _ = text.lang_pred_exprs("text")
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        t(spark, sf_dir, "documents")
+        .select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )

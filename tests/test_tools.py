@@ -80,3 +80,35 @@ def test_parquet_merge_cli_merge_and_incremental(spark, sf_dir, tmp_path, capsys
     # at sf0.001 everything is <1 MiB so all 10 compact; the manifest
     # line always reports the three action buckets
     assert "kept" in captured and "compacted" in captured and "written" in captured
+
+
+def test_make_scaled_dir_preserves_referential_integrity(
+    spark, sf_dir, tmp_path
+):
+    """The K-fold replica keeps FK edges valid (every replicated
+    lineitem row still joins its replicated order), holds the 25/5
+    nation/region dims fixed (TPC-H semantics), and decorrelates the
+    document corpus (no cross-replica exact dups)."""
+    from tools.make_scaled_dir import FIXED_DIMS, KEY_SHIFTS, replicate
+
+    k = 3
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li_k = replicate(li, "lineitem", k)
+    ord_k = replicate(orders, "orders", k)
+    assert li_k.count() == k * li.count()
+    # every replicated lineitem still finds its order
+    dangling = li_k.join(
+        ord_k, li_k.l_orderkey == ord_k.o_orderkey, "left_anti"
+    ).count()
+    assert dangling == 0
+    # documents: replicas are not exact duplicates of each other
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    doc_k = replicate(docs, "documents", k)
+    n_distinct_texts = doc_k.select("text").distinct().count()
+    assert n_distinct_texts > docs.count()  # rotation decorrelated them
+    assert FIXED_DIMS == ("region", "nation")
+    assert set(KEY_SHIFTS) | set(FIXED_DIMS) == {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }

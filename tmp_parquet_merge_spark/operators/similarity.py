@@ -203,6 +203,37 @@ def embedding_dedup_pairs(
     )
 
 
+def _auto_lsh_params(
+    n: int,
+    *,
+    high_sim: float = 0.9,
+    target_recall: float = 0.9,
+    min_bits: int = 4,
+    max_bands: int = 32,
+) -> tuple[int, int]:
+    """(bits_per_band, bands) sized to the corpus count.
+
+    Fixed banding does not scale: with b bits per band a RANDOM pair
+    collides with prob 2^-b per band, so candidate count grows as
+    L·n²·2^-b — quadratic once n outgrows 2^b (the r6 scale sweep
+    measured exactly that: 16-bit/4-band SRP went 25× slower on 5×
+    the vectors).  Growing b with log2(n) pins expected random
+    collisions to O(n) (E[bucket] ≈ 2^min_bits per band); bands then
+    grow just enough to hold ``target_recall`` at the ``high_sim``
+    near-dup design point (p_band = (1-acos(s)/π)^b,
+    L = ln(1-R)/ln(1-p_band)).  Recall at LOWER thresholds decays
+    with n — the standard LSH tradeoff; lower ``high_sim`` to spend
+    more bands if the operating threshold is loose."""
+    import math
+
+    b = max(min_bits, math.ceil(math.log2(max(n, 2))) - min_bits)
+    p_band = (1 - math.acos(high_sim) / math.pi) ** b
+    if p_band >= 1.0:
+        return b, 1
+    bands = math.ceil(math.log(1 - target_recall) / math.log(1 - p_band))
+    return b, max(1, min(max_bands, bands))
+
+
 def embedding_dedup_pairs_lsh(
     df: DataFrame,
     *,
@@ -210,8 +241,8 @@ def embedding_dedup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int = 64,
-    nbits: int = 16,
-    bands: int = 4,
+    nbits: int | None = None,
+    bands: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates —
@@ -221,7 +252,17 @@ def embedding_dedup_pairs_lsh(
     :func:`embedding_dedup_pairs`; recall < 1 by the LSH S-curve (a
     pair at cosine c collides per band with prob (1-acos(c)/π)^rows),
     so this is the approximate scale twin, not the oracle twin.
-    """
+
+    ``nbits``/``bands`` default to corpus-adaptive sizing
+    (:func:`_auto_lsh_params`, one count() over the ids): band
+    selectivity tracks log2(n) so expected random-pair collisions —
+    and therefore verify cost — stay O(n) as the corpus grows, while
+    the band count holds ~90% recall at cosine 0.9.  Pass both
+    explicitly to pin a fixed index layout instead."""
+    if nbits is None or bands is None:
+        rows_per_band, n_bands = _auto_lsh_params(df.count())
+        nbits = rows_per_band * n_bands
+        bands = n_bands
     # the normalized frame feeds the signature stage AND the verify
     # join-back; materialize once (lazy local checkpoint) so the Arrow
     # normalization doesn't run per consumer

@@ -1202,6 +1202,11 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_lang_id_eval",  # also: confusion matrix now one scan, no self-join
         "q_quality_score",
         "q_curation_pipeline",
+        # SRP-LSH banding is now corpus-adaptive (similarity.py
+        # _auto_lsh_params) — the r6 5x scale sweep caught the fixed
+        # 16-bit/4-band layout going quadratic (25x time on 5x
+        # vectors); rows-only, subset+recall floor re-pinned in tests
+        "q_dedup_embedding_lsh",
     }
 )
 

@@ -333,10 +333,13 @@ def q_dedup_embedding(spark, sf_dir):
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup pairs at 100 TB shape: SRP-LSH bucket
     candidates (shuffle = O(vectors × bands) int keys, never a
-    cartesian), exact cosine ≥ 0.4 on candidates only.  Rows-only:
-    recall < 1 by the LSH S-curve (at cos 0.4 a 4-bit band collides
-    ~16% of the time), so the output is a strict subset of the exact
-    twin q_dedup_embedding — subset + recall floor asserted in
+    cartesian), exact cosine ≥ 0.4 on candidates only.  Banding is
+    corpus-adaptive (similarity._auto_lsh_params): bits per band grow
+    with log2(n) so expected random-pair collisions — the verify cost
+    — stay O(n); a fixed layout measured 25x slower on 5x the vectors
+    in the r6 scale sweep.  Rows-only: recall < 1 by the LSH S-curve,
+    so the output is a strict subset of the exact twin
+    q_dedup_embedding — subset + recall floor asserted in
     tests/test_llm_ops.py."""
     return similarity.embedding_dedup_pairs_lsh(
         t(spark, sf_dir, "embeddings"), threshold=0.4

@@ -1,0 +1,164 @@
+"""Physical-type-fidelity write path (SURVEY §7 deviations 1-3).
+
+The reference declares its 8-type schema with physical/logical types
+Spark's native writer cannot express (reader_writer.h SetupSchema,
+lines 28-67): INT32/TIME_MILLIS, raw INT96, FIXED_LEN_BYTE_ARRAY(10),
+and Repetition::REQUIRED on all but ba_field.  write_parquet_typed
+reproduces that exact footer from a distributed Spark write;
+write_parquet(int96_timestamps=True) covers the JVM-native INT96 case.
+"""
+
+import glob
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tmp_parquet_merge_spark.sources import fixtures, parquet_io
+
+REQUIRED = (
+    "boolean_field",
+    "int32_field",
+    "int96_field",
+    "float_field",
+    "double_field",
+    "flba_field",
+)
+
+
+@pytest.fixture(scope="module")
+def typed_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("typed") / "alltypes")
+    df = fixtures.alltypes_df(spark, 500).coalesce(2)
+    files = parquet_io.write_parquet_typed(
+        df,
+        out,
+        flba_lengths={"flba_field": 10},
+        time_millis_cols=["int32_field"],
+        required_cols=REQUIRED,
+        int96_timestamps=True,
+    )
+    return df, out, files
+
+
+def test_typed_footer_matches_reference_schema(typed_out):
+    """Physical + logical types and repetition match SetupSchema
+    (reader_writer.h:28-67) field by field."""
+    _, out, files = typed_out
+    assert len(files) == 2  # one file per non-empty partition
+    sch = pq.ParquetFile(files[0]).schema
+    byname = {sch.column(i).name: sch.column(i) for i in range(len(sch))}
+    assert byname["boolean_field"].physical_type == "BOOLEAN"
+    assert byname["int32_field"].physical_type == "INT32"
+    assert "Time" in str(byname["int32_field"].logical_type)
+    assert "milliseconds" in str(byname["int32_field"].logical_type)
+    assert byname["int96_field"].physical_type == "INT96"
+    assert byname["float_field"].physical_type == "FLOAT"
+    assert byname["double_field"].physical_type == "DOUBLE"
+    assert byname["ba_field"].physical_type == "BYTE_ARRAY"
+    assert byname["flba_field"].physical_type == "FIXED_LEN_BYTE_ARRAY"
+    # FIXED_LENGTH = 10 declared in the footer (reader_writer.h:30)
+    assert "fixed_len_byte_array(10)" in str(sch).lower()
+    # Repetition::REQUIRED on all but ba_field / the repeated int64
+    tree = str(sch)
+    for line in tree.splitlines():
+        for name in REQUIRED:
+            if f" {name}" in line:
+                assert "required" in line, line
+        if " ba_field" in line:
+            assert "optional" in line, line
+
+
+def test_typed_roundtrip_spark(spark, typed_out):
+    """Spark can't infer TIME(MILLIS) footers ([PARQUET_TYPE_ILLEGAL]);
+    typed_read_schema maps TIME back to the ms-of-day IntegerType
+    convention and the roundtrip is value-exact."""
+    df, out, _ = typed_out
+    back = parquet_io.read_parquet(
+        spark, out, schema=parquet_io.typed_read_schema(spark, out)
+    )
+    assert back.schema["int32_field"].dataType.simpleString() == "int"
+    assert back.count() == 500
+    a = df.withColumn("int64_field", F.to_json("int64_field"))
+    b = back.withColumn("int64_field", F.to_json("int64_field"))
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_typed_file_cross_engine(typed_out):
+    """Other engines see the declared logical types: DuckDB reads the
+    TIME column as TIME and the FLBA column as BLOB."""
+    _, out, _ = typed_out
+    con = duckdb.connect()
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    types = {row[0]: row[1] for row in desc}
+    # pyarrow declares Time(isAdjustedToUTC=true) — the parquet-format
+    # compatibility mapping of the legacy TIME_MILLIS converted type —
+    # which DuckDB surfaces as TIME WITH TIME ZONE
+    assert types["int32_field"].startswith("TIME")
+    assert types["flba_field"] == "BLOB"
+    assert types["int96_field"].startswith("TIMESTAMP")
+    n, mn = con.execute(
+        f"SELECT COUNT(*), MIN(int32_field) "
+        f"FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert n == 500 and str(mn).startswith("00:00:00")
+
+
+def test_flba_length_enforced(spark, tmp_path):
+    """A value that isn't exactly the declared length fails the write
+    (the reference's FLBA contract is a hard length, reader_writer.h:30)."""
+    df = spark.range(2).select(
+        F.unhex(F.lit("deadbeef")).alias("flba_field")  # 4 bytes, not 10
+    )
+    with pytest.raises(Exception, match="[Ww]idth|[Ff]ixed|4"):
+        parquet_io.write_parquet_typed(
+            df, str(tmp_path / "bad"), flba_lengths={"flba_field": 10}
+        )
+
+
+def test_native_int96_write(spark, tmp_path):
+    """write_parquet(int96_timestamps=True): JVM-native distributed
+    write emits physical INT96 (reader_writer.h:48-49) and reads back
+    value-exact; the session conf is restored afterwards."""
+    out = str(tmp_path / "int96")
+    df = spark.range(100).select(
+        F.col("id"), F.timestamp_seconds(F.col("id") * 3600).alias("ts")
+    )
+    # pin a non-INT96 session value (Spark's own default IS INT96 —
+    # the flag exists to pin the choice against cluster defaults) and
+    # check the write-scoped override is restored afterwards
+    key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        parquet_io.write_parquet(df, out, int96_timestamps=True, num_files=1)
+        assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+    finally:
+        spark.conf.set(key, "INT96")
+    f = glob.glob(out + "/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata.row_group(0)
+    phys = {
+        md.column(i).path_in_schema: md.column(i).physical_type
+        for i in range(md.num_columns)
+    }
+    assert phys["ts"] == "INT96"
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()
+
+
+def test_typed_row_group_rows(spark, tmp_path):
+    """row_group_rows bounds row-group size within each arrow batch —
+    the rows-per-group analog of the reference's fixed-row
+    AppendRowGroup sizing (reader-writer.cc:45,73-74)."""
+    out = str(tmp_path / "rg")
+    df = fixtures.alltypes_df(spark, 1000).coalesce(1)
+    files = parquet_io.write_parquet_typed(df, out, row_group_rows=100)
+    md = pq.ParquetFile(files[0]).metadata
+    assert md.num_rows == 1000
+    assert md.num_row_groups >= 10
+    assert max(
+        md.row_group(i).num_rows for i in range(md.num_row_groups)
+    ) <= 100

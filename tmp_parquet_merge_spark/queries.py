@@ -141,14 +141,29 @@ def q_roundtrip(spark, sf_dir):
     The REPEATED field stays an array in the *written* file (that is
     the fidelity under test); the *returned* frame serializes it to
     JSON because the driver's pandas canonicalizer can't sort/factorize
-    list cells."""
+    list cells.  int96_field is written as physical INT96 raw triples
+    (reader_writer.h:48-49, pinned via int96_timestamps regardless of
+    cluster default) and returned as a formatted UTC string so the
+    INT96 read path is driver-visible without timezone-display noise.
+    Full physical-type fidelity (TIME_MILLIS, FLBA(10), REQUIRED) is
+    write_parquet_typed, pinned in tests/test_typed_write.py."""
     out = os.path.join(tempfile.mkdtemp(prefix="tpms_rt_"), "alltypes")
     df = fixtures.alltypes_df(spark, 500)
     parquet_io.write_parquet(
-        df, out, block_size_bytes=16 * 1024 * 1024, compression="snappy"
+        df,
+        out,
+        block_size_bytes=16 * 1024 * 1024,
+        compression="snappy",
+        int96_timestamps=True,
     )
-    back = spark.read.parquet(out).drop("int96_field")  # ts tz-display only
-    return back.withColumn("int64_field", F.to_json("int64_field"))
+    back = spark.read.parquet(out)
+    return back.withColumn("int64_field", F.to_json("int64_field")).withColumn(
+        "int96_field",
+        F.date_format(
+            F.to_utc_timestamp("int96_field", spark.conf.get("spark.sql.session.timeZone")),
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+    )
 
 
 @query("q_merge_schema_evolution")

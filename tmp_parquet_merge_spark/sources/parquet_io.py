@@ -38,14 +38,20 @@ def read_parquet(
     *paths: str,
     merge_schema: bool = False,
     columns: Sequence[str] | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Read one or more Parquet paths (file, directory, or glob).
 
     ``columns`` projects early so Catalyst prunes the Parquet scan to the
     selected columns (the reference's --columns ordinal projection,
     cpp/tools/parquet/parquet-scan.cc:36-49, by name instead of index).
+    ``schema`` skips footer schema inference — required for
+    :func:`write_parquet_typed` files whose TIME logical type Spark's
+    footer converter rejects (pass :func:`typed_read_schema`).
     """
     reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*paths)
@@ -65,6 +71,7 @@ def write_parquet(
     num_files: int | None = None,
     mode: str = "overwrite",
     kv_metadata: dict[str, str] | None = None,
+    int96_timestamps: bool = False,
 ) -> None:
     """Write Parquet with explicit layout control.
 
@@ -76,6 +83,10 @@ def write_parquet(
     ``kv_metadata`` stamps custom key-value footer metadata on every
     written file post-write (attach_kv_metadata — O(footer) appends,
     the write side of parquet_reader.cc:46-47's kv dump).
+    ``int96_timestamps`` emits TimestampType columns as physical INT96
+    (``spark.sql.parquet.outputTimestampType=INT96``) — the raw-triple
+    layout the reference declares (reader_writer.h:48-49); JVM-native,
+    so the write stays whole-stage distributed.
     """
     if num_files is not None:
         df = df.coalesce(num_files)
@@ -86,9 +97,142 @@ def write_parquet(
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    spark = df.sparkSession
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    # capture the EFFECTIVE value (conf.unset does not restore the
+    # entry default in-session, so restore is an explicit set-back)
+    prev_ts = spark.conf.get(_TS_KEY) if int96_timestamps else None
+    try:
+        if int96_timestamps:
+            spark.conf.set(_TS_KEY, "INT96")
+        writer.parquet(path)
+    finally:
+        if int96_timestamps and prev_ts is not None:
+            spark.conf.set(_TS_KEY, prev_ts)
     if kv_metadata:
         attach_kv_metadata(df.sparkSession, path, kv_metadata)
+
+
+def write_parquet_typed(
+    df: DataFrame,
+    path: str,
+    *,
+    flba_lengths: dict[str, int] | None = None,
+    time_millis_cols: Sequence[str] = (),
+    required_cols: Sequence[str] = (),
+    int96_timestamps: bool = False,
+    compression: str = "snappy",
+    row_group_rows: int | None = None,
+) -> list[str]:
+    """Physical-type-fidelity Parquet writer for the declarations
+    Spark's native writer cannot express (reference reader_writer.h
+    SetupSchema, reader_writer.h:28-67):
+
+      * ``flba_lengths``    — BinaryType cols written as
+                              FIXED_LEN_BYTE_ARRAY(n) (reader_writer.h:
+                              30,61-65; every value must be exactly n
+                              bytes or the arrow cast raises)
+      * ``time_millis_cols``— IntegerType ms-of-day cols written as
+                              INT32 / TIME_MILLIS (reader_writer.h:40-42)
+      * ``required_cols``   — written with Repetition::REQUIRED
+                              (non-nullable; the reference marks all but
+                              ba_field REQUIRED)
+      * ``int96_timestamps``— TimestampType cols as raw INT96 triples
+                              (reader_writer.h:48-49)
+
+    Fully distributed: each partition converts its Arrow batches and
+    streams them through a pyarrow ParquetWriter into one output file —
+    no shuffle, no driver data path (same per-executor-file layout as
+    Spark's native writer).  The driver only collects the file manifest
+    (one row per non-empty partition).  Local/shared-FS paths, matching
+    the reference's ``FileOutputStream`` scope.
+
+    Spark itself cannot re-read TIME(MILLIS) footers
+    ([PARQUET_TYPE_ILLEGAL]); read typed files back with
+    ``read_parquet(spark, path, schema=typed_read_schema(path))``,
+    which maps TIME back to the engine's ms-of-day IntegerType
+    convention.  Returns the written file paths.
+    """
+    import os as _os
+
+    local_dir = _strip_scheme(path)
+    _os.makedirs(local_dir, exist_ok=True)
+    flba = dict(flba_lengths or {})
+    tms = tuple(time_millis_cols)
+    req = frozenset(required_cols)
+
+    # self-contained closure (executor workers may not have this repo
+    # importable; see metadata_stats)
+    def write_part(batches):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        writer = None
+        fname = None
+        n = 0
+        for b in batches:
+            cols, fields = [], []
+            for i, name in enumerate(b.schema.names):
+                arr = b.column(i)
+                if name in flba:
+                    arr = arr.cast(pa.binary(flba[name]))
+                elif name in tms:
+                    arr = arr.cast(pa.int32()).cast(pa.time32("ms"))
+                cols.append(arr)
+                fields.append(pa.field(name, arr.type, nullable=name not in req))
+            cb = pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+            if writer is None:
+                fname = os.path.join(
+                    local_dir, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                writer = pq.ParquetWriter(
+                    fname,
+                    cb.schema,
+                    compression=compression,
+                    use_deprecated_int96_timestamps=int96_timestamps,
+                )
+            writer.write_batch(cb, row_group_size=row_group_rows)
+            n += cb.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([fname], pa.string()), pa.array([n], pa.int64())],
+                names=["file", "num_rows"],
+            )
+
+    manifest = df.mapInArrow(write_part, "file string, num_rows long")
+    return sorted(r.file for r in manifest.collect())
+
+
+def typed_read_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Explicit Spark read schema for a :func:`write_parquet_typed` file:
+    TIME(MILLIS)→IntegerType / TIME(MICROS)→LongType (the engine's
+    ms/µs-of-day convention, SURVEY §7 deviation 3 — Spark's footer
+    converter rejects TIME outright), FLBA→BinaryType, INT96→Timestamp;
+    everything else through the standard Arrow→Spark mapping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    def conv(at: pa.DataType) -> T.DataType:
+        if pa.types.is_time32(at):
+            return T.IntegerType()
+        if pa.types.is_time64(at):
+            return T.LongType()
+        if pa.types.is_fixed_size_binary(at):
+            return T.BinaryType()
+        if pa.types.is_list(at) or pa.types.is_large_list(at):
+            return T.ArrayType(conv(at.value_type))
+        return from_arrow_type(at)
+
+    first = _expand_parquet_paths(spark, path)[0]
+    asch = pq.ParquetFile(_strip_scheme(first)).schema_arrow
+    return T.StructType(
+        [T.StructField(f.name, conv(f.type), True) for f in asch]
+    )
 
 
 def attach_kv_metadata(

@@ -403,3 +403,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_typed_writer_plan_shuffle_free(spark, tmp_path):
+    """write_parquet_typed's manifest job must carry zero Exchanges:
+    each partition streams its Arrow batches straight into one pyarrow
+    file (same one-file-per-partition layout as the native writer) —
+    a shuffle here would re-cluster 100 TB just to write it."""
+    from tmp_parquet_merge_spark.sources import fixtures, parquet_io
+
+    df = fixtures.alltypes_df(spark, 200).coalesce(2)
+    out = str(tmp_path / "typed_plan")
+    files = parquet_io.write_parquet_typed(df, out)
+    assert len(files) == 2
+    # audit the same shape the writer executes: mapInArrow over the
+    # coalesced input
+    audited = df.mapInArrow(lambda it: it, df.schema)
+    assert "Exchange" not in plan_tree(audited)

@@ -166,6 +166,47 @@ def q_roundtrip(spark, sf_dir):
     )
 
 
+@query("q_typed_roundtrip")
+def q_typed_roundtrip(spark, sf_dir):
+    """Physical-type-fidelity roundtrip, driver-visible: writes the
+    reference's exact 8-type schema via write_parquet_typed —
+    FIXED_LEN_BYTE_ARRAY(10), INT32/TIME_MILLIS, Repetition::REQUIRED,
+    raw INT96 (reader_writer.h:28-67) — re-reads the data through the
+    explicit typed_read_schema (Spark's footer converter rejects TIME),
+    and returns per-column footer physical types + value counts from
+    column_stats plus the read-back row count, so the declared footer
+    IS the query result.  Rows-only (writes temp files); footer shape
+    also pinned in tests/test_typed_write.py."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_typed_"), "alltypes")
+    df = fixtures.alltypes_df(spark, 500)
+    parquet_io.write_parquet_typed(
+        df,
+        out,
+        flba_lengths={"flba_field": 10},
+        time_millis_cols=["int32_field"],
+        required_cols=(
+            "boolean_field",
+            "int32_field",
+            "int96_field",
+            "float_field",
+            "double_field",
+            "flba_field",
+        ),
+        int96_timestamps=True,
+    )
+    back = parquet_io.read_parquet(
+        spark, out, schema=parquet_io.typed_read_schema(spark, out)
+    )
+    n_back = back.count()  # bounded: one count over the 500-row fixture
+    return (
+        parquet_io.column_stats(spark, out)
+        .groupBy("column", "physical_type")
+        .agg(F.sum("num_values").alias("n_values"))
+        .withColumn("rows_read_back", F.lit(n_back))
+        .orderBy("column")
+    )
+
+
 @query("q_merge_schema_evolution")
 def q_merge_schema_evolution(spark, sf_dir):
     """Schema-evolution merge: two file generations, second adds a

@@ -1242,6 +1242,10 @@ _CHANGED_THIS_ROUND = frozenset(
         # write_parquet gained kv_metadata; metadata_stats surfaces
         # footer key-value pairs (sources/parquet_io.py)
         "q_metadata_stats",
+        # + int96_timestamps pin & driver-visible INT96 column; the
+        # OTHER write_parquet callers (q_merge_*, q_csv_roundtrip…) are
+        # NOT re-queued: with the default int96_timestamps=False the
+        # new conf logic is a dead branch — byte-identical write path
         "q_roundtrip",
         # multimodal decode path now tries a real codec (PIL) before
         # the deterministic byte-histogram fallback

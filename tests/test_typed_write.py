@@ -162,3 +162,63 @@ def test_typed_row_group_rows(spark, tmp_path):
     assert max(
         md.row_group(i).num_rows for i in range(md.num_row_groups)
     ) <= 100
+
+
+def test_typed_writer_multi_batch_partitions(spark, tmp_path):
+    """A partition whose Arrow stream arrives as MANY small batches
+    (the 100 TB shape: maxRecordsPerBatch ≪ partition rows) must still
+    produce ONE file per partition with every batch appended."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "50")
+    try:
+        df = fixtures.alltypes_df(spark, 1000).coalesce(2)
+        out = str(tmp_path / "mb")
+        files = parquet_io.write_parquet_typed(
+            df,
+            out,
+            flba_lengths={"flba_field": 10},
+            time_millis_cols=["int32_field"],
+            int96_timestamps=True,
+        )
+        assert len(files) == 2
+        assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 1000
+        back = parquet_io.read_parquet(
+            spark, out, schema=parquet_io.typed_read_schema(spark, out)
+        )
+        assert back.select("int32_field").distinct().count() == 1000
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_typed_writer_property_roundtrip(spark, tmp_path):
+    """Property-style sweep: several FLBA lengths × partition counts
+    roundtrip value-exact with the declared length in every footer."""
+    for length, parts in [(1, 1), (4, 3), (16, 2)]:
+        df = (
+            spark.range(120)
+            .select(
+                F.col("id"),
+                F.unhex(
+                    F.repeat(
+                        F.lpad(F.hex((F.col("id") % 256).cast("int")), 2, "0"),
+                        length,
+                    )
+                ).alias("fb"),
+            )
+            .repartition(parts)
+        )
+        out = str(tmp_path / f"p{length}_{parts}")
+        files = parquet_io.write_parquet_typed(
+            df, out, flba_lengths={"fb": length}
+        )
+        assert len(files) == parts
+        for f in files:
+            sch = str(pq.ParquetFile(f).schema).lower()
+            assert f"fixed_len_byte_array({length})" in sch
+        back = parquet_io.read_parquet(
+            spark, out, schema=parquet_io.typed_read_schema(spark, out)
+        )
+        assert back.filter(F.length("fb") != length).count() == 0
+        assert back.count() == 120
+        assert df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()

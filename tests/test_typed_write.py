@@ -222,3 +222,98 @@ def test_typed_writer_property_roundtrip(spark, tmp_path):
         assert back.filter(F.length("fb") != length).count() == 0
         assert back.count() == 120
         assert df.exceptAll(back).isEmpty() and back.exceptAll(df).isEmpty()
+
+
+def test_typed_writer_overwrite_modes(spark, tmp_path):
+    """mode='overwrite' (the default, matching write_parquet) replaces
+    prior files instead of silently accumulating; 'append' keeps them;
+    'error' refuses a non-empty target."""
+    df = fixtures.alltypes_df(spark, 100).coalesce(1)
+    out = str(tmp_path / "modes")
+    parquet_io.write_parquet_typed(df, out)
+    parquet_io.write_parquet_typed(df, out)  # default overwrite
+    back = parquet_io.read_parquet(
+        spark, out, schema=parquet_io.typed_read_schema(spark, out)
+    )
+    assert back.count() == 100
+    parquet_io.write_parquet_typed(df, out, mode="append")
+    assert parquet_io.read_parquet(
+        spark, out, schema=parquet_io.typed_read_schema(spark, out)
+    ).count() == 200
+    with pytest.raises(FileExistsError):
+        parquet_io.write_parquet_typed(df, out, mode="error")
+
+
+def test_typed_writer_commit_leaves_no_inprogress(spark, tmp_path):
+    """Task commit is write-to-dot-name + rename-on-close: a completed
+    write leaves only part-*.parquet, and a mid-write failure leaves
+    only the dot-prefixed temp that directory readers ignore."""
+    import os
+
+    df = fixtures.alltypes_df(spark, 100).coalesce(2)
+    out = str(tmp_path / "commit")
+    files = parquet_io.write_parquet_typed(df, out)
+    names = sorted(os.listdir(out))
+    assert len(files) == 2 and all(n.endswith(".parquet") for n in names)
+    # failure path: the FLBA length violation aborts the task after the
+    # writer opened its temp file — no final-named file may surface
+    bad = spark.range(10).select(
+        F.unhex(F.lit("ff")).alias("flba_field")
+    ).coalesce(1)
+    outb = str(tmp_path / "aborted")
+    with pytest.raises(Exception):
+        parquet_io.write_parquet_typed(
+            bad, outb, flba_lengths={"flba_field": 10}
+        )
+    assert [n for n in os.listdir(outb) if n.endswith(".parquet")] == []
+
+
+def test_time_millis_range_enforced(spark, tmp_path):
+    """ms-of-day outside [0, 86_399_999] fails the write — same hard
+    contract as the FLBA length (invalid TIME values must not reach a
+    footer other engines trust)."""
+    df = spark.range(3).select(
+        (F.col("id") + F.lit(86_400_000)).cast("int").alias("tm")
+    )
+    with pytest.raises(Exception, match="ms-of-day"):
+        parquet_io.write_parquet_typed(
+            df, str(tmp_path / "badtime"), time_millis_cols=["tm"]
+        )
+
+
+def test_typed_read_schema_empty_dataset_raises(spark, tmp_path):
+    """An empty input writes no files; typed_read_schema reports that
+    instead of an IndexError."""
+    df = fixtures.alltypes_df(spark, 10).filter(F.lit(False)).coalesce(1)
+    out = str(tmp_path / "empty")
+    assert parquet_io.write_parquet_typed(df, out) == []
+    with pytest.raises(ValueError, match="no parquet files"):
+        parquet_io.typed_read_schema(spark, out)
+
+
+def test_typed_writer_byte_budget_row_groups(spark, tmp_path):
+    """Without row_group_rows, small arrow batches are BUFFERED into
+    row groups rotated at block_size_bytes (reader-writer2.cc:46) —
+    not one row group per batch."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        df = fixtures.alltypes_df(spark, 2000).coalesce(1)
+        out = str(tmp_path / "budget")
+        # budget far above the data size -> all 20 batches coalesce
+        # into ONE row group
+        files = parquet_io.write_parquet_typed(
+            df, out, block_size_bytes=64 * 1024 * 1024
+        )
+        md = pq.ParquetFile(files[0]).metadata
+        assert md.num_rows == 2000 and md.num_row_groups == 1
+        # a budget below one batch's size flushes every batch: the
+        # rotation point tracks the budget, not a fixed per-batch rule
+        files = parquet_io.write_parquet_typed(
+            df, str(tmp_path / "tiny"), block_size_bytes=1
+        )
+        md = pq.ParquetFile(files[0]).metadata
+        assert md.num_rows == 2000 and md.num_row_groups == 20
+    finally:
+        spark.conf.set(key, prev)

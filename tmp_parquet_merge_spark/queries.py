@@ -1282,13 +1282,15 @@ def _driver_tier(q: Query) -> int:
 
 
 # Round-6 window plan (r5 verdict, "Next round" #1): the registry is
-# FROZEN except for the two judge-mandated additions
-# (q_dedup_editdist_lsh, q_scan_batch_size — both rows-only).  No
-# never-evidenced queries remain, so no pin list: tier 0/1 puts the
-# round-6 change set plus the two additions first (~12 slots), and the
-# remaining ~38 window slots rotate stale greens OLDEST-FIRST via the
-# tier-2/3 sort — the 8 remaining r1 greens, then the 36-strong r2
-# cohort (r5 verdict: "r2 then r3 cohorts").
+# FROZEN except for three additions — the judge-mandated
+# q_dedup_editdist_lsh / q_scan_batch_size and q_typed_roundtrip (makes
+# the r5 "missing" items 1-2, FLBA/TIME/INT96 footer fidelity,
+# driver-visible) — all rows-only.  No never-evidenced queries remain,
+# so no pin list: tier 0/1 puts the round-6 change set plus the three
+# additions first (~17 slots), and the remaining ~33 window slots
+# rotate stale greens OLDEST-FIRST via the tier-2/3 sort — the 8
+# remaining r1 hash + 5 r1 rows greens, then the head of the 36-strong
+# r2 cohort (r5 verdict: "r2 then r3 cohorts").
 _DRIVER_FIRST: tuple[str, ...] = ()
 
 

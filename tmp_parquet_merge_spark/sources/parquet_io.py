@@ -86,7 +86,14 @@ def write_parquet(
     ``int96_timestamps`` emits TimestampType columns as physical INT96
     (``spark.sql.parquet.outputTimestampType=INT96``) — the raw-triple
     layout the reference declares (reader_writer.h:48-49); JVM-native,
-    so the write stays whole-stage distributed.
+    so the write stays whole-stage distributed.  The conf is session-
+    scoped (Spark offers no per-write knob — the writer ignores a
+    DataFrameWriter option of the same name), set for the duration of
+    this write and restored to the prior effective value afterwards:
+    single-writer-session semantics; a concurrent write on the SAME
+    session during the window would also emit INT96.
+    ``write_parquet_typed`` uses a writer-local pyarrow flag instead
+    and has no such window.
     """
     if num_files is not None:
         df = df.coalesce(num_files)
@@ -123,6 +130,8 @@ def write_parquet_typed(
     int96_timestamps: bool = False,
     compression: str = "snappy",
     row_group_rows: int | None = None,
+    block_size_bytes: int = 16 * 1024 * 1024,
+    mode: str = "overwrite",
 ) -> list[str]:
     """Physical-type-fidelity Parquet writer for the declarations
     Spark's native writer cannot express (reference reader_writer.h
@@ -133,7 +142,9 @@ def write_parquet_typed(
                               30,61-65; every value must be exactly n
                               bytes or the arrow cast raises)
       * ``time_millis_cols``— IntegerType ms-of-day cols written as
-                              INT32 / TIME_MILLIS (reader_writer.h:40-42)
+                              INT32 / TIME_MILLIS (reader_writer.h:40-42;
+                              values outside [0, 86_399_999] raise —
+                              same hard contract as the FLBA length)
       * ``required_cols``   — written with Repetition::REQUIRED
                               (non-nullable; the reference marks all but
                               ba_field REQUIRED)
@@ -143,19 +154,52 @@ def write_parquet_typed(
     Fully distributed: each partition converts its Arrow batches and
     streams them through a pyarrow ParquetWriter into one output file —
     no shuffle, no driver data path (same per-executor-file layout as
-    Spark's native writer).  The driver only collects the file manifest
-    (one row per non-empty partition).  Local/shared-FS paths, matching
-    the reference's ``FileOutputStream`` scope.
+    Spark's native writer).  Arrow batches are buffered into row groups
+    rotated at ``block_size_bytes`` (the reference's 16 MiB budget,
+    reader-writer2.cc:46) or, when ``row_group_rows`` is set, at that
+    fixed row count (AppendRowGroup-by-rows, reader-writer.cc:45,73-74).
+    The driver only collects the file manifest (one row per non-empty
+    partition).  Local/shared-FS paths, matching the reference's
+    ``FileOutputStream`` scope.
+
+    ``mode``: ``overwrite`` (default, matches :func:`write_parquet`)
+    removes existing parquet files under ``path`` first; ``append``
+    keeps them; ``error`` raises if any exist.  Task commit is
+    rename-based: each task writes ``.part-*.inprogress`` (dot-prefixed
+    — invisible to Spark/pyarrow/DuckDB directory reads) and renames to
+    ``part-*.parquet`` only after a clean ``close()``, so a failed or
+    killed attempt never surfaces a truncated file and its retry simply
+    commits under a fresh name.  Boundary: with speculative execution
+    BOTH attempts can commit — keep ``spark.speculation=false`` (the
+    default) for this writer, or reconcile against the returned
+    manifest.  ``int96_timestamps`` here is writer-local (pyarrow), so
+    unlike :func:`write_parquet` no session conf is touched.
 
     Spark itself cannot re-read TIME(MILLIS) footers
     ([PARQUET_TYPE_ILLEGAL]); read typed files back with
-    ``read_parquet(spark, path, schema=typed_read_schema(path))``,
+    ``read_parquet(spark, path, schema=typed_read_schema(spark, path))``,
     which maps TIME back to the engine's ms-of-day IntegerType
     convention.  Returns the written file paths.
     """
     import os as _os
 
+    if mode not in ("overwrite", "append", "error"):
+        raise ValueError(f"mode must be overwrite|append|error: {mode}")
     local_dir = _strip_scheme(path)
+    existing = (
+        _expand_parquet_paths(df.sparkSession, local_dir)
+        if _os.path.isdir(local_dir)
+        else []
+    )
+    existing = [f for f in existing if _os.path.isfile(f)]
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{path} already contains {len(existing)} parquet file(s) "
+            "and mode='error'"
+        )
+    if existing and mode == "overwrite":
+        for f in existing:
+            _os.unlink(f)
     _os.makedirs(local_dir, exist_ok=True)
     flba = dict(flba_lengths or {})
     tms = tuple(time_millis_cols)
@@ -170,36 +214,68 @@ def write_parquet_typed(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        writer = None
-        fname = None
-        n = 0
-        for b in batches:
+        def conv(b):
             cols, fields = [], []
             for i, name in enumerate(b.schema.names):
                 arr = b.column(i)
                 if name in flba:
                     arr = arr.cast(pa.binary(flba[name]))
                 elif name in tms:
-                    arr = arr.cast(pa.int32()).cast(pa.time32("ms"))
+                    arr = arr.cast(pa.int32())
+                    lo_hi = pa.compute.min_max(arr)
+                    lo, hi = lo_hi["min"].as_py(), lo_hi["max"].as_py()
+                    if lo is not None and (lo < 0 or hi > 86_399_999):
+                        raise ValueError(
+                            f"time_millis col {name}: value range "
+                            f"[{lo}, {hi}] outside ms-of-day "
+                            "[0, 86399999]"
+                        )
+                    arr = arr.cast(pa.time32("ms"))
                 cols.append(arr)
-                fields.append(pa.field(name, arr.type, nullable=name not in req))
-            cb = pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
-            if writer is None:
-                fname = os.path.join(
-                    local_dir, f"part-{uuid.uuid4().hex}.parquet"
+                fields.append(
+                    pa.field(name, arr.type, nullable=name not in req)
                 )
+            return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+        writer = None
+        tmp = final = None
+        buffer: list = []
+        buf_rows = buf_bytes = n = 0
+
+        def flush():
+            nonlocal writer, buffer, buf_rows, buf_bytes
+            if not buffer:
+                return
+            table = pa.Table.from_batches(buffer)
+            writer.write_table(table, row_group_size=row_group_rows or len(table))
+            buffer, buf_rows, buf_bytes = [], 0, 0
+
+        for b in batches:
+            cb = conv(b)
+            if writer is None:
+                stem = f"part-{uuid.uuid4().hex}"
+                tmp = os.path.join(local_dir, f".{stem}.inprogress")
+                final = os.path.join(local_dir, f"{stem}.parquet")
                 writer = pq.ParquetWriter(
-                    fname,
+                    tmp,
                     cb.schema,
                     compression=compression,
                     use_deprecated_int96_timestamps=int96_timestamps,
                 )
-            writer.write_batch(cb, row_group_size=row_group_rows)
+            buffer.append(cb)
+            buf_rows += cb.num_rows
+            buf_bytes += cb.nbytes
             n += cb.num_rows
+            if (row_group_rows and buf_rows >= row_group_rows) or (
+                not row_group_rows and buf_bytes >= block_size_bytes
+            ):
+                flush()
         if writer is not None:
+            flush()
             writer.close()
+            os.rename(tmp, final)  # commit: visible only when complete
             yield pa.RecordBatch.from_arrays(
-                [pa.array([fname], pa.string()), pa.array([n], pa.int64())],
+                [pa.array([final], pa.string()), pa.array([n], pa.int64())],
                 names=["file", "num_rows"],
             )
 
@@ -228,8 +304,20 @@ def typed_read_schema(spark: SparkSession, path: str) -> T.StructType:
             return T.ArrayType(conv(at.value_type))
         return from_arrow_type(at)
 
-    first = _expand_parquet_paths(spark, path)[0]
-    asch = pq.ParquetFile(_strip_scheme(first)).schema_arrow
+    import os as _os
+
+    files = [
+        f
+        for f in _expand_parquet_paths(spark, path)
+        if _os.path.isfile(_strip_scheme(f))
+    ]
+    if not files:
+        raise ValueError(
+            f"typed_read_schema: no parquet files under {path} "
+            "(empty dataset? write_parquet_typed returns [] for an "
+            "empty input and writes nothing)"
+        )
+    asch = pq.ParquetFile(_strip_scheme(files[0])).schema_arrow
     return T.StructType(
         [T.StructField(f.name, conv(f.type), True) for f in asch]
     )

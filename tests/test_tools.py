@@ -66,6 +66,32 @@ def test_parquet_merge_cli_merge_and_incremental(spark, sf_dir, tmp_path, capsys
     captured = capsys.readouterr().out
     assert rc == 0 and "rows merged into" in captured
 
+    # kv stamping + INT96 through the CLI (the reference tool pairing:
+    # parquet_reader.cc:46-47 kv dump / reader_writer.h:48-49 INT96)
+    from pyspark.sql import functions as F
+
+    ltz_in = str(tmp_path / "ltz_in")
+    spark.range(50).select(
+        F.col("id"), F.timestamp_seconds(F.col("id")).alias("ts")
+    ).write.parquet(ltz_in)  # TimestampType (LTZ) — the INT96-eligible kind
+    out_kv = str(tmp_path / "merged_kv")
+    rc = parquet_merge.main(
+        ["--kv=engine=spark-graft", "--kv=round=6", "--int96-timestamps",
+         out_kv, ltz_in]
+    )
+    assert rc == 0 and "rows merged into" in capsys.readouterr().out
+    import pyarrow.parquet as pq
+    f = parquet_io._expand_parquet_paths(spark, out_kv)[0]
+    md = pq.ParquetFile(f).metadata
+    kv = {k.decode(): v.decode() for k, v in (md.metadata or {}).items()}
+    assert kv.get("engine") == "spark-graft" and kv.get("round") == "6"
+    phys = {
+        md.row_group(0).column(i).path_in_schema:
+            md.row_group(0).column(i).physical_type
+        for i in range(md.row_group(0).num_columns)
+    }
+    assert phys["ts"] == "INT96"
+
     # incremental maintenance mode
     mixed = str(tmp_path / "mixed")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -375,10 +375,26 @@ def attach_kv_metadata(
                 schema = _pq.ParquetFile(local).schema_arrow.with_metadata(
                     merged
                 )
+                # the rebuilt footer must declare the SAME physical
+                # types as the existing row groups (AppendRowGroups
+                # requires equal schemas): a file whose timestamps are
+                # stored as INT96 (write_parquet(int96_timestamps=True)
+                # or Spark's INT96 default) must have the new footer
+                # written in INT96 form too — per-file uniform, which
+                # matches how the engine writes them
+                has_int96 = md.num_row_groups > 0 and any(
+                    md.row_group(0).column(c).physical_type == "INT96"
+                    for c in range(md.row_group(0).num_columns)
+                )
                 fd, tmp = _tf.mkstemp(suffix="._md")
                 _os.close(fd)
                 try:
-                    _pq.write_metadata(schema, tmp, metadata_collector=[md])
+                    _pq.write_metadata(
+                        schema,
+                        tmp,
+                        metadata_collector=[md],
+                        use_deprecated_int96_timestamps=has_int96,
+                    )
                     blob = open(tmp, "rb").read()
                 finally:
                     _os.unlink(tmp)
@@ -419,8 +435,14 @@ def merge_files(
     merge_schema: bool = True,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     block_size_bytes: int = 16 * 1024 * 1024,
+    kv_metadata: dict[str, str] | None = None,
+    int96_timestamps: bool = False,
 ) -> DataFrame:
     """Merge many Parquet files into a compacted dataset (repo namesake).
+
+    ``kv_metadata`` / ``int96_timestamps`` pass through to
+    :func:`write_parquet` (footer key-value stamping; physical-INT96
+    timestamps) so a compaction can also normalize footer metadata.
 
     Schema evolution is handled by ``mergeSchema`` (missing columns become
     NULL).  Output file count is sized from the input bytes so merged
@@ -454,6 +476,8 @@ def merge_files(
         output,
         num_files=n_files,
         block_size_bytes=block_size_bytes,
+        kv_metadata=kv_metadata,
+        int96_timestamps=int96_timestamps,
     )
     return spark.read.parquet(output)
 

@@ -18,6 +18,11 @@ Options:
                          OUTPUT_DIR; right-sized files stay untouched
                          and are listed as kept in the manifest
     --small-file-mb=N    incremental-mode rewrite threshold (default 32)
+    --kv=KEY=VALUE       stamp footer key-value metadata on the merged
+                         files (repeatable; the write side of
+                         parquet_reader.cc:46-47's kv dump)
+    --int96-timestamps   write TimestampType columns as physical INT96
+                         raw triples (reader_writer.h:48-49)
 
 Prints "<N> rows merged into <F> files in <T> seconds." (merge mode) or
 the kept/compacted/written manifest counts (incremental mode); exits 0.
@@ -34,12 +39,22 @@ sys.path.insert(0, "/root/repo")
 def main(argv: list[str]) -> int:
     target_mb, block_mb, merge_schema = 128, 16, True
     incremental, small_mb = False, 32
+    kv: dict[str, str] = {}
+    int96 = False
     paths: list[str] = []
     for arg in argv:
         if arg.startswith("--target-size-mb="):
             target_mb = int(arg.removeprefix("--target-size-mb="))
         elif arg.startswith("--block-size-mb="):
             block_mb = int(arg.removeprefix("--block-size-mb="))
+        elif arg.startswith("--kv="):
+            k, sep, v = arg.removeprefix("--kv=").partition("=")
+            if not sep:
+                print(f"--kv needs KEY=VALUE: {arg}", file=sys.stderr)
+                return 1
+            kv[k] = v
+        elif arg == "--int96-timestamps":
+            int96 = True
         elif arg == "--incremental":
             incremental = True
         elif arg.startswith("--small-file-mb="):
@@ -88,6 +103,8 @@ def main(argv: list[str]) -> int:
         merge_schema=merge_schema,
         target_file_size_bytes=target_mb * 1024 * 1024,
         block_size_bytes=block_mb * 1024 * 1024,
+        kv_metadata=kv or None,
+        int96_timestamps=int96,
     )
     n_rows = merged.count()
     n_files = len(parquet_io._expand_parquet_paths(spark, output))

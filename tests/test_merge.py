@@ -330,3 +330,35 @@ def test_q_metadata_stats_includes_engine_kv(spark):
     assert any(
         kv.get("engine.query") == "q_metadata_stats" for kv in kvs
     )
+
+
+def test_kv_stamp_int96_file_and_mixed_refusal(spark, tmp_path):
+    """Stamping must mirror the file's INT96 timestamp layout in the
+    rebuilt footer (a plain rebuild declares INT64 and fails
+    AppendRowGroups), and must refuse a file MIXING INT96 and INT64
+    timestamps rather than emit a mismatched schema."""
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    # uniform INT96 file (LTZ under the INT96 session default)
+    out = str(tmp_path / "int96kv")
+    df = spark.range(20).select(
+        F.col("id"), F.timestamp_seconds(F.col("id")).alias("ts")
+    )
+    parquet_io.write_parquet(df, out, int96_timestamps=True, num_files=1)
+    assert parquet_io.attach_kv_metadata(spark, out, {"k": "v"}) == 1
+    f = parquet_io._expand_parquet_paths(spark, out)[0]
+    md = pq.ParquetFile(f).metadata
+    assert (md.metadata or {}).get(b"k") == b"v"
+    assert md.schema.column(1).physical_type == "INT96"
+    assert spark.read.parquet(out).count() == 20
+
+    # mixed INT96 + INT64 (LTZ + NTZ under the INT96 conf) -> refuse
+    mixed = str(tmp_path / "mixedkv")
+    dfm = df.withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+    parquet_io.write_parquet(dfm, mixed, int96_timestamps=True, num_files=1)
+    with pytest.raises(Exception, match="mixes INT96"):
+        parquet_io.attach_kv_metadata(spark, mixed, {"k": "v"})

@@ -75,10 +75,17 @@ def test_parquet_merge_cli_merge_and_incremental(spark, sf_dir, tmp_path, capsys
         F.col("id"), F.timestamp_seconds(F.col("id")).alias("ts")
     ).write.parquet(ltz_in)  # TimestampType (LTZ) — the INT96-eligible kind
     out_kv = str(tmp_path / "merged_kv")
-    rc = parquet_merge.main(
-        ["--kv=engine=spark-graft", "--kv=round=6", "--int96-timestamps",
-         out_kv, ltz_in]
-    )
+    # pin a non-INT96 session default so the flag's effect is what the
+    # assertion observes (Spark's own default here IS INT96)
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        rc = parquet_merge.main(
+            ["--kv=engine=spark-graft", "--kv=round=6", "--int96-timestamps",
+             out_kv, ltz_in]
+        )
+    finally:
+        spark.conf.set(ts_key, "INT96")
     assert rc == 0 and "rows merged into" in capsys.readouterr().out
     import pyarrow.parquet as pq
     f = parquet_io._expand_parquet_paths(spark, out_kv)[0]
@@ -91,6 +98,14 @@ def test_parquet_merge_cli_merge_and_incremental(spark, sf_dir, tmp_path, capsys
         for i in range(md.row_group(0).num_columns)
     }
     assert phys["ts"] == "INT96"
+
+    # flags are rejected where they cannot apply atomically
+    rc = parquet_merge.main(
+        ["--incremental", "--kv=a=b", str(tmp_path / "x"), out_kv]
+    )
+    assert rc == 1
+    rc = parquet_merge.main(["--kv==oops", str(tmp_path / "x"), out_kv])
+    assert rc == 1
 
     # incremental maintenance mode
     mixed = str(tmp_path / "mixed")

@@ -346,6 +346,12 @@ def attach_kv_metadata(
     not supported on object stores) — matching the reference's local
     ``arrow::io::FileOutputStream`` scope.  Returns the number of
     files stamped."""
+    if _has_remote_scheme(path):
+        raise ValueError(
+            f"attach_kv_metadata: {path} is not a local/shared-FS path; "
+            "footer appends are not supported on object stores "
+            "(write the data first, stamp where a POSIX append exists)"
+        )
     files = _expand_parquet_paths(spark, path)
     if not files:
         return 0
@@ -380,12 +386,32 @@ def attach_kv_metadata(
                 # requires equal schemas): a file whose timestamps are
                 # stored as INT96 (write_parquet(int96_timestamps=True)
                 # or Spark's INT96 default) must have the new footer
-                # written in INT96 form too — per-file uniform, which
-                # matches how the engine writes them
-                has_int96 = md.num_row_groups > 0 and any(
-                    md.row_group(0).column(c).physical_type == "INT96"
-                    for c in range(md.row_group(0).num_columns)
+                # written in INT96 form too.  Read the FOOTER schema
+                # (valid even for zero-row-group part files from empty
+                # partitions); the int96 flag is writer-global, so a
+                # file MIXING INT96 and INT64 timestamps (e.g. an LTZ
+                # column next to an NTZ one under the INT96 conf) has
+                # no rebuildable footer through this path — refuse
+                # loudly rather than emit a mismatched schema
+                import pyarrow as _pa
+
+                phys = [
+                    md.schema.column(c).physical_type
+                    for c in range(md.num_columns)
+                ]
+                has_int96 = "INT96" in phys
+                n_ts_arrow = sum(
+                    _pa.types.is_timestamp(f.type)
+                    for f in _pq.ParquetFile(local).schema_arrow
                 )
+                if has_int96 and n_ts_arrow > phys.count("INT96"):
+                    raise ValueError(
+                        f"attach_kv_metadata: {fname} mixes INT96 and "
+                        "non-INT96 timestamp columns; the rebuilt "
+                        "footer cannot match both (pyarrow's int96 "
+                        "flag is writer-global). Write the file with "
+                        "a uniform timestamp layout before stamping."
+                    )
                 fd, tmp = _tf.mkstemp(suffix="._md")
                 _os.close(fd)
                 try:
@@ -443,6 +469,10 @@ def merge_files(
     ``kv_metadata`` / ``int96_timestamps`` pass through to
     :func:`write_parquet` (footer key-value stamping; physical-INT96
     timestamps) so a compaction can also normalize footer metadata.
+    kv stamping appends to the written files, so it requires a
+    local/shared-FS ``output`` (attach_kv_metadata raises on object-
+    store schemes before any stamping starts); remote outputs remain
+    fine without ``kv_metadata``.
 
     Schema evolution is handled by ``mergeSchema`` (missing columns become
     NULL).  Output file count is sized from the input bytes so merged

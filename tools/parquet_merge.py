@@ -49,7 +49,7 @@ def main(argv: list[str]) -> int:
             block_mb = int(arg.removeprefix("--block-size-mb="))
         elif arg.startswith("--kv="):
             k, sep, v = arg.removeprefix("--kv=").partition("=")
-            if not sep:
+            if not sep or not k:
                 print(f"--kv needs KEY=VALUE: {arg}", file=sys.stderr)
                 return 1
             kv[k] = v
@@ -79,6 +79,16 @@ def main(argv: list[str]) -> int:
     if incremental:
         if len(inputs) != 1:
             print("--incremental takes exactly one INPUT dataset", file=sys.stderr)
+            return 1
+        if kv or int96:
+            # kept files are never rewritten, so stamping/retyping only
+            # the compacted tail would silently split the dataset's
+            # footer layout — refuse instead of half-applying
+            print(
+                "--kv/--int96-timestamps are not supported with "
+                "--incremental (kept files would stay unstamped)",
+                file=sys.stderr,
+            )
             return 1
         manifest = parquet_io.compact_incremental(
             spark,

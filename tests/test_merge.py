@@ -362,3 +362,29 @@ def test_kv_stamp_int96_file_and_mixed_refusal(spark, tmp_path):
     parquet_io.write_parquet(dfm, mixed, int96_timestamps=True, num_files=1)
     with pytest.raises(Exception, match="mixes INT96"):
         parquet_io.attach_kv_metadata(spark, mixed, {"k": "v"})
+
+
+def test_kv_stamp_repeated_latest_wins(spark, tmp_path):
+    """Re-stamping appends another footer; readers follow the trailing
+    footer, so the file stays readable and the newest value wins while
+    untouched keys survive."""
+    import pyarrow.parquet as pq
+
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    out = str(tmp_path / "restamp")
+    parquet_io.write_parquet(
+        spark.range(10).toDF("n"), out, num_files=1,
+        kv_metadata={"a": "1", "b": "x"},
+    )
+    parquet_io.attach_kv_metadata(spark, out, {"a": "2"})
+    f = parquet_io._expand_parquet_paths(spark, out)[0]
+    kv = {
+        k.decode(): v.decode()
+        for k, v in (pq.ParquetFile(f).metadata.metadata or {}).items()
+    }
+    assert kv.get("a") == "2" and kv.get("b") == "x"
+    assert spark.read.parquet(out).count() == 10
+    import duckdb
+
+    assert duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{f}')").fetchone()[0] == 10

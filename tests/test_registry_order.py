@@ -44,12 +44,16 @@ def test_sort_keys_are_monotonic():
 
 
 def test_named_evidence_debts_lead():
-    # the round-2 verdict's gap #1: the never-driver-run /
-    # stale-evidence queries take the first slots, in the named order
+    # r6 verdict "Next round" #1: the round-7 window is PINNED to the
+    # evidence-freshness tail — every pinned entry is either changed
+    # this round (must re-queue) or carries stale (round ≤ 3) driver
+    # evidence being drained oldest-first.
     assert tuple(REGISTRY)[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     for n in _DRIVER_FIRST:
-        assert not _evidenced(n, REGISTRY[n]), (
-            f"{n} is evidenced — drop it from _DRIVER_FIRST"
+        stale = _EVIDENCE_ROUND.get(n, 0) <= 3
+        assert n in _CHANGED_THIS_ROUND or stale, (
+            f"{n} has fresh evidence (r{_EVIDENCE_ROUND.get(n)}) and is "
+            "unchanged — drop it from _DRIVER_FIRST"
         )
 
 
@@ -62,21 +66,20 @@ def test_changed_queries_always_requeued():
 
 
 def test_window_spent_entirely_on_unevidenced():
-    # More unevidenced queries exist than the window holds (the round-3
-    # surface grew past 50 new/changed entries), so the invariant is:
-    # no window slot is wasted on an already-evidenced query while an
-    # unevidenced one waits outside — evidence debt drains oldest-first
-    # across rounds.
+    # No window slot is wasted on an already-evidenced query while an
+    # unevidenced (changed/new) one waits outside — evidence debt
+    # drains first.  Pinned stale-cohort entries are the round-7
+    # exception: their slots ARE the freshness drain.
     names = list(REGISTRY)
-    n_unevidenced = sum(
-        1 for n, q in REGISTRY.items() if not _evidenced(n, q)
+    unevidenced_outside = [
+        n
+        for n in names[DRIVER_WINDOW:]
+        if not _evidenced(n, REGISTRY[n])
+    ]
+    assert not unevidenced_outside, (
+        f"unevidenced queries wait outside the window: "
+        f"{unevidenced_outside[:5]}"
     )
-    window = names[: min(DRIVER_WINDOW, n_unevidenced)]
-    for n in window:
-        assert not _evidenced(n, REGISTRY[n]), (
-            f"evidenced {n} occupies a window slot while unevidenced "
-            "queries wait outside"
-        )
 
 
 def test_stale_greens_reverify_oldest_first():
@@ -103,7 +106,9 @@ def test_remaining_window_reverifies_oracle_greens():
     # slots left after the unevidenced queries go to RE-verifying
     # oracle-backed greens (not to rows-only repeats): inside the
     # window, no tier-3 entry may precede a tier-2 entry's absence
-    names = list(REGISTRY)
+    # (pinned entries are exempt: the round-7 freshness drain pins
+    # stale rows-only queries into the window by design)
+    names = [n for n in REGISTRY if n not in _DRIVER_FIRST]
     window = [_driver_tier(REGISTRY[n]) for n in names[:DRIVER_WINDOW]]
     outside = [_driver_tier(REGISTRY[n]) for n in names[DRIVER_WINDOW:]]
     if any(t == 3 for t in window):

@@ -999,52 +999,18 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    1: (
-        "q_dedup_exact",
-        "q_knn_classify",
-        "q_scalar_array",
-        "q_scalar_date",
-        "q_scalar_string",
-        "q_split_assign",
-        "q_text_stats",
-        "q_topk_similarity",
-    ),
     2: (
         "q_agg_argmax",
-        "q_agg_cube",
-        "q_agg_stats",
-        "q_bucketed_join",
-        "q_corpus_mix",
         "q_csv_roundtrip",
-        "q_doc_fingerprint",
-        "q_dpp_join",
         "q_grouped_apply",
         "q_grouping_sets",
-        "q_histogram",
-        "q_incremental_agg",
-        "q_join_outer",
         "q_json_roundtrip",
-        "q_partition_pruning",
-        "q_profile",
-        "q_redact",
-        "q_repetition",
         "q_salted_join",
-        "q_sample_stratified",
-        "q_scalar_conditional",
-        "q_scalar_math",
-        "q_scalar_regex",
-        "q_sql_scalar_subquery",
-        "q_sql_tpch_q3",
         "q_sql_tpch_q6",
-        "q_table_diff",
-        "q_tfidf",
-        "q_token_count",
         "q_udf_pandas",
         "q_union_files",
         "q_unpivot",
-        "q_upsert",
         "q_window_ntile",
-        "q_zorder_layout",
     ),
     3: (
         "q_agg_collect",
@@ -1052,15 +1018,11 @@ _HASH_GREEN_BY_ROUND = {
         "q_bpe_merge",
         "q_chunk_docs",
         "q_collocations",
-        "q_curation_pipeline",
-        "q_dedup_editdist",
         "q_dedup_embedding",
         "q_dedup_prefix",
         "q_entropy",
         "q_interleave_sources",
         "q_join_asof",
-        "q_lang_id",
-        "q_lang_id_eval",
         "q_lm_score",
         "q_media_dedup",
         "q_media_metadata",
@@ -1069,7 +1031,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_ngram_freq",
         "q_pack_sequences",
         "q_pivot",
-        "q_quality_score",
         "q_sample_reservoir",
         "q_sample_weighted",
         "q_scalar_json",
@@ -1085,7 +1046,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_anomaly_mad",
         "q_anomaly_zscore",
         "q_cdc_apply",
-        "q_copurchase",
         "q_ewma",
         "q_funnel",
         "q_gapfill",
@@ -1122,7 +1082,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_stream_dedup",
         "q_time_weighted_avg",
         "q_transition_matrix",
-        "q_triangle_count",
         "q_window_range_frame",
         "q_window_session",
         "q_window_sliding",
@@ -1158,7 +1117,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_percentiles",
         "q_project_one",
         "q_project_subset",
-        "q_recursive_cte",
         "q_scan_count",
         "q_scan_full",
         "q_set_except",
@@ -1166,7 +1124,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_skew_diagnose",
         "q_sort_global",
         "q_stateful_profile",
-        "q_stream_upsert",
         "q_to_json",
         "q_topk_orders",
         "q_udf_arrow",
@@ -1176,25 +1133,62 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_rank",
         "q_winsorize",
     ),
+    6: (
+        "q_agg_cube",
+        "q_agg_stats",
+        "q_bucketed_join",
+        "q_copurchase",
+        "q_corpus_mix",
+        "q_curation_pipeline",
+        "q_dedup_editdist",
+        "q_dedup_exact",
+        "q_doc_fingerprint",
+        "q_dpp_join",
+        "q_histogram",
+        "q_incremental_agg",
+        "q_join_outer",
+        "q_knn_classify",
+        "q_lang_id",
+        "q_lang_id_eval",
+        "q_partition_pruning",
+        "q_profile",
+        "q_quality_score",
+        "q_recursive_cte",
+        "q_redact",
+        "q_repetition",
+        "q_sample_stratified",
+        "q_scalar_array",
+        "q_scalar_conditional",
+        "q_scalar_date",
+        "q_scalar_math",
+        "q_scalar_regex",
+        "q_scalar_string",
+        "q_split_assign",
+        "q_sql_scalar_subquery",
+        "q_sql_tpch_q3",
+        "q_stream_upsert",
+        "q_table_diff",
+        "q_text_stats",
+        "q_tfidf",
+        "q_token_count",
+        "q_topk_similarity",
+        "q_triangle_count",
+        "q_upsert",
+        "q_zorder_layout",
+    ),
 }
 _ROWS_SEEN_BY_ROUND = {
     1: (
         "q_column_stats",
         "q_merge_schema_evolution",
-        "q_metadata_stats",
         "q_rowgroup_read",
         "q_schema_dump",
-    ),
-    2: (
-        "q_dedup_embedding_lsh",
-        "q_roundtrip",
     ),
     3: (
         "q_agg_sketch",
         "q_ann_ivf",
         "q_ann_lsh",
         "q_dedup_simhash",
-        "q_frame_sample",
         "q_hll_rollup",
         "q_kmeans",
         "q_merge_compaction",
@@ -1202,14 +1196,23 @@ _ROWS_SEEN_BY_ROUND = {
     4: (
         "q_ann_pq",
         "q_dedup_semantic",
-        "q_multimodal_features",
-        "q_pagerank",
     ),
     5: (
         "q_contamination_lsh",
         "q_dedup_cluster_lsh",
         "q_dedup_minhash",
         "q_merge_incremental",
+    ),
+    6: (
+        "q_dedup_editdist_lsh",
+        "q_dedup_embedding_lsh",
+        "q_frame_sample",
+        "q_metadata_stats",
+        "q_multimodal_features",
+        "q_pagerank",
+        "q_roundtrip",
+        "q_scan_batch_size",
+        "q_typed_roundtrip",
     ),
 }
 
@@ -1222,51 +1225,13 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 6) and therefore re-queued regardless
-# of past evidence.  (The r5 change set is fully folded above: every
-# member re-evidenced in CORRECTNESS_r05 — 46 hash-green + 4
+# Changed in THIS round (round 7) and therefore re-queued regardless
+# of past evidence.  (The r6 change set is fully folded above: every
+# member re-evidenced in CORRECTNESS_r06 — 41 hash-green + 9
 # rows-only, zero errors.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # cooccurrence_pairs gained a max_group_size guard
-        # (operators/graph.py) — transitive consumers re-queued even
-        # though the default-path plan is unchanged (plan pinned in
-        # tests/test_plans.py)
-        "q_copurchase",
-        "q_pagerank",
-        "q_triangle_count",
-        "q_recursive_cte",
-        # editdist_pairs now accepts an external candidate-pair feed
-        # (operators/dedup.py); the blocked-join default is unchanged
-        "q_dedup_editdist",
-        # write_parquet gained kv_metadata; metadata_stats surfaces
-        # footer key-value pairs (sources/parquet_io.py)
-        "q_metadata_stats",
-        # + int96_timestamps pin & driver-visible INT96 column; the
-        # OTHER write_parquet callers (q_merge_*, q_csv_roundtrip…) are
-        # NOT re-queued: with the default int96_timestamps=False the
-        # new conf logic is a dead branch — byte-identical write path
-        "q_roundtrip",
-        # multimodal decode path now tries a real codec (PIL) before
-        # the deterministic byte-histogram fallback
-        "q_multimodal_features",
-        "q_frame_sample",
-        # streaming upsert sink tie-break now persists the real
-        # event_id (streaming/sinks.py) — batch twin oracle unchanged
-        "q_stream_upsert",
-        # stopword_ratio rewritten from an interpreted filter() array
-        # lambda to two codegen regexp_count passes (operators/text.py;
-        # counts identical, language-ID ~2x faster) — transitive
-        # consumers via lang_pred_exprs / quality_subscore_exprs
-        "q_lang_id",
-        "q_lang_id_eval",  # also: confusion matrix now one scan, no self-join
-        "q_quality_score",
-        "q_curation_pipeline",
-        # SRP-LSH banding is now corpus-adaptive (similarity.py
-        # _auto_lsh_params) — the r6 5x scale sweep caught the fixed
-        # 16-bit/4-band layout going quadratic (25x time on 5x
-        # vectors); rows-only, subset+recall floor re-pinned in tests
-        "q_dedup_embedding_lsh",
+        # placeholder — filled as round-7 changes land
     }
 )
 
@@ -1281,17 +1246,26 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-6 window plan (r5 verdict, "Next round" #1): the registry is
-# FROZEN except for three additions — the judge-mandated
-# q_dedup_editdist_lsh / q_scan_batch_size and q_typed_roundtrip (makes
-# the r5 "missing" items 1-2, FLBA/TIME/INT96 footer fidelity,
-# driver-visible) — all rows-only.  No never-evidenced queries remain,
-# so no pin list: tier 0/1 puts the round-6 change set plus the three
-# additions first (~17 slots), and the remaining ~33 window slots
-# rotate stale greens OLDEST-FIRST via the tier-2/3 sort — the 8
-# remaining r1 hash + 5 r1 rows greens, then the head of the 36-strong
-# r2 cohort (r5 verdict: "r2 then r3 cohorts").
-_DRIVER_FIRST: tuple[str, ...] = ()
+# Round-7 window plan (r6 verdict, "Next round" #1): registry FROZEN,
+# zero new queries; the whole window goes to draining the evidence-
+# freshness tail.  The 50 stalest queries are exactly one window: the
+# 15 r1/r2-evidence queries (4 r1 rows-only + 11 r2 hash) then the 35
+# r3-evidence queries (28 hash + 7 rows-only).  The default tier sort
+# would bury the rows-only stale entries (tier 3) behind all 167
+# oracle-backed tier-2 queries, so the window is PINNED explicitly:
+# round-7 changed queries first (they must re-queue under the
+# evidence-certifies-the-code rule), then the stale cohort oldest
+# round first.  Stale r3 entries displaced past slot 50 by the change
+# set rotate in round 8.
+_DRIVER_FIRST: tuple[str, ...] = tuple(
+    sorted(_CHANGED_THIS_ROUND)
+) + tuple(
+    n
+    for r in (1, 2, 3)
+    for table in (_ROWS_SEEN_BY_ROUND, _HASH_GREEN_BY_ROUND)
+    for n in table.get(r, ())
+    if n not in _CHANGED_THIS_ROUND
+)
 
 
 def _sort_key(q: Query) -> tuple[int, int, int]:

@@ -1,0 +1,260 @@
+"""Round-7 parquet_io hardening (r6 verdict "Next round" #2/#3/#5 +
+r6 ADVICE items): crash-safe kv stamping with torn-tail recovery,
+single-footer-parse stamping, typed-writer remote-scheme refusal and
+manifest reconcile, and executor-side merge-family file sizing."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tmp_parquet_merge_spark.sources.parquet_io import (
+    _dataset_bytes,
+    _file_sizes,
+    _reconcile_typed_output,
+    attach_kv_metadata,
+    compact_incremental,
+    write_parquet_typed,
+)
+
+
+def _write_table(path, n=100):
+    pq.write_table(
+        pa.table({"a": list(range(n)), "b": [f"s{i}" for i in range(n)]}),
+        path,
+    )
+
+
+# ---------------------------------------------------------------------------
+# attach_kv_metadata: torn-tail recovery + recoverable append
+# ---------------------------------------------------------------------------
+
+
+def test_kv_stamp_heals_torn_tail(spark, tmp_path):
+    """A file whose previous stamp was killed mid-append (torn trailing
+    footer, unreadable) is healed by the next stamp instead of failing
+    the retry — the r6 advisor's unrecoverable-file scenario."""
+    d = tmp_path / "data"
+    d.mkdir()
+    f = str(d / "part-0.parquet")
+    _write_table(f)
+    clean = open(f, "rb").read()
+    # torn append: a partial footer blob without the trailing magic
+    with open(f, "ab") as fh:
+        fh.write(b"\x15\x02\x19torn-footer-bytesPAR")
+    with pytest.raises(Exception):
+        pq.read_metadata(f)
+    n = attach_kv_metadata(spark, str(d), {"engine": "round7"})
+    assert n == 1
+    md = pq.read_metadata(f)
+    assert md.metadata[b"engine"] == b"round7"
+    assert md.num_rows == 100
+    # the healed-then-stamped file is the clean bytes + one footer
+    assert open(f, "rb").read()[: len(clean)] == clean
+
+
+def test_kv_stamp_heals_tail_torn_after_prior_stamp(spark, tmp_path):
+    """Torn garbage after an earlier SUCCESSFUL stamp truncates back to
+    the stamped footer (newest parseable candidate), not the original."""
+    d = tmp_path / "data"
+    d.mkdir()
+    f = str(d / "part-0.parquet")
+    _write_table(f)
+    assert attach_kv_metadata(spark, str(d), {"k1": "v1"}) == 1
+    with open(f, "ab") as fh:
+        fh.write(b"garbage-no-magic-here\x00\x00")
+    assert attach_kv_metadata(spark, str(d), {"k2": "v2"}) == 1
+    md = pq.read_metadata(f)
+    assert md.metadata[b"k1"] == b"v1"  # survived the heal
+    assert md.metadata[b"k2"] == b"v2"
+    assert md.num_rows == 100
+
+
+def test_kv_stamp_unrecoverable_tail_raises(spark, tmp_path):
+    """A file with no parseable footer anywhere in its tail fails
+    loudly rather than being silently stamped or truncated to noise."""
+    d = tmp_path / "data"
+    d.mkdir()
+    f = str(d / "part-0.parquet")
+    # not a parquet file at all: no valid footer candidates
+    open(f, "wb").write(b"PAR1" + b"\x00" * 64)
+    with pytest.raises(Exception, match="recoverable|[Pp]arquet"):
+        attach_kv_metadata(spark, str(d), {"k": "v"})
+
+
+def test_kv_stamp_spark_readable_after_heal(spark, tmp_path):
+    """End-to-end: heal + stamp, then Spark reads the file fine."""
+    d = tmp_path / "data"
+    d.mkdir()
+    spark.range(50).selectExpr("id", "id * 2 as v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    files = glob.glob(str(d / "*.parquet"))
+    assert files
+    with open(files[0], "ab") as fh:
+        fh.write(b"\xde\xad")
+    attach_kv_metadata(spark, str(d), {"stamp": "yes"})
+    assert spark.read.parquet(str(d)).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# write_parquet_typed: remote guard + manifest reconcile
+# ---------------------------------------------------------------------------
+
+
+def test_typed_write_refuses_remote_scheme(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="local/shared-FS"):
+        write_parquet_typed(df, "s3a://bucket/out")
+
+
+def test_typed_write_sweeps_planted_inprogress(spark, tmp_path):
+    """Leftover .part-*.inprogress temps from a killed attempt are
+    swept by the next write's reconcile (append mode, so data files
+    are kept)."""
+    out = str(tmp_path / "out")
+    write_parquet_typed(spark.range(10).selectExpr("id"), out)
+    stale = os.path.join(out, ".part-deadbeef.inprogress")
+    open(stale, "wb").write(b"partial")
+    files = write_parquet_typed(
+        spark.range(5).selectExpr("id"), out, mode="append"
+    )
+    assert not os.path.exists(stale)
+    assert files  # new files written
+    assert spark.read.parquet(out).count() == 15
+
+
+def test_reconcile_removes_orphans_matches_manifest(spark, tmp_path):
+    """Plant an orphan part file (the speculative double-commit
+    scenario) and show the reconciled directory — and therefore the
+    read — matches the manifest exactly (r6 verdict #3 done-criterion)."""
+    out = str(tmp_path / "out")
+    manifest = write_parquet_typed(
+        spark.range(20).selectExpr("id", "cast(id as double) as x"), out
+    )
+    # orphan: a duplicate attempt's file, valid parquet, not in manifest
+    orphan = os.path.join(out, "part-0123456789abcdef.parquet")
+    _write_table(orphan, n=7)
+    inprog = os.path.join(out, ".part-feedface.inprogress")
+    open(inprog, "wb").write(b"x")
+    removed = _reconcile_typed_output(out, manifest, existing=[])
+    assert orphan in removed and inprog in removed
+    on_disk = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert on_disk == sorted(manifest)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_reconcile_keeps_preexisting_append_files(tmp_path):
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    pre = os.path.join(out, "part-preexisting.parquet")
+    new = os.path.join(out, "part-new.parquet")
+    orphan = os.path.join(out, "part-orphan.parquet")
+    for f in (pre, new, orphan):
+        _write_table(f, n=3)
+    removed = _reconcile_typed_output(out, [new], existing=[pre])
+    assert removed == [orphan]
+    assert os.path.exists(pre) and os.path.exists(new)
+
+
+# ---------------------------------------------------------------------------
+# merge-family sizing: executor-side stats past the threshold
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def many_files_dir(tmp_path_factory):
+    """10k-file fixture (r6 verdict #2 done-criterion) — one real
+    parquet file hard-linked 10k times, so creation is O(seconds)."""
+    d = tmp_path_factory.mktemp("manyfiles")
+    seed = str(d / "part-00000.parquet")
+    _write_table(seed, n=10)
+    for i in range(1, 10_000):
+        os.link(seed, str(d / f"part-{i:05d}.parquet"))
+    return str(d)
+
+
+def test_dataset_bytes_10k_files_no_driver_stat_loop(
+    spark, many_files_dir, monkeypatch
+):
+    """Sizing a 10k-file dataset must not stat files on the driver —
+    the 1e6-file design point would stall the driver for minutes."""
+    files = sorted(glob.glob(os.path.join(many_files_dir, "*.parquet")))
+    assert len(files) == 10_000
+    per_file = os.path.getsize(files[0])
+
+    calls = []
+    real_getsize = os.path.getsize
+
+    def counting_getsize(p):
+        p = str(p)
+        if p.startswith(many_files_dir):
+            calls.append(p)
+        return real_getsize(p)
+
+    # driver-side only: executor python workers are separate processes
+    monkeypatch.setattr(os.path, "getsize", counting_getsize)
+    total = _dataset_bytes(spark, files)
+    assert total == per_file * 10_000
+    assert calls == [], (
+        f"driver stat loop: {len(calls)} driver-side getsize calls "
+        "for an over-threshold dataset"
+    )
+
+
+def test_file_sizes_10k_files_distributed(spark, many_files_dir, monkeypatch):
+    files = sorted(glob.glob(os.path.join(many_files_dir, "*.parquet")))
+    per_file = os.path.getsize(files[0])
+
+    calls = []
+    real_getsize = os.path.getsize
+
+    def counting_getsize(p):
+        p = str(p)
+        if p.startswith(many_files_dir):
+            calls.append(p)
+        return real_getsize(p)
+
+    monkeypatch.setattr(os.path, "getsize", counting_getsize)
+    pairs = _file_sizes(spark, files)
+    assert len(pairs) == 10_000
+    assert all(b == per_file for _, b in pairs)
+    assert {f for f, _ in pairs} == set(files)
+    assert calls == []
+
+
+def test_file_sizes_small_input_stays_serial(spark, tmp_path):
+    """Under the threshold the serial path is used (no Spark job —
+    the 64-file compaction benches must not regress)."""
+    files = []
+    for i in range(3):
+        f = str(tmp_path / f"f{i}.parquet")
+        _write_table(f, n=5)
+        files.append(f)
+    pairs = _file_sizes(spark, files)
+    assert [f for f, _ in pairs] == files
+    assert all(b == os.path.getsize(f) for f, b in pairs)
+
+
+def test_compact_incremental_over_threshold(spark, tmp_path):
+    """compact_incremental end-to-end just past the distributed-stat
+    threshold: manifest covers every input, rows conserved."""
+    d = tmp_path / "tbl"
+    d.mkdir()
+    seed = str(d / "part-00000.parquet")
+    _write_table(seed, n=10)
+    for i in range(1, 300):
+        os.link(seed, str(d / f"part-{i:05d}.parquet"))
+    out = str(tmp_path / "compacted")
+    manifest = compact_incremental(
+        spark, str(d), out, small_file_bytes=1024 * 1024
+    )
+    rows = manifest.collect()
+    actions = {r.action for r in rows}
+    assert "compacted" in actions and "written" in actions
+    n_compacted = sum(1 for r in rows if r.action == "compacted")
+    assert n_compacted == 300
+    assert spark.read.parquet(out).count() == 3000

@@ -169,11 +169,14 @@ def write_parquet_typed(
     — invisible to Spark/pyarrow/DuckDB directory reads) and renames to
     ``part-*.parquet`` only after a clean ``close()``, so a failed or
     killed attempt never surfaces a truncated file and its retry simply
-    commits under a fresh name.  Boundary: with speculative execution
-    BOTH attempts can commit — keep ``spark.speculation=false`` (the
-    default) for this writer, or reconcile against the returned
-    manifest.  ``int96_timestamps`` here is writer-local (pyarrow), so
-    unlike :func:`write_parquet` no session conf is touched.
+    commits under a fresh name.  After the job, the writer RECONCILES
+    the directory against the collected manifest: orphan
+    ``part-*.parquet`` files (a speculative/zombie attempt that
+    committed after the winner) and leftover ``.inprogress`` temps are
+    deleted, so the directory always equals the returned manifest plus
+    (in append mode) the pre-existing files.  ``int96_timestamps``
+    here is writer-local (pyarrow), so unlike :func:`write_parquet` no
+    session conf is touched.
 
     Spark itself cannot re-read TIME(MILLIS) footers
     ([PARQUET_TYPE_ILLEGAL]); read typed files back with
@@ -185,6 +188,17 @@ def write_parquet_typed(
 
     if mode not in ("overwrite", "append", "error"):
         raise ValueError(f"mode must be overwrite|append|error: {mode}")
+    if _has_remote_scheme(path):
+        # same loud refusal as attach_kv_metadata (r6 advisor): without
+        # this, each executor would write its part file to its OWN
+        # local disk under a literal 's3a:/...' directory and return a
+        # manifest no shared filesystem can see — a silent bad write
+        raise ValueError(
+            f"write_parquet_typed: {path} is not a local/shared-FS "
+            "path; the pyarrow writer commits via POSIX rename. Write "
+            "with write_parquet (scheme-agnostic) or point at a "
+            "shared mount."
+        )
     local_dir = _strip_scheme(path)
     existing = (
         _expand_parquet_paths(df.sparkSession, local_dir)
@@ -280,7 +294,36 @@ def write_parquet_typed(
             )
 
     manifest = df.mapInArrow(write_part, "file string, num_rows long")
-    return sorted(r.file for r in manifest.collect())
+    written = sorted(r.file for r in manifest.collect())
+    _reconcile_typed_output(local_dir, written, existing)
+    return written
+
+
+def _reconcile_typed_output(
+    local_dir: str, written: Sequence[str], existing: Sequence[str]
+) -> list[str]:
+    """Manifest-reconcile for :func:`write_parquet_typed` (r6 verdict
+    "Next round" #3): only files in the collected manifest are
+    committed output.  A speculative or zombie duplicate attempt can
+    rename its part under a fresh uuid AFTER the winning attempt —
+    Spark discards the loser's manifest row but not its file — and a
+    killed attempt leaves a ``.part-*.inprogress`` temp.  Sweep both:
+    any ``part-*.parquet`` under the output that is neither in the
+    manifest nor pre-existing (append mode keeps prior files) is an
+    orphan.  Returns the deleted paths."""
+    import glob as _glob
+    import os as _os
+
+    keep = set(written) | set(existing)
+    removed = []
+    for orphan in _glob.glob(_os.path.join(local_dir, ".part-*.inprogress")):
+        _os.unlink(orphan)
+        removed.append(orphan)
+    for f in _glob.glob(_os.path.join(local_dir, "part-*.parquet")):
+        if f not in keep:
+            _os.unlink(f)
+            removed.append(f)
+    return removed
 
 
 def typed_read_schema(spark: SparkSession, path: str) -> T.StructType:
@@ -345,7 +388,21 @@ def attach_kv_metadata(
     Values are stored UTF-8.  Local/shared-FS paths only (appends are
     not supported on object stores) — matching the reference's local
     ``arrow::io::FileOutputStream`` scope.  Returns the number of
-    files stamped."""
+    files stamped.
+
+    Crash safety (r6 advisor): the append is journal-free but
+    recoverable — each stamp records the pre-append length, fsyncs the
+    appended footer, and truncates back on any in-process failure; a
+    crash that kills the process mid-append (torn tail) is healed on
+    the next stamp/retry by ``_recover_parquet_tail``, which scans the
+    tail for the last parseable footer and truncates the garbage.  So
+    a failed stamp never leaves a permanently unreadable file, and the
+    Spark task retry repairs rather than compounds.  In-place append
+    is still not atomic for CONCURRENT readers (a reader hitting the
+    window between append start and fsync can see a torn tail);
+    stamping is a maintenance operation — run it like the reference's
+    tools, without concurrent readers of the same files, or stamp
+    before publishing the path."""
     if _has_remote_scheme(path):
         raise ValueError(
             f"attach_kv_metadata: {path} is not a local/shared-FS path; "
@@ -369,18 +426,104 @@ def attach_kv_metadata(
         import os as _os
         import tempfile as _tf
 
+        import pyarrow as _pa
         import pyarrow.parquet as _pq
+
+        def recover_tail(local: str) -> bool:
+            """Heal a torn trailing footer left by a crashed stamp.
+
+            A valid parquet file ends [footer][4-byte len][PAR1]; a
+            stamp killed mid-append leaves trailing garbage after the
+            last complete footer.  Scan the tail (bounded — footers
+            are KBs-to-MBs, never data-sized) for PAR1 markers newest
+            first, probe each candidate end with a length-clamped
+            read_metadata (non-destructive), and truncate to the first
+            that parses.  Returns True if a truncation repaired the
+            file; False if it was already clean."""
+            size = _os.path.getsize(local)
+            try:
+                _pq.read_metadata(local)
+                return False  # clean
+            except Exception:
+                pass
+
+            class _TruncView:
+                # file-like view clamped to `limit` bytes, enough for
+                # pa.PythonFile / pq.read_metadata's tail seek+reads
+                def __init__(self, fh, limit):
+                    self._fh, self._limit, self.closed = fh, limit, False
+
+                def size(self):
+                    return self._limit
+
+                def tell(self):
+                    return self._fh.tell()
+
+                def seek(self, pos, whence=0):
+                    if whence == 2:
+                        pos = self._limit + pos
+                        whence = 0
+                    return self._fh.seek(min(pos, self._limit), whence)
+
+                def read(self, n=-1):
+                    here = self._fh.tell()
+                    room = max(0, self._limit - here)
+                    if n is None or n < 0 or n > room:
+                        n = room
+                    return self._fh.read(n)
+
+                def readable(self):
+                    return True
+
+                def seekable(self):
+                    return True
+
+                def writable(self):
+                    return False
+
+                def flush(self):
+                    pass
+
+                def close(self):
+                    self.closed = True
+
+            win = min(size, 32 * 1024 * 1024)
+            with open(local, "rb") as fh:
+                fh.seek(size - win)
+                tail = fh.read(win)
+                base = size - win
+                j = len(tail)
+                while True:
+                    j = tail.rfind(b"PAR1", 0, j)
+                    if j < 0:
+                        raise ValueError(
+                            f"attach_kv_metadata: {local} has no "
+                            "recoverable parquet footer in its tail "
+                            f"(scanned last {win} bytes)"
+                        )
+                    end = base + j + 4
+                    if end != size:  # == size already failed above
+                        try:
+                            fh.seek(0)
+                            _pq.read_metadata(_TruncView(fh, end))
+                        except Exception:
+                            continue
+                        _os.truncate(local, end)
+                        return True
 
         for pdf in batches:
             out = []
             for fname in pdf["file"]:
                 local = fname[5:] if fname.startswith("file:") else fname
-                md = _pq.read_metadata(local)
+                recover_tail(local)  # heal any prior torn append
+                # ONE footer parse per file (r6 verdict "wrong" #2):
+                # a single ParquetFile handle supplies both the
+                # metadata and the arrow schema
+                pf = _pq.ParquetFile(local)
+                md = pf.metadata
                 merged = dict(md.metadata or {})
                 merged.update(kv_bytes)
-                schema = _pq.ParquetFile(local).schema_arrow.with_metadata(
-                    merged
-                )
+                schema = pf.schema_arrow.with_metadata(merged)
                 # the rebuilt footer must declare the SAME physical
                 # types as the existing row groups (AppendRowGroups
                 # requires equal schemas): a file whose timestamps are
@@ -393,16 +536,13 @@ def attach_kv_metadata(
                 # column next to an NTZ one under the INT96 conf) has
                 # no rebuildable footer through this path — refuse
                 # loudly rather than emit a mismatched schema
-                import pyarrow as _pa
-
                 phys = [
                     md.schema.column(c).physical_type
                     for c in range(md.num_columns)
                 ]
                 has_int96 = "INT96" in phys
                 n_ts_arrow = sum(
-                    _pa.types.is_timestamp(f.type)
-                    for f in _pq.ParquetFile(local).schema_arrow
+                    _pa.types.is_timestamp(f.type) for f in pf.schema_arrow
                 )
                 if has_int96 and n_ts_arrow > phys.count("INT96"):
                     raise ValueError(
@@ -425,9 +565,21 @@ def attach_kv_metadata(
                 finally:
                     _os.unlink(tmp)
                 # blob = PAR1 + footer + len + PAR1; the leading magic
-                # is already present at the head of the data file
-                with open(local, "ab") as f:
-                    f.write(blob[4:])
+                # is already present at the head of the data file.
+                # Recoverable append: remember the pre-append length,
+                # fsync the new tail, truncate back on ANY in-process
+                # failure so a failed stamp leaves the file exactly as
+                # it was (a hard crash instead leaves a torn tail that
+                # the next stamp's recover_tail heals).
+                orig_len = _os.path.getsize(local)
+                try:
+                    with open(local, "ab") as f:
+                        f.write(blob[4:])
+                        f.flush()
+                        _os.fsync(f.fileno())
+                except BaseException:
+                    _os.truncate(local, orig_len)
+                    raise
                 # the append invalidates Hadoop LocalFS's .crc sidecar
                 # (written out-of-band of the FS API); drop it — a
                 # missing sidecar means "no checksum verification",
@@ -482,24 +634,28 @@ def merge_files(
     (reader-writer2.cc:46).
 
     Output sizing stats the input files via a local-FS glob for plain /
-    ``file:`` paths (fast, no JVM round-trips) and falls back to the
-    Hadoop FileSystem listing for any other scheme (hdfs://, s3a://,
-    ...), so remote inputs size correctly instead of failing a local
-    stat; the read/write path itself is scheme-agnostic DataFrame I/O.
+    ``file:`` paths — serially for small inputs (no JVM round-trips),
+    executor-parallel (mapInPandas, the metadata_stats pattern) past
+    ``_DISTRIBUTED_STAT_THRESHOLD`` files so a 1e6-file merge never
+    serially stats on the driver — and falls back to the Hadoop
+    FileSystem listing for any other scheme (hdfs://, s3a://, ...), so
+    remote inputs size correctly instead of failing a local stat; the
+    read/write path itself is scheme-agnostic DataFrame I/O.
     """
     df = read_parquet(spark, *inputs, merge_schema=merge_schema)
     # expand globs/dirs to concrete files BEFORE stat-ing — a glob input
-    # (supported by read_parquet) would make fs.getFileStatus throw
-    import os as _os
-
+    # (supported by read_parquet) would make fs.getFileStatus throw.
+    # Local sizing goes through _dataset_bytes: serial under the
+    # threshold, executor-parallel mapInPandas above it, so a 1e6-file
+    # merge never stat-loops on the driver (r6 verdict "wrong" #1).
     total_bytes = 0
+    local_files: list[str] = []
     for p in inputs:
         if _has_remote_scheme(p):
             total_bytes += _hadoop_input_bytes(spark, p)
         else:
-            total_bytes += sum(
-                _os.path.getsize(f) for f in _expand_parquet_paths(spark, p)
-            )
+            local_files.extend(_expand_parquet_paths(spark, p))
+    total_bytes += _dataset_bytes(spark, local_files)
     n_files = max(1, -(-total_bytes // target_file_size_bytes))  # ceil
     write_parquet(
         df,
@@ -611,6 +767,82 @@ def metadata_stats(spark: SparkSession, *paths: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=out_columns)
 
     return files_df.mapInPandas(scan_footers, schema=_FOOTER_SCHEMA)
+
+
+# Below this many files a serial driver stat loop is cheaper than a
+# Spark job (64-file compaction benches stay JVM-round-trip-free);
+# above it, stats go executor-side — at the 100 TB design point
+# (~1e6 files) a serial driver loop stalls the driver for minutes
+# before any task launches (r6 verdict "wrong" #1).
+_DISTRIBUTED_STAT_THRESHOLD = 256
+
+
+def _file_sizes_df(spark: SparkSession, files: Sequence[str]) -> DataFrame:
+    """(file, bytes) DataFrame via executor-parallel os.stat over the
+    parallelized name list — the metadata_stats pattern applied to
+    sizing, so merge/compaction planning never serially stats 1e6
+    files on the driver."""
+    files_df = spark.createDataFrame(
+        [(f,) for f in files],
+        T.StructType([T.StructField("file", T.StringType(), False)]),
+    )
+    if len(files) > 64:
+        files_df = files_df.repartition(min(len(files) // 8, 512))
+
+    # self-contained closure (see metadata_stats note)
+    def stat_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file": pdf["file"],
+                    "bytes": [
+                        os.path.getsize(
+                            f[5:] if f.startswith("file:") else f
+                        )
+                        for f in pdf["file"]
+                    ],
+                }
+            )
+
+    return files_df.mapInPandas(
+        stat_files,
+        T.StructType(
+            [
+                T.StructField("file", T.StringType(), False),
+                T.StructField("bytes", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def _file_sizes(
+    spark: SparkSession, files: Sequence[str]
+) -> list[tuple[str, int]]:
+    """Per-file sizes; serial under _DISTRIBUTED_STAT_THRESHOLD,
+    executor-side above it."""
+    import os as _os
+
+    if len(files) <= _DISTRIBUTED_STAT_THRESHOLD:
+        return [(f, _os.path.getsize(_strip_scheme(f))) for f in files]
+    return [
+        (r.file, r.bytes) for r in _file_sizes_df(spark, files).collect()
+    ]
+
+
+def _dataset_bytes(spark: SparkSession, files: Sequence[str]) -> int:
+    """Total bytes of ``files``; the sum is computed executor-side
+    above the threshold (a 1-row agg collect — the driver never even
+    holds the per-file sizes)."""
+    import os as _os
+
+    if len(files) <= _DISTRIBUTED_STAT_THRESHOLD:
+        return sum(_os.path.getsize(_strip_scheme(f)) for f in files)
+    row = _file_sizes_df(spark, files).agg(
+        F.sum("bytes").alias("total")
+    ).collect()[0]
+    return int(row.total or 0)
 
 
 def _has_remote_scheme(path: str) -> bool:
@@ -807,13 +1039,11 @@ def compact_incremental(
     ``output`` with the kept files (the kept list is in the manifest),
     exactly like a metadata-swap commit would.
     """
-    import os as _os
-
     files = _expand_parquet_paths(spark, path)
-    sizes = {
-        f: _os.path.getsize(f[5:] if f.startswith("file:") else f)
-        for f in files
-    }
+    # sizes via _file_sizes: serial under the threshold, executor-side
+    # mapInPandas above it — small-file selection over a 1e6-file table
+    # must not stat-loop on the driver (r6 verdict "wrong" #1)
+    sizes = dict(_file_sizes(spark, files))
     small = [f for f, b in sizes.items() if b < small_file_bytes]
     kept = [f for f in files if f not in set(small)]
     rows = [(f, sizes[f], "kept") for f in kept] + [
@@ -828,8 +1058,10 @@ def compact_incremental(
             block_size_bytes=block_size_bytes,
         )
         rows += [
-            (f, _os.path.getsize(f[5:] if f.startswith("file:") else f), "written")
-            for f in _expand_parquet_paths(spark, output)
+            (f, b, "written")
+            for f, b in _file_sizes(
+                spark, _expand_parquet_paths(spark, output)
+            )
         ]
     manifest_schema = T.StructType(
         [

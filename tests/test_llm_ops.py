@@ -287,6 +287,76 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, emb):
         assert len(lsh) / len(exact) >= 0.2
 
 
+def test_stopword_ratio_escapes_metacharacters(spark, monkeypatch):
+    """r6 advisor: a stopword containing a regex metacharacter must
+    match as a literal token (the list_filter token-equality
+    contract), never as a regex — "c." must not swallow "cx"."""
+    from tmp_parquet_merge_spark.operators import text as text_ops
+
+    monkeypatch.setitem(text_ops.STOPWORDS, "xx", ["c.", "+"])
+    df = spark.createDataFrame([("c. plus + cx b",)], "t: string")
+    r = (
+        df.select(text_ops.stopword_ratio("t", "xx").alias("r"))
+        .collect()[0]
+        .r
+    )
+    # tokens: [c., plus, +, cx, b] → exactly 2 literal hits out of 5
+    assert abs(r - 2 / 5) < 1e-9
+
+
+def test_stopword_ratio_escaped_pattern_identical_for_alpha_lists(spark):
+    """The escaped en/de/fr patterns are byte-identical to the r6
+    unescaped ones (alphabetic words), so every language-ID/quality
+    consumer keeps its exact counts."""
+    import re
+
+    from tmp_parquet_merge_spark.operators.text import STOPWORDS
+
+    for lang, wordlist in STOPWORDS.items():
+        assert [re.escape(w) for w in wordlist] == wordlist, lang
+
+
+def test_auto_lsh_params_holds_recall_at_open_scale():
+    """r6 advisor: the old max_bands=32 clamp silently dropped the
+    cosine-0.9 design-point recall to ~44% by n=1e9.  Bands are now
+    uncapped by default; assert analytically (pure function, no data)
+    that the returned (bits, bands) keep recall ≥ 0.9 from the bundled
+    corpus size up through 1e9 vectors, with only ~n^0.22 band growth."""
+    import math
+
+    p1 = 1 - math.acos(0.9) / math.pi
+    prev_bands = 0
+    for n in (500, 4_000, 4_000_000, 100_000_000, 1_000_000_000):
+        bits, bands = similarity._auto_lsh_params(n)
+        p_band = p1**bits
+        achieved = 1 - (1 - p_band) ** bands
+        assert achieved >= 0.9, (n, bits, bands, achieved)
+        assert bands >= prev_bands  # monotone growth, no clamp cliff
+        prev_bands = bands
+    # linear-cost sanity: even at 1e9 the signature stays small
+    assert bands <= 256 and bits <= 40
+
+
+def test_auto_lsh_params_explicit_cap_warns_with_achieved_recall():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bits, bands = similarity._auto_lsh_params(
+            1_000_000_000, max_bands=32
+        )
+    assert bands == 32
+    assert any("achieved recall" in str(x.message) for x in w)
+
+
+def test_auto_lsh_params_small_corpus_unchanged():
+    """Driver-scale corpora sit far under any clamp: the uncapped
+    default is a dead branch there (same params as round 6)."""
+    for n in (100, 500, 2500):
+        bits, bands = similarity._auto_lsh_params(n)
+        assert bands <= 32  # never clamped, so identical to r6 output
+
+
 def test_prefix_dedup_catches_truncation(spark):
     # doc 2 is doc 1 truncated mid-way: full-text exact dedup misses
     # it, prefix dedup groups them

@@ -70,6 +70,47 @@ def test_typed_footer_matches_reference_schema(typed_out):
             assert "optional" in line, line
 
 
+def test_int64_field_list_encoding_delta_is_pinned(typed_out):
+    """SURVEY §7: the ONE field whose schema-tree spelling cannot match
+    the reference byte-for-byte.  reader_writer.h:45-46 declares
+    ``repeated int64 int64_field`` — a bare 2-level repeated PRIMITIVE
+    leaf (pre-LIST-annotation legacy parquet).  pyarrow's Arrow→Parquet
+    conversion unconditionally wraps ArrayType in the 3-level LIST
+    group (``optional group int64_field (List) { repeated group list {
+    int64 element }}``); its only knob, use_compliant_nested_type,
+    merely renames element→item, and Spark's writeLegacyFormat emits a
+    3-level ``bag`` group — no available writer can emit the bare
+    repeated leaf.  The other 7 reference fields byte-match
+    (test_typed_footer_matches_reference_schema).  All parquet readers
+    treat the two spellings as the same array<long> column
+    (backward-compat rules, parquet-format LogicalTypes.md), which
+    test_typed_roundtrip_spark and test_typed_file_cross_engine
+    verify on values.  This test pins the exact delta so a future
+    pyarrow that learns the legacy spelling fails it loudly (then
+    switch and drop the SURVEY deviation)."""
+    _, out, files = typed_out
+    sch = pq.ParquetFile(files[0]).schema
+    tree = str(sch)
+    # current (deviating) spelling: 3-level LIST group, optional outer
+    assert "optional group field_id=-1 int64_field (List)" in tree
+    assert "repeated group" in tree
+    # NOT the reference's bare repeated primitive
+    assert "repeated int64 field_id=-1 int64_field" not in tree
+    # and pyarrow still offers no bare-repeated spelling
+    import pyarrow as pa
+
+    probe = str(out) + "/__probe_legacy.parquet"
+    t = pa.table(
+        {"int64_field": pa.array([[1, 2]], pa.list_(pa.int64()))}
+    )
+    pq.write_table(t, probe, use_compliant_nested_type=False)
+    legacy_tree = str(pq.ParquetFile(probe).schema)
+    import os
+
+    os.unlink(probe)
+    assert "repeated int64" not in legacy_tree  # still a LIST group
+
+
 def test_typed_roundtrip_spark(spark, typed_out):
     """Spark can't infer TIME(MILLIS) footers ([PARQUET_TYPE_ILLEGAL]);
     typed_read_schema maps TIME back to the ms-of-day IntegerType

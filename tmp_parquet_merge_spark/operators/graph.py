@@ -83,6 +83,15 @@ def cooccurrence_pairs(
     * ``max_group_size=None`` disables the guard (caller has already
       capped/salted upstream).
 
+    The ``error`` default is DELIBERATE (r6 advisor adjudication): an
+    oversized group is almost always a data bug (a null/sentinel group
+    key collecting millions of items), and silently degrading it to
+    the self-join path would stream out k²/2 ≈ 10¹⁰ pairs for a 100k+
+    group — a runaway job is worse than a loud failure naming the
+    group.  Callers with a legitimately heavy-tailed group-size
+    distribution opt into ``selfjoin`` explicitly, accepting the
+    quadratic pair volume knowingly.
+
     The 100k default bounds the buffered array to a few MB; the pair
     EXPANSION (k²/2 rows) streams out of ``explode`` without
     materializing, so the array row is the only per-group memory."""

@@ -209,7 +209,7 @@ def _auto_lsh_params(
     high_sim: float = 0.9,
     target_recall: float = 0.9,
     min_bits: int = 4,
-    max_bands: int = 32,
+    max_bands: int | None = None,
 ) -> tuple[int, int]:
     """(bits_per_band, bands) sized to the corpus count.
 
@@ -219,19 +219,43 @@ def _auto_lsh_params(
     measured exactly that: 16-bit/4-band SRP went 25× slower on 5×
     the vectors).  Growing b with log2(n) pins expected random
     collisions to O(n) (E[bucket] ≈ 2^min_bits per band); bands then
-    grow just enough to hold ``target_recall`` at the ``high_sim``
-    near-dup design point (p_band = (1-acos(s)/π)^b,
-    L = ln(1-R)/ln(1-p_band)).  Recall at LOWER thresholds decays
-    with n — the standard LSH tradeoff; lower ``high_sim`` to spend
-    more bands if the operating threshold is loose."""
+    grow to hold ``target_recall`` at the ``high_sim`` near-dup
+    design point (p_band = (1-acos(s)/π)^b,
+    L = ln(1-R)/ln(1-p_band)).
+
+    Bands are UNCAPPED by default (r6 advisor): each log2(n) bit
+    multiplies the bands needed by 1/p1 (p1 = 1-acos(s)/π ≈ 0.856 at
+    s=0.9), so L grows only ~n^0.22 — ≈37 bands at n=4M, ≈130 at
+    n=1e9 — a linear per-vector signature cost, vs. silently losing
+    recall (a 32-band clamp is ~44% recall at 1e9, not the promised
+    90%).  Pass ``max_bands`` to bound index memory explicitly; a
+    clamp that lowers achieved recall below ``target_recall`` warns
+    with the achieved figure rather than failing silently.  Recall at
+    LOWER thresholds decays with n — the standard LSH tradeoff; lower
+    ``high_sim`` to spend more bands if the operating threshold is
+    loose."""
     import math
 
     b = max(min_bits, math.ceil(math.log2(max(n, 2))) - min_bits)
     p_band = (1 - math.acos(high_sim) / math.pi) ** b
     if p_band >= 1.0:
         return b, 1
-    bands = math.ceil(math.log(1 - target_recall) / math.log(1 - p_band))
-    return b, max(1, min(max_bands, bands))
+    bands = max(
+        1, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band))
+    )
+    if max_bands is not None and bands > max_bands:
+        import warnings
+
+        achieved = 1 - (1 - p_band) ** max_bands
+        warnings.warn(
+            f"_auto_lsh_params: max_bands={max_bands} clamps the "
+            f"{bands} bands needed for recall≈{target_recall} at "
+            f"cosine {high_sim} with n={n}; achieved recall ≈ "
+            f"{achieved:.2f}",
+            stacklevel=2,
+        )
+        bands = max_bands
+    return b, bands
 
 
 def embedding_dedup_pairs_lsh(

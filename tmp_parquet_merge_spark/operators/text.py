@@ -44,9 +44,15 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     " word(?= )" alternation counts exactly the tokens the lambda
     counted (duplicates included, same as the DuckDB oracle's
     list_filter); the lookahead keeps consecutive stopwords from
-    swallowing each other's delimiter."""
+    swallowing each other's delimiter.  Each word is regex-escaped
+    (r6 advisor): today's en/de/fr lists are plain alphabetic so the
+    escaped pattern is byte-identical, but a future list entry with a
+    metacharacter ("c.", "+") must stay a token-equality match, not
+    become a regex."""
+    import re as _re
+
     norm = normalize_text(text)
-    pat = " (" + "|".join(STOPWORDS[lang]) + ")(?= )"
+    pat = " (" + "|".join(_re.escape(w) for w in STOPWORDS[lang]) + ")(?= )"
     hits = F.regexp_count(
         F.concat(F.lit(" "), norm, F.lit(" ")), F.lit(pat)
     )

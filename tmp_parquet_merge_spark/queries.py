@@ -176,7 +176,20 @@ def q_typed_roundtrip(spark, sf_dir):
     and returns per-column footer physical types + value counts from
     column_stats plus the read-back row count, so the declared footer
     IS the query result.  Rows-only (writes temp files); footer shape
-    also pinned in tests/test_typed_write.py."""
+    also pinned in tests/test_typed_write.py.
+
+    Schema-tree parity: 7 of the 8 reference fields byte-match the
+    reference footer.  The exception is ``int64_field`` —
+    reader_writer.h:45-46 declares a bare 2-level ``repeated int64``
+    primitive leaf (legacy pre-LIST parquet), which NO available
+    writer can emit: pyarrow unconditionally wraps ArrayType in the
+    3-level LIST group (its use_compliant_nested_type knob only
+    renames element→item) and Spark's writeLegacyFormat writes a
+    3-level ``bag`` group.  Readers treat both spellings as the same
+    array<long> per the parquet-format backward-compat rules; the
+    exact delta is pinned in
+    tests/test_typed_write.py::test_int64_field_list_encoding_delta_is_pinned
+    so a future pyarrow that learns the legacy spelling surfaces."""
     out = os.path.join(tempfile.mkdtemp(prefix="tpms_typed_"), "alltypes")
     df = fixtures.alltypes_df(spark, 500)
     parquet_io.write_parquet_typed(

@@ -178,6 +178,20 @@ def pagerank(
     that also truncates lineage) plus, every ``check_every`` rounds, a
     scalar L1-delta read for the ``tol`` early exit.
 
+    The edge list is hash-partitioned on ``src``, sorted within
+    partitions, and PERSISTED (MEMORY_AND_DISK) rather than
+    localCheckpointed (round 7): a checkpointed RDD surfaces as
+    ``UnknownPartitioning``, so every round's sort-merge join was
+    re-shuffling AND re-sorting the full edge list — the dominant
+    cost at scale (10 rounds × a 60M-edge exchange in the 25× stress).
+    ``InMemoryTableScan`` preserves the cached plan's partitioning
+    and ordering, so each round's join does ZERO work on the edges
+    side: only the (small) state exchanges per round.  25× re-measure:
+    the 10-round loop fell from ~110 s to ~31 s (SCALE.md round 7).
+    The cache is released (unpersist) before returning — the final
+    state is eagerly checkpointed, so the result does not depend on
+    it.
+
     The checkpointed state carries the previous round's rank as a
     ``prev`` column, so the L1-delta read is a scan-aggregate over the
     already-materialized state — NOT a state⋈new_state join (that join
@@ -197,12 +211,18 @@ def pagerank(
     rounded up to a multiple of it.  Ranks are bit-identical for any
     value — it is a physical knob like ``num_partitions``.
     """
+    from pyspark import StorageLevel
+
     # materialize the edge list once — callers often pass a derived
     # graph (e.g. a self-join pair build) that must not be recomputed
-    # in every iteration's join
+    # in every iteration's join.  persist (NOT localCheckpoint: that
+    # erases partitioning) + sortWithinPartitions so the cached scan
+    # satisfies the join's distribution AND ordering every round.
     if num_partitions:
         edges = edges.repartition(num_partitions, "src")
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.sortWithinPartitions("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -260,6 +280,10 @@ def pagerank(
                     break
         else:
             state = new_state
+    # the loop always ends on an eager checkpoint (it == max_iter or
+    # the tol break after one), so the result no longer needs the
+    # edge cache
+    edges.unpersist(blocking=False)
     return state.select(
         "node",
         F.round("rank", round_to).alias("rank"),

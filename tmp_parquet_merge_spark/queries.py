@@ -1244,7 +1244,30 @@ _EVIDENCE_ROUND = {
 # rows-only, zero errors.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # placeholder — filled as round-7 changes land
+        # attach_kv_metadata hardened (single footer parse, recoverable
+        # append + torn-tail recovery) — q_metadata_stats stamps kv
+        # through it
+        "q_metadata_stats",
+        # write_parquet_typed gained the manifest reconcile sweep +
+        # remote-scheme guard
+        "q_typed_roundtrip",
+        # merge-family sizing now routes through _file_sizes /
+        # _dataset_bytes (serial ≤256 files, executor-side above)
+        "q_merge_files",
+        "q_merge_compaction",
+        "q_merge_incremental",
+        # pagerank edge list now persisted pre-partitioned+sorted
+        # instead of localCheckpointed (25×: 182 s → 67 s; the
+        # checkpoint was erasing partitioning, forcing a full edge
+        # re-shuffle+sort every round)
+        "q_pagerank",
+        # NOT re-queued (dead-branch / pinned-identical precedent, r6):
+        #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
+        #    compute <32 bands, params pinned identical in
+        #    tests/test_llm_ops.py::test_auto_lsh_params_small_corpus_unchanged
+        #  * stopword_ratio regex-escaping — escaped en/de/fr patterns
+        #    pinned byte-identical (same test module)
+        #  * q_roundtrip — write_parquet itself unchanged (no kv path)
     }
 )
 

@@ -447,11 +447,21 @@ def dedup_clusters(
     callers keep the default 1; the knob matters when a round is
     expensive relative to a cached-state scan (deep graphs).
     """
+    from pyspark import StorageLevel
+
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # persist the loop-invariant edge list pre-partitioned + sorted on
+    # the join key (round 7, same fix as pagerank): localCheckpoint
+    # surfaces UnknownPartitioning, which made every propagation round
+    # re-shuffle + re-sort the edges for its sort-merge join; the
+    # cached scan satisfies the join's distribution and ordering, so
+    # rounds only exchange the (small) label state.
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
@@ -487,6 +497,9 @@ def dedup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    # every loop exit passes through an eager checkpoint of lab, so
+    # the result no longer needs the edge cache
+    edges.unpersist(blocking=False)
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -1261,6 +1261,11 @@ _CHANGED_THIS_ROUND = frozenset(
         # checkpoint was erasing partitioning, forcing a full edge
         # re-shuffle+sort every round)
         "q_pagerank",
+        # same fix in dedup_clusters' min-label propagation loop —
+        # its three consumers re-queue
+        "q_dedup_cluster",
+        "q_dedup_cluster_lsh",
+        "q_dedup_canonical",
         # NOT re-queued (dead-branch / pinned-identical precedent, r6):
         #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
         #    compute <32 bands, params pinned identical in

@@ -161,6 +161,49 @@ def test_reconcile_keeps_preexisting_append_files(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# session_conf: locked set→act→restore windows (r6 verdict "wrong" #3)
+# ---------------------------------------------------------------------------
+
+
+def test_session_conf_restores_and_serializes(spark):
+    import threading
+    import time
+
+    from tmp_parquet_merge_spark.sources.parquet_io import session_conf
+
+    knob = "spark.sql.parquet.columnarReaderBatchSize"
+    orig = spark.conf.get(knob)
+    seen = []
+
+    def other():
+        with session_conf(spark, **{knob: "512"}):
+            seen.append(spark.conf.get(knob))
+
+    with session_conf(spark, **{knob: "256"}):
+        assert spark.conf.get(knob) == "256"
+        th = threading.Thread(target=other)
+        th.start()
+        time.sleep(0.3)
+        # the second window must be blocked on the lock — our setting
+        # cannot have been overwritten mid-window
+        assert spark.conf.get(knob) == "256"
+    th.join()
+    assert seen == ["512"]
+    assert spark.conf.get(knob) == orig
+
+
+def test_session_conf_restores_on_exception(spark):
+    from tmp_parquet_merge_spark.sources.parquet_io import session_conf
+
+    knob = "spark.sql.parquet.columnarReaderBatchSize"
+    orig = spark.conf.get(knob)
+    with pytest.raises(RuntimeError):
+        with session_conf(spark, **{knob: "128"}):
+            raise RuntimeError("boom")
+    assert spark.conf.get(knob) == orig
+
+
+# ---------------------------------------------------------------------------
 # merge-family sizing: executor-side stats past the threshold
 # ---------------------------------------------------------------------------
 

@@ -78,13 +78,14 @@ def q_scan_batch_size(spark, sf_dir):
     data column (sum) so the scan can't be answered from footer stats.
     Eager by necessity (the knob is a session conf read at execution,
     so the two scans run inside build, like the layout writers);
-    rows-only — batch size isn't SQL-visible."""
+    rows-only — batch size isn't SQL-visible.  Each setting's scan
+    runs inside parquet_io.session_conf (module conf lock + restore,
+    r7), so a concurrent engine write/scan on the same session cannot
+    inherit the pinned batch size."""
     knob = "spark.sql.parquet.columnarReaderBatchSize"
-    orig = spark.conf.get(knob)
     out = []
-    try:
-        for n in (256, 4096):
-            spark.conf.set(knob, str(n))
+    for n in (256, 4096):
+        with parquet_io.session_conf(spark, **{knob: str(n)}):
             row = (
                 t(spark, sf_dir, "lineitem")
                 .select("l_orderkey", "l_quantity")
@@ -94,9 +95,7 @@ def q_scan_batch_size(spark, sf_dir):
                 )
                 .first()
             )
-            out.append((n, row.n_rows, row.sum_qty))
-    finally:
-        spark.conf.set(knob, orig)
+        out.append((n, row.n_rows, row.sum_qty))
     return spark.createDataFrame(
         out, "batch_size: int, n_rows: long, sum_qty: long"
     )
@@ -1251,6 +1250,11 @@ _CHANGED_THIS_ROUND = frozenset(
         # write_parquet_typed gained the manifest reconcile sweep +
         # remote-scheme guard
         "q_typed_roundtrip",
+        # conf set→act→restore windows now run under the module conf
+        # lock (parquet_io.session_conf) — the two queries that open
+        # such windows re-queue
+        "q_scan_batch_size",
+        "q_roundtrip",
         # merge-family sizing now routes through _file_sizes /
         # _dataset_bytes (serial ≤256 files, executor-side above)
         "q_merge_files",

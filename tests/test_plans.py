@@ -420,3 +420,65 @@ def test_typed_writer_plan_shuffle_free(spark, tmp_path):
     # coalesced input
     audited = df.mapInArrow(lambda it: it, df.schema)
     assert "Exchange" not in plan_tree(audited)
+
+
+def test_iterative_loop_reuses_persisted_edge_partitioning(spark):
+    """Round-7 pagerank/dedup_clusters fix, pinned at the plan level:
+    a loop-invariant edge list persisted pre-partitioned + sorted on
+    the join key must enter each round's sort-merge join from its
+    InMemoryTableScan with NO Exchange and NO Sort above it —
+    localCheckpoint (the old spelling) surfaces UnknownPartitioning
+    and re-shuffles + re-sorts the full edge list every round (the
+    r6 25× stress's 86 s PageRank was exactly this).  Regressing this
+    silently multiplies iterative-loop cost by the round count."""
+    from pyspark import StorageLevel
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(20000).select(
+            (F.col("id") % 500).alias("src"),
+            ((F.col("id") * 7) % 500).alias("dst"),
+        )
+        edges = (
+            edges.repartition(4, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        edges.count()
+        state = (
+            spark.range(500)
+            .select(
+                F.col("id").alias("node"),
+                F.lit(3).alias("deg"),
+                F.lit(0.1).alias("rank"),
+            )
+            .repartition(4, "node")
+            .localCheckpoint()
+        )
+        contribs = (
+            state.filter(F.col("deg") > 0)
+            .join(edges, state.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        plan = contribs._jdf.queryExecution().executedPlan().toString()
+        # outer plan only — the cached relation's own build plan
+        # (inside InMemoryRelation) legitimately contains the one-time
+        # repartition Exchange
+        outer = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in outer
+        assert "SortMergeJoin" in outer
+        # exactly two exchanges: the state side + the partial-agg
+        # shuffle; the edge side must contribute none
+        assert outer.count("Exchange") == 2, outer
+        # and the edge side needs no re-sort: the only Sort in the
+        # round is the state side's
+        assert outer.count("Sort ") <= 1, outer
+        edges.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)

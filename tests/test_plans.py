@@ -8,6 +8,7 @@ bucketed joins run without exchanges.  A regression here would pass
 every value check and still melt a 1000-executor cluster.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from tmp_parquet_merge_spark.plans.explain import (
@@ -422,7 +423,8 @@ def test_typed_writer_plan_shuffle_free(spark, tmp_path):
     assert "Exchange" not in plan_tree(audited)
 
 
-def test_iterative_loop_reuses_persisted_edge_partitioning(spark):
+@pytest.mark.parametrize("nparts", [4, None], ids=["pinned", "default"])
+def test_iterative_loop_reuses_persisted_edge_partitioning(spark, nparts):
     """Round-7 pagerank/dedup_clusters fix, pinned at the plan level:
     a loop-invariant edge list persisted pre-partitioned + sorted on
     the join key must enter each round's sort-merge join from its
@@ -430,7 +432,14 @@ def test_iterative_loop_reuses_persisted_edge_partitioning(spark):
     localCheckpoint (the old spelling) surfaces UnknownPartitioning
     and re-shuffles + re-sorts the full edge list every round (the
     r6 25× stress's 86 s PageRank was exactly this).  Regressing this
-    silently multiplies iterative-loop cost by the round count."""
+    silently multiplies iterative-loop cost by the round count.
+
+    ``default`` pins the num_partitions=None spelling pagerank /
+    dedup_clusters use when the caller does not pin a layout:
+    ``repartition("src")`` (session shuffle-partition count) — a bare
+    persist WITHOUT the repartition leaves the cache on the input's
+    arbitrary partitioning and the per-round edge re-shuffle comes
+    back silently."""
     from pyspark import StorageLevel
 
     orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -441,9 +450,12 @@ def test_iterative_loop_reuses_persisted_edge_partitioning(spark):
             ((F.col("id") * 7) % 500).alias("dst"),
         )
         edges = (
-            edges.repartition(4, "src")
-            .sortWithinPartitions("src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            edges.repartition(nparts, "src")
+            if nparts
+            else edges.repartition("src")
+        )
+        edges = edges.sortWithinPartitions("src").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         edges.count()
         state = (
@@ -453,9 +465,10 @@ def test_iterative_loop_reuses_persisted_edge_partitioning(spark):
                 F.lit(3).alias("deg"),
                 F.lit(0.1).alias("rank"),
             )
-            .repartition(4, "node")
-            .localCheckpoint()
         )
+        if nparts:
+            state = state.repartition(nparts, "node")
+        state = state.localCheckpoint()
         contribs = (
             state.filter(F.col("deg") > 0)
             .join(edges, state.node == edges.src)

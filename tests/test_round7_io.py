@@ -127,20 +127,27 @@ def test_typed_write_sweeps_planted_inprogress(spark, tmp_path):
     assert spark.read.parquet(out).count() == 15
 
 
+def _run_id_of(part_path: str) -> str:
+    # part names are part-<run_id>-<uuid>.parquet
+    return os.path.basename(part_path).split("-")[1]
+
+
 def test_reconcile_removes_orphans_matches_manifest(spark, tmp_path):
     """Plant an orphan part file (the speculative double-commit
-    scenario) and show the reconciled directory — and therefore the
+    scenario — same run id, since duplicate attempts run the same
+    closure) and show the reconciled directory — and therefore the
     read — matches the manifest exactly (r6 verdict #3 done-criterion)."""
     out = str(tmp_path / "out")
     manifest = write_parquet_typed(
         spark.range(20).selectExpr("id", "cast(id as double) as x"), out
     )
+    run_id = _run_id_of(manifest[0])
     # orphan: a duplicate attempt's file, valid parquet, not in manifest
-    orphan = os.path.join(out, "part-0123456789abcdef.parquet")
+    orphan = os.path.join(out, f"part-{run_id}-0123456789abcdef.parquet")
     _write_table(orphan, n=7)
-    inprog = os.path.join(out, ".part-feedface.inprogress")
+    inprog = os.path.join(out, f".part-{run_id}-feedface.inprogress")
     open(inprog, "wb").write(b"x")
-    removed = _reconcile_typed_output(out, manifest, existing=[])
+    removed = _reconcile_typed_output(out, manifest, [], run_id)
     assert orphan in removed and inprog in removed
     on_disk = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
     assert on_disk == sorted(manifest)
@@ -150,14 +157,32 @@ def test_reconcile_removes_orphans_matches_manifest(spark, tmp_path):
 def test_reconcile_keeps_preexisting_append_files(tmp_path):
     out = str(tmp_path / "out")
     os.makedirs(out)
-    pre = os.path.join(out, "part-preexisting.parquet")
-    new = os.path.join(out, "part-new.parquet")
-    orphan = os.path.join(out, "part-orphan.parquet")
+    pre = os.path.join(out, "part-aaaaaaaaaaaa-preexisting.parquet")
+    new = os.path.join(out, "part-bbbbbbbbbbbb-new.parquet")
+    orphan = os.path.join(out, "part-bbbbbbbbbbbb-orphan.parquet")
     for f in (pre, new, orphan):
         _write_table(f, n=3)
-    removed = _reconcile_typed_output(out, [new], existing=[pre])
+    removed = _reconcile_typed_output(out, [new], [pre], "bbbbbbbbbbbb")
     assert removed == [orphan]
     assert os.path.exists(pre) and os.path.exists(new)
+
+
+def test_reconcile_never_deletes_concurrent_runs_parts(spark, tmp_path):
+    """Concurrent-append safety: a part committed by ANOTHER
+    write_parquet_typed run — landing after this run's pre-write
+    snapshot, so in neither `written` nor `existing` — must survive
+    the sweep.  An unscoped part-*.parquet glob here is silent data
+    loss for the concurrent writer."""
+    out = str(tmp_path / "out")
+    manifest = write_parquet_typed(spark.range(10).selectExpr("id"), out)
+    run_id = _run_id_of(manifest[0])
+    foreign = os.path.join(
+        out, "part-ffffffffffff-cccccccccccccccccccccccccccccccc.parquet"
+    )
+    _write_table(foreign, n=4)
+    removed = _reconcile_typed_output(out, manifest, [], run_id)
+    assert removed == []
+    assert os.path.exists(foreign)
 
 
 def test_kv_stamp_heals_arbitrary_torn_tails_property(spark, tmp_path):
@@ -232,6 +257,26 @@ def test_session_conf_restores_on_exception(spark):
         with session_conf(spark, **{knob: "128"}):
             raise RuntimeError("boom")
     assert spark.conf.get(knob) == orig
+
+
+def test_session_conf_unsets_previously_unset_key(spark):
+    """A key that was UNSET before the window must be unset again
+    after it — 'restore the prior effective values' means unsetting,
+    not leaving the window's value to leak into every later query —
+    and entering the window on a default-less key must not raise."""
+    from tmp_parquet_merge_spark.sources.parquet_io import session_conf
+
+    knob = "spark.sql.optimizer.excludedRules"
+    assert spark.conf.get(knob, None) is None, "suite precondition"
+    rule = "org.apache.spark.sql.catalyst.optimizer.ConstantFolding"
+    with session_conf(spark, **{knob: rule}):
+        assert spark.conf.get(knob, None) == rule
+    assert spark.conf.get(knob, None) is None
+    # exception path too
+    with pytest.raises(RuntimeError):
+        with session_conf(spark, **{knob: rule}):
+            raise RuntimeError("boom")
+    assert spark.conf.get(knob, None) is None
 
 
 # ---------------------------------------------------------------------------

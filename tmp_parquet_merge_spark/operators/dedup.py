@@ -466,27 +466,36 @@ def dedup_clusters(
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     converged = False
-    for it in range(1, max_iter + 1):
-        nbr_min = (
-            edges.join(lab, edges.src == lab.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        lab = lab.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
-                "label"
-            ),
-        )
-        if it % check_every != 0 and it != max_iter:
-            continue
-        lab = lab.localCheckpoint(eager=True)
-        # labels only ever decrease, so an unchanged sum ⇔ a fixpoint
-        cur_sum = lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    try:
+        for it in range(1, max_iter + 1):
+            nbr_min = (
+                edges.join(lab, edges.src == lab.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            lab = lab.join(nbr_min, "node", "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias(
+                    "label"
+                ),
+            )
+            if it % check_every != 0 and it != max_iter:
+                continue
+            lab = lab.localCheckpoint(eager=True)
+            # labels only ever decrease, so an unchanged sum ⇔ a fixpoint
+            cur_sum = lab.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        # every successful loop exit passes through an eager checkpoint
+        # of lab, so the result no longer needs the edge cache; on
+        # failure the finally keeps a partial run from pinning the
+        # persisted edges in the session's block manager.
+        edges.unpersist(blocking=False)
     if not converged:
         import warnings
 
@@ -497,9 +506,6 @@ def dedup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    # every loop exit passes through an eager checkpoint of lab, so
-    # the result no longer needs the edge cache
-    edges.unpersist(blocking=False)
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

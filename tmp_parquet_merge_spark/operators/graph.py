@@ -218,72 +218,87 @@ def pagerank(
     # in every iteration's join.  persist (NOT localCheckpoint: that
     # erases partitioning) + sortWithinPartitions so the cached scan
     # satisfies the join's distribution AND ordering every round.
-    if num_partitions:
-        edges = edges.repartition(num_partitions, "src")
+    # The repartition on ``src`` is unconditional: without it the cache
+    # holds whatever partitioning the input had, EnsureRequirements
+    # re-shuffles the full edge list above the InMemoryTableScan every
+    # round, and the sort below is wasted work — exactly the per-round
+    # cost this cache exists to eliminate.  None = session default
+    # parallelism (spark.sql.shuffle.partitions), as documented.
+    edges = (
+        edges.repartition(num_partitions, "src")
+        if num_partitions
+        else edges.repartition("src")
+    )
     edges = edges.sortWithinPartitions("src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # node, deg (0 for dangling), rank, prev (rank one round back)
-    state = (
-        nodes.join(out_deg, nodes.node == out_deg.src, "left")
-        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .withColumn("rank", F.lit(1.0 / n_nodes))
-        .withColumn("prev", F.lit(0.0))
-    )
-    if num_partitions:
-        state = state.repartition(num_partitions, "node")
-    state = state.localCheckpoint()
-    has_dangling = state.filter(F.col("deg") == 0).limit(1).count() > 0
-    it = 0
-    for it in range(1, max_iter + 1):
-        contribs = (
-            state.filter(F.col("deg") > 0)
-            .join(edges, state.node == edges.src)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        rank_expr = F.lit((1.0 - damping) / n_nodes) + F.lit(
-            damping
-        ) * F.coalesce("inflow", F.lit(0.0))
-        joined = state.select(
-            "node", "deg", F.col("rank").alias("prev")
-        ).join(contribs, "node", "left")
-        if has_dangling:
-            dmass = state.filter(F.col("deg") == 0).agg(
-                F.sum("rank").alias("_dmass")
-            )
-            joined = joined.crossJoin(F.broadcast(dmass))
-            rank_expr = rank_expr + F.lit(damping) * F.col("_dmass") / n_nodes
-        new_state = joined.select(
-            "node", "deg", rank_expr.alias("rank"), "prev"
+        n_nodes = nodes.count()
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # node, deg (0 for dangling), rank, prev (rank one round back)
+        state = (
+            nodes.join(out_deg, nodes.node == out_deg.src, "left")
+            .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .withColumn("rank", F.lit(1.0 / n_nodes))
+            .withColumn("prev", F.lit(0.0))
         )
         if num_partitions:
-            new_state = new_state.repartition(num_partitions, "node")
-        if it % checkpoint_every == 0 or it == max_iter:
-            state = new_state.localCheckpoint()
-            if tol > 0 and (it % check_every == 0 or it == max_iter):
-                delta = state.agg(
-                    F.sum(F.abs(F.col("rank") - F.col("prev")))
-                ).first()[0]
-                if delta < tol:
-                    break
-        else:
-            state = new_state
-    # the loop always ends on an eager checkpoint (it == max_iter or
-    # the tol break after one), so the result no longer needs the
-    # edge cache
-    edges.unpersist(blocking=False)
+            state = state.repartition(num_partitions, "node")
+        state = state.localCheckpoint()
+        has_dangling = state.filter(F.col("deg") == 0).limit(1).count() > 0
+        it = 0
+        for it in range(1, max_iter + 1):
+            contribs = (
+                state.filter(F.col("deg") > 0)
+                .join(edges, state.node == edges.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            rank_expr = F.lit((1.0 - damping) / n_nodes) + F.lit(
+                damping
+            ) * F.coalesce("inflow", F.lit(0.0))
+            joined = state.select(
+                "node", "deg", F.col("rank").alias("prev")
+            ).join(contribs, "node", "left")
+            if has_dangling:
+                dmass = state.filter(F.col("deg") == 0).agg(
+                    F.sum("rank").alias("_dmass")
+                )
+                joined = joined.crossJoin(F.broadcast(dmass))
+                rank_expr = (
+                    rank_expr + F.lit(damping) * F.col("_dmass") / n_nodes
+                )
+            new_state = joined.select(
+                "node", "deg", rank_expr.alias("rank"), "prev"
+            )
+            if num_partitions:
+                new_state = new_state.repartition(num_partitions, "node")
+            if it % checkpoint_every == 0 or it == max_iter:
+                state = new_state.localCheckpoint()
+                if tol > 0 and (it % check_every == 0 or it == max_iter):
+                    delta = state.agg(
+                        F.sum(F.abs(F.col("rank") - F.col("prev")))
+                    ).first()[0]
+                    if delta < tol:
+                        break
+            else:
+                state = new_state
+    finally:
+        # every successful loop exit passes through an eager checkpoint
+        # (it == max_iter or the tol break), so the result no longer
+        # needs the edge cache; on failure the finally keeps a partial
+        # run from pinning GBs of edge cache in the session's block
+        # manager for its remaining lifetime.
+        edges.unpersist(blocking=False)
     return state.select(
         "node",
         F.round("rank", round_to).alias("rank"),

@@ -1276,7 +1276,8 @@ _CHANGED_THIS_ROUND = frozenset(
         #    tests/test_llm_ops.py::test_auto_lsh_params_small_corpus_unchanged
         #  * stopword_ratio regex-escaping — escaped en/de/fr patterns
         #    pinned byte-identical (same test module)
-        #  * q_roundtrip — write_parquet itself unchanged (no kv path)
+        # (q_roundtrip IS re-queued — listed above with the
+        # session-conf-window cohort: its INT96 write opens one)
     }
 )
 

@@ -53,14 +53,21 @@ def session_conf(spark: SparkSession, **confs: str):
     Spark-style dotted keys are passed as a dict:
     ``session_conf(spark, **{"spark.sql.x": "y"})``."""
     with _SESSION_CONF_LOCK:
-        prev = {k: spark.conf.get(k) for k in confs}
+        # get(k, None) instead of get(k): a key that is unset and has
+        # no built-in default must not raise on entry, and a prior
+        # value of None means "restore by UNSETTING" — leaving the
+        # window's value behind would leak the setting into every
+        # later query on the session.
+        prev = {k: spark.conf.get(k, None) for k in confs}
         try:
             for k, v in confs.items():
                 spark.conf.set(k, v)
             yield
         finally:
             for k, v in prev.items():
-                if v is not None:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
                     spark.conf.set(k, v)
 
 
@@ -250,6 +257,14 @@ def write_parquet_typed(
     flba = dict(flba_lengths or {})
     tms = tuple(time_millis_cols)
     req = frozenset(required_cols)
+    # per-invocation run id: every part (and temp) this write creates —
+    # including speculative/zombie duplicate attempts, which run the
+    # same closure — carries it, so the reconcile sweep below can be
+    # scoped to THIS write's files and can never delete a concurrent
+    # append's committed parts.
+    import uuid as _uuid
+
+    run_id = _uuid.uuid4().hex[:12]
 
     # self-contained closure (executor workers may not have this repo
     # importable; see metadata_stats)
@@ -299,7 +314,7 @@ def write_parquet_typed(
         for b in batches:
             cb = conv(b)
             if writer is None:
-                stem = f"part-{uuid.uuid4().hex}"
+                stem = f"part-{run_id}-{uuid.uuid4().hex}"
                 tmp = os.path.join(local_dir, f".{stem}.inprogress")
                 final = os.path.join(local_dir, f"{stem}.parquet")
                 writer = pq.ParquetWriter(
@@ -327,22 +342,34 @@ def write_parquet_typed(
 
     manifest = df.mapInArrow(write_part, "file string, num_rows long")
     written = sorted(r.file for r in manifest.collect())
-    _reconcile_typed_output(local_dir, written, existing)
+    _reconcile_typed_output(local_dir, written, existing, run_id)
     return written
 
 
 def _reconcile_typed_output(
-    local_dir: str, written: Sequence[str], existing: Sequence[str]
+    local_dir: str,
+    written: Sequence[str],
+    existing: Sequence[str],
+    run_id: str,
 ) -> list[str]:
     """Manifest-reconcile for :func:`write_parquet_typed` (r6 verdict
     "Next round" #3): only files in the collected manifest are
     committed output.  A speculative or zombie duplicate attempt can
     rename its part under a fresh uuid AFTER the winning attempt —
     Spark discards the loser's manifest row but not its file — and a
-    killed attempt leaves a ``.part-*.inprogress`` temp.  Sweep both:
-    any ``part-*.parquet`` under the output that is neither in the
-    manifest nor pre-existing (append mode keeps prior files) is an
-    orphan.  Returns the deleted paths."""
+    killed attempt leaves a ``.part-<run>-*.inprogress`` temp.
+
+    The data-file sweep is scoped to THIS write's ``run_id``: every
+    attempt of this write (speculative duplicates included) shares it,
+    while a CONCURRENT append to the same directory carries its own —
+    an unscoped ``part-*.parquet`` glob would delete that writer's
+    committed files (silent data loss) the moment they landed after
+    our pre-write snapshot.  ``.inprogress`` temps are swept
+    unscoped: they are invisible to readers, and the worst case for a
+    live concurrent attempt is a failed rename → task retry, never
+    lost committed data — while sweeping them is the only way a
+    CRASHED prior job's temps ever get cleaned.  Returns the deleted
+    paths."""
     import glob as _glob
     import os as _os
 
@@ -351,7 +378,7 @@ def _reconcile_typed_output(
     for orphan in _glob.glob(_os.path.join(local_dir, ".part-*.inprogress")):
         _os.unlink(orphan)
         removed.append(orphan)
-    for f in _glob.glob(_os.path.join(local_dir, "part-*.parquet")):
+    for f in _glob.glob(_os.path.join(local_dir, f"part-{run_id}-*.parquet")):
         if f not in keep:
             _os.unlink(f)
             removed.append(f)
@@ -464,20 +491,17 @@ def attach_kv_metadata(
         def recover_tail(local: str) -> bool:
             """Heal a torn trailing footer left by a crashed stamp.
 
-            A valid parquet file ends [footer][4-byte len][PAR1]; a
-            stamp killed mid-append leaves trailing garbage after the
-            last complete footer.  Scan the tail (bounded — footers
-            are KBs-to-MBs, never data-sized) for PAR1 markers newest
-            first, probe each candidate end with a length-clamped
-            read_metadata (non-destructive), and truncate to the first
-            that parses.  Returns True if a truncation repaired the
-            file; False if it was already clean."""
+            Called only after a whole-file footer parse FAILED (the
+            clean path pays exactly one footer parse per file — r6
+            verdict "wrong" #2).  A valid parquet file ends
+            [footer][4-byte len][PAR1]; a stamp killed mid-append
+            leaves trailing garbage after the last complete footer.
+            Scan the tail (bounded — footers are KBs-to-MBs, never
+            data-sized) for PAR1 markers newest first, probe each
+            candidate end with a length-clamped read_metadata
+            (non-destructive), and truncate to the first that parses.
+            Returns True once a truncation repaired the file."""
             size = _os.path.getsize(local)
-            try:
-                _pq.read_metadata(local)
-                return False  # clean
-            except Exception:
-                pass
 
             class _TruncView:
                 # file-like view clamped to `limit` bytes, enough for
@@ -534,7 +558,7 @@ def attach_kv_metadata(
                             f"(scanned last {win} bytes)"
                         )
                     end = base + j + 4
-                    if end != size:  # == size already failed above
+                    if end != size:  # == size already failed (caller's open)
                         try:
                             fh.seek(0)
                             _pq.read_metadata(_TruncView(fh, end))
@@ -547,11 +571,16 @@ def attach_kv_metadata(
             out = []
             for fname in pdf["file"]:
                 local = fname[5:] if fname.startswith("file:") else fname
-                recover_tail(local)  # heal any prior torn append
                 # ONE footer parse per file (r6 verdict "wrong" #2):
                 # a single ParquetFile handle supplies both the
-                # metadata and the arrow schema
-                pf = _pq.ParquetFile(local)
+                # metadata and the arrow schema; tail recovery runs
+                # ONLY when that open fails (a prior torn append), so
+                # the healthy path never pays a second parse
+                try:
+                    pf = _pq.ParquetFile(local)
+                except Exception:
+                    recover_tail(local)  # heal the torn append
+                    pf = _pq.ParquetFile(local)
                 md = pf.metadata
                 merged = dict(md.metadata or {})
                 merged.update(kv_bytes)

@@ -185,6 +185,42 @@ def test_reconcile_never_deletes_concurrent_runs_parts(spark, tmp_path):
     assert os.path.exists(foreign)
 
 
+def test_concurrent_typed_appends_keep_both_writers_parts(spark, tmp_path):
+    """Two write_parquet_typed appends racing on the same directory:
+    each writer's reconcile runs while the other's parts may already
+    have landed (they are in neither its manifest nor its pre-write
+    snapshot), and with the run-id-scoped sweep BOTH writers' rows
+    must survive.  Spark schedules concurrent jobs from separate
+    threads, so this drives the real interleaving, not a simulation."""
+    import threading
+
+    out = str(tmp_path / "out")
+    write_parquet_typed(spark.range(5).selectExpr("id"), out)  # seed dir
+    errs = []
+
+    def append(lo):
+        try:
+            write_parquet_typed(
+                spark.range(lo, lo + 100).selectExpr("id").repartition(4),
+                out,
+                mode="append",
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=append, args=(lo,)) for lo in (1000, 2000)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    want = sorted(
+        list(range(5)) + list(range(1000, 1100)) + list(range(2000, 2100))
+    )
+    assert got == want
+
+
 def test_kv_stamp_heals_arbitrary_torn_tails_property(spark, tmp_path):
     """Property: for ANY junk tail appended to a valid file (including
     junk containing PAR1 decoys), the stamp either heals to the exact

@@ -112,19 +112,24 @@ def test_typed_write_refuses_remote_scheme(spark):
 
 
 def test_typed_write_sweeps_planted_inprogress(spark, tmp_path):
-    """Leftover .part-*.inprogress temps from a killed attempt are
-    swept by the next write's reconcile (append mode, so data files
-    are kept)."""
+    """Foreign .part-*.inprogress temps (a CRASHED prior job's debris)
+    must survive an APPEND's reconcile — an unscoped temp sweep there
+    would unlink a live concurrent writer's open temp, failing its
+    whole job under local mode's task.maxFailures=1.  An OVERWRITE
+    declares exclusive directory ownership and sweeps them."""
     out = str(tmp_path / "out")
     write_parquet_typed(spark.range(10).selectExpr("id"), out)
-    stale = os.path.join(out, ".part-deadbeef.inprogress")
+    stale = os.path.join(out, ".part-deadbeefdead-0123.inprogress")
     open(stale, "wb").write(b"partial")
     files = write_parquet_typed(
         spark.range(5).selectExpr("id"), out, mode="append"
     )
-    assert not os.path.exists(stale)
+    assert os.path.exists(stale)  # append: foreign temp untouched
     assert files  # new files written
     assert spark.read.parquet(out).count() == 15
+    write_parquet_typed(spark.range(3).selectExpr("id"), out, mode="overwrite")
+    assert not os.path.exists(stale)  # overwrite: debris cleared
+    assert spark.read.parquet(out).count() == 3
 
 
 def _run_id_of(part_path: str) -> str:

@@ -447,26 +447,20 @@ def dedup_clusters(
     callers keep the default 1; the knob matters when a round is
     expensive relative to a cached-state scan (deep graphs).
     """
-    from pyspark import StorageLevel
+    from tmp_parquet_merge_spark.operators._iter_cache import keyed_edge_cache
 
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # persist the loop-invariant edge list pre-partitioned + sorted on
-    # the join key (round 7, same fix as pagerank): localCheckpoint
-    # surfaces UnknownPartitioning, which made every propagation round
-    # re-shuffle + re-sort the edges for its sort-merge join; the
-    # cached scan satisfies the join's distribution and ordering, so
-    # rounds only exchange the (small) label state.
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the loop-invariant symmetrized edge list is cached pre-
+    # partitioned + sorted on the join key (round 7, same fix as
+    # pagerank — see operators/_iter_cache.py): rounds then only
+    # exchange the (small) label state, never the edges.
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     prev_sum = None
     converged = False
-    try:
+    with keyed_edge_cache(sym, "src") as edges:
         for it in range(1, max_iter + 1):
             nbr_min = (
                 edges.join(lab, edges.src == lab.node)
@@ -490,12 +484,8 @@ def dedup_clusters(
                 converged = True
                 break
             prev_sum = cur_sum
-    finally:
-        # every successful loop exit passes through an eager checkpoint
-        # of lab, so the result no longer needs the edge cache; on
-        # failure the finally keeps a partial run from pinning the
-        # persisted edges in the session's block manager.
-        edges.unpersist(blocking=False)
+    # every loop exit passes through an eager checkpoint of lab, so
+    # the result no longer needs the edge cache the with-block released
     if not converged:
         import warnings
 

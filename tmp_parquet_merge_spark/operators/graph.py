@@ -211,28 +211,16 @@ def pagerank(
     rounded up to a multiple of it.  Ranks are bit-identical for any
     value — it is a physical knob like ``num_partitions``.
     """
-    from pyspark import StorageLevel
+    from tmp_parquet_merge_spark.operators._iter_cache import keyed_edge_cache
 
     # materialize the edge list once — callers often pass a derived
     # graph (e.g. a self-join pair build) that must not be recomputed
-    # in every iteration's join.  persist (NOT localCheckpoint: that
-    # erases partitioning) + sortWithinPartitions so the cached scan
-    # satisfies the join's distribution AND ordering every round.
-    # The repartition on ``src`` is unconditional: without it the cache
-    # holds whatever partitioning the input had, EnsureRequirements
-    # re-shuffles the full edge list above the InMemoryTableScan every
-    # round, and the sort below is wasted work — exactly the per-round
-    # cost this cache exists to eliminate.  None = session default
-    # parallelism (spark.sql.shuffle.partitions), as documented.
-    edges = (
-        edges.repartition(num_partitions, "src")
-        if num_partitions
-        else edges.repartition("src")
-    )
-    edges = edges.sortWithinPartitions("src").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    try:
+    # in every iteration's join.  keyed_edge_cache persists it
+    # pre-partitioned + sorted on the join key (NOT localCheckpoint:
+    # that erases partitioning) so the cached scan satisfies the
+    # join's distribution AND ordering every round, and unpersists on
+    # any exit; see operators/_iter_cache.py for the full rationale.
+    with keyed_edge_cache(edges, "src", num_partitions) as edges:
         nodes = (
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))
@@ -292,13 +280,9 @@ def pagerank(
                         break
             else:
                 state = new_state
-    finally:
-        # every successful loop exit passes through an eager checkpoint
-        # (it == max_iter or the tol break), so the result no longer
-        # needs the edge cache; on failure the finally keeps a partial
-        # run from pinning GBs of edge cache in the session's block
-        # manager for its remaining lifetime.
-        edges.unpersist(blocking=False)
+    # every loop exit passes through an eager checkpoint (it ==
+    # max_iter or the tol break), so the result no longer needs the
+    # edge cache the with-block just released.
     return state.select(
         "node",
         F.round("rank", round_to).alias("rank"),

@@ -48,9 +48,13 @@ _SESSION_CONF_LOCK = threading.RLock()
 def session_conf(spark: SparkSession, **confs: str):
     """Set session confs for the duration of the block and restore the
     prior effective values after, holding the module-wide conf lock so
-    concurrent engine writers/scanners on the same session serialize
-    their windows instead of inheriting each other's settings.
-    Spark-style dotted keys are passed as a dict:
+    concurrent WINDOW OPENERS on the same session serialize instead of
+    inheriting each other's settings.  The lock cannot protect ops
+    that never open a window: a plain write/scan running during
+    another thread's window still sees the session-global setting —
+    conf-sensitive operations (INT96 writes, batch-size-pinned scans)
+    therefore keep single-writer-session semantics, as their
+    docstrings state.  Spark-style dotted keys are passed as a dict:
     ``session_conf(spark, **{"spark.sql.x": "y"})``."""
     with _SESSION_CONF_LOCK:
         # get(k, None) instead of get(k): a key that is unset and has
@@ -147,8 +151,12 @@ def write_parquet(
     spark = df.sparkSession
     if int96_timestamps:
         # session_conf holds the module conf lock for the window and
-        # restores the prior EFFECTIVE value (conf.unset does not
-        # restore the entry default in-session)
+        # restores the prior effective value after (set-back for keys
+        # with one, unset otherwise).  Protection scope: two WINDOW
+        # OPENERS cannot interleave; a plain write/scan on the same
+        # session DURING a window still inherits the session setting —
+        # conf-sensitive ops keep single-writer-session semantics
+        # (documented in session_conf).
         with session_conf(
             spark, **{"spark.sql.parquet.outputTimestampType": "INT96"}
         ):
@@ -342,7 +350,13 @@ def write_parquet_typed(
 
     manifest = df.mapInArrow(write_part, "file string, num_rows long")
     written = sorted(r.file for r in manifest.collect())
-    _reconcile_typed_output(local_dir, written, existing, run_id)
+    _reconcile_typed_output(
+        local_dir,
+        written,
+        existing,
+        run_id,
+        sweep_all_temps=(mode == "overwrite"),
+    )
     return written
 
 
@@ -351,6 +365,8 @@ def _reconcile_typed_output(
     written: Sequence[str],
     existing: Sequence[str],
     run_id: str,
+    *,
+    sweep_all_temps: bool = False,
 ) -> list[str]:
     """Manifest-reconcile for :func:`write_parquet_typed` (r6 verdict
     "Next round" #3): only files in the collected manifest are
@@ -359,23 +375,32 @@ def _reconcile_typed_output(
     Spark discards the loser's manifest row but not its file — and a
     killed attempt leaves a ``.part-<run>-*.inprogress`` temp.
 
-    The data-file sweep is scoped to THIS write's ``run_id``: every
-    attempt of this write (speculative duplicates included) shares it,
-    while a CONCURRENT append to the same directory carries its own —
-    an unscoped ``part-*.parquet`` glob would delete that writer's
+    BOTH sweeps are scoped to THIS write's ``run_id``: every attempt
+    of this write (speculative duplicates included) shares it, while a
+    CONCURRENT append to the same directory carries its own.  An
+    unscoped ``part-*.parquet`` glob would delete that writer's
     committed files (silent data loss) the moment they landed after
-    our pre-write snapshot.  ``.inprogress`` temps are swept
-    unscoped: they are invisible to readers, and the worst case for a
-    live concurrent attempt is a failed rename → task retry, never
-    lost committed data — while sweeping them is the only way a
-    CRASHED prior job's temps ever get cleaned.  Returns the deleted
-    paths."""
+    our pre-write snapshot, and an unscoped ``.inprogress`` glob would
+    unlink its still-OPEN temp — its rename then fails, and under
+    local mode's ``spark.task.maxFailures=1`` that kills the whole
+    concurrent job, not just a task attempt.  ``sweep_all_temps``
+    (set for mode="overwrite", where this write has declared exclusive
+    ownership of the directory) additionally clears foreign
+    ``.part-*.inprogress`` debris left by CRASHED prior jobs; in
+    append mode such debris is dot-prefixed (invisible to readers)
+    and left for the next overwrite or manual cleanup.  Returns the
+    deleted paths."""
     import glob as _glob
     import os as _os
 
     keep = set(written) | set(existing)
     removed = []
-    for orphan in _glob.glob(_os.path.join(local_dir, ".part-*.inprogress")):
+    temp_pat = (
+        ".part-*.inprogress"
+        if sweep_all_temps
+        else f".part-{run_id}-*.inprogress"
+    )
+    for orphan in _glob.glob(_os.path.join(local_dir, temp_pat)):
         _os.unlink(orphan)
         removed.append(orphan)
     for f in _glob.glob(_os.path.join(local_dir, f"part-{run_id}-*.parquet")):
@@ -714,6 +739,14 @@ def merge_files(
     for p in inputs:
         if _has_remote_scheme(p):
             total_bytes += _hadoop_input_bytes(spark, p)
+        elif p.endswith(".parquet") and not any(c in p for c in "*?["):
+            # already a concrete file path (the compact_incremental →
+            # merge_files handoff passes ~backlog-many of these): skip
+            # the per-path isdir+glob — at the 1e6-file design point
+            # that serial driver syscall loop is the same stall class
+            # as the stat loop the executor-side sizing removed.  A
+            # missing file fails loudly in the distributed stat.
+            local_files.append(_strip_scheme(p))
         else:
             local_files.extend(_expand_parquet_paths(spark, p))
     total_bytes += _dataset_bytes(spark, local_files)
@@ -1106,7 +1139,8 @@ def compact_incremental(
     # must not stat-loop on the driver (r6 verdict "wrong" #1)
     sizes = dict(_file_sizes(spark, files))
     small = [f for f, b in sizes.items() if b < small_file_bytes]
-    kept = [f for f in files if f not in set(small)]
+    small_set = set(small)  # hoisted: per-element set() builds are O(n²)
+    kept = [f for f in files if f not in small_set]
     rows = [(f, sizes[f], "kept") for f in kept] + [
         (f, sizes[f], "compacted") for f in small
     ]

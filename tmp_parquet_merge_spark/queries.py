@@ -1270,6 +1270,11 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_dedup_cluster",
         "q_dedup_cluster_lsh",
         "q_dedup_canonical",
+        # _lloyd now persists the loop-invariant point projection once
+        # (was max_iter source re-scans) — its three consumers re-queue
+        "q_kmeans",
+        "q_ann_ivf",
+        "q_dedup_semantic",
         # NOT re-queued (dead-branch / pinned-identical precedent, r6):
         #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
         #    compute <32 bands, params pinned identical in

@@ -171,3 +171,29 @@ def test_cooccurrence_guard_adds_no_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan_guarded.count("Exchange") == plan_open.count("Exchange")
     assert "raise_error" in plan_guarded or "raiseerror" in plan_guarded.lower()
+
+
+def test_keyed_edge_cache_unpersists_on_any_exit(spark):
+    """The shared edge-cache context manager must release its
+    MEMORY_AND_DISK blocks on BOTH exit paths — a crashed iterative
+    loop must not pin a materialized edge list in the session's block
+    manager for its remaining lifetime."""
+    from pyspark import StorageLevel
+
+    from tmp_parquet_merge_spark.operators._iter_cache import (
+        keyed_edge_cache,
+    )
+
+    df = spark.range(1000).selectExpr("id as src", "id + 1 as dst")
+    with keyed_edge_cache(df, "src", 4) as edges:
+        edges.count()  # materialize the cache
+        assert edges.storageLevel == StorageLevel.MEMORY_AND_DISK
+        kept = edges
+    assert kept.storageLevel == StorageLevel.NONE  # clean exit releases
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with keyed_edge_cache(df, "src") as edges:
+            edges.count()
+            assert edges.storageLevel == StorageLevel.MEMORY_AND_DISK
+            raise RuntimeError("boom")
+    assert edges.storageLevel == StorageLevel.NONE  # failure releases too

@@ -278,10 +278,25 @@ def _release_session_state(spark, *, full_gc: bool = False) -> None:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
-    names = [n for n in (sys.argv[2:] or HEADLINE) if n in REGISTRY]
+    requested = sys.argv[2:]
+    unknown = [n for n in requested if n not in REGISTRY]
+    if unknown:
+        # a typo'd probe must not report a plausible 0-query success
+        print(f"# unknown query name(s): {unknown}", file=sys.stderr)
+        raise SystemExit(2)
+    dropped = [n for n in HEADLINE if n not in REGISTRY]
+    if dropped:
+        # a HEADLINE entry losing its registration silently shrinks
+        # full-sweep coverage — say so loudly (but still produce a
+        # metric line: the driver needs a number for the round)
+        print(
+            f"# WARNING: HEADLINE names missing from REGISTRY: {dropped}",
+            file=sys.stderr,
+        )
+    names = [n for n in (requested or HEADLINE) if n in REGISTRY]
     # explicit-subset runs are ad-hoc probes: never let them clobber
     # the full-sweep detail record or the best-known watchlist
-    full_sweep = not sys.argv[2:]
+    full_sweep = not requested
     # local testdata is one small file per table, so the default 128 MB
     # split size gives single-task scans; smaller splits restore the
     # parallelism a real (many-file / large-file) dataset has natively.
@@ -311,13 +326,17 @@ def main() -> None:
     # layout-write "slowdown" was exactly this + box variance, not a
     # write-path regression: r2-era code re-measured side by side is
     # slower than current code on every layout write).
+    import shutil
     import tempfile
 
     warm_dir = tempfile.mkdtemp(prefix="tpms_bench_warm_")
-    spark.range(10_000).selectExpr("id", "id % 7 AS k").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(warm_dir, "warm"))
-    spark.read.parquet(os.path.join(warm_dir, "warm")).count()
+    try:
+        spark.range(10_000).selectExpr("id", "id % 7 AS k").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(warm_dir, "warm"))
+        spark.read.parquet(os.path.join(warm_dir, "warm")).count()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     # Writer/tempdir queries (eager FS writes inside build) run in
     # their own phase AFTER the pure-plan sweep, each from a clean
@@ -328,16 +347,33 @@ def main() -> None:
     plan_names = [n for n in names if n not in LAYOUT_WRITERS]
     writer_names = [n for n in names if n in LAYOUT_WRITERS]
 
+    # One failing query must not abort the sweep: the round would then
+    # record NO benchmark at all (the round-3 'parsed: null' failure
+    # mode, via a different path) and every completed timing would be
+    # lost.  Errors are carried in the detail record and the final
+    # metric line so a failure is loud, not fatal.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, name in enumerate(plan_names):
-        build_s, exec_s = run_query(name, spark, sf_dir)
+        try:
+            build_s, exec_s = run_query(name, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - sweep must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"#!! {name}: ERROR {errors[name]}", file=sys.stderr)
+            _release_session_state(spark, full_gc=True)
+            continue
         timings[name] = round(build_s + exec_s, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # pay accumulated garbage between measurements, not inside one
         _release_session_state(spark, full_gc=(i % 20 == 19))
     for name in writer_names:
         _release_session_state(spark, full_gc=True)
-        build_s, exec_s = run_query(name, spark, sf_dir)
+        try:
+            build_s, exec_s = run_query(name, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - sweep must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"#!! {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[f"{name}__write"] = round(build_s, 3)
         timings[name] = round(exec_s, 3)
         print(
@@ -385,7 +421,13 @@ def main() -> None:
         iso = float("inf")
         for _attempt in range(2):
             _release_session_state(spark, full_gc=True)
-            b, e = run_query(base, spark, sf_dir)
+            try:
+                b, e = run_query(base, spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 - keep the sweep
+                errors[f"{base}__isolated"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                break
             if base in LAYOUT_WRITERS:
                 one = b if name.endswith("__write") else e
             else:
@@ -423,7 +465,12 @@ def main() -> None:
     # driver's 2,000-char stdout tail, so round 3 recorded no benchmark
     # number at all (BENCH_r03 parsed: null).  The FINAL stdout line is
     # a compact, always-parseable metric JSON with no per-query dict.
-    detail = {"queries": timings, "n": len(timings), "regressions": regressions}
+    detail = {
+        "queries": timings,
+        "n": len(timings),
+        "regressions": regressions,
+        "errors": errors,
+    }
     print(json.dumps(detail), file=sys.stderr)
     if full_sweep:
         try:
@@ -462,6 +509,8 @@ def main() -> None:
             n for n, r in regressions.items() if r["verdict"] == "REGRESSION"
         ),
     }
+    if errors:
+        out["errors"] = sorted(errors)
     print(json.dumps(out))
 
 

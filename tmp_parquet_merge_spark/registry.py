@@ -64,6 +64,18 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def register_duckdb_views(con, sf_dir: str) -> None:
+    """Register the same table set as DuckDB views over the parquet
+    files — the one place the oracle-side table list lives, so the
+    parity tools (tools/check_oracle.py, tools/driver_sim.py) cannot
+    drift from :data:`TABLES` when a table is added."""
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+        )
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` usable in Spark, tolerant of the generator's
     timestamp physical type.

@@ -16,18 +16,16 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 from tmp_parquet_merge_spark.queries import REGISTRY  # noqa: E402
+from tmp_parquet_merge_spark.registry import register_duckdb_views  # noqa: E402
 from tmp_parquet_merge_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            v = 0.0  # -0.0 == 0.0 but formats as "-0": a false FAIL
         return f"{v:.10g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -46,13 +44,22 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args.pop(0)
+    elif args and args[0] not in REGISTRY:
+        # neither a directory nor a known query: a typo'd sf_dir would
+        # otherwise surface as a confusing view-bind file-not-found
+        sys.exit(f"usage: check_oracle.py [sf_dir] [query ...] — "
+                 f"{args[0]!r} is neither a directory nor a registered query")
+    unknown = [n for n in args if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown}")
+    names = args or list(REGISTRY)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
-    for tname in TABLES:
-        p = os.path.join(sf_dir, f"{tname}.parquet")
-        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    register_duckdb_views(con, sf_dir)
 
     failures = []
     for name in names:
@@ -68,7 +75,7 @@ def main():
             continue
         if q.oracle is None:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
-            if len(srows) == 0 and name != "q_join_anti":
+            if len(srows) == 0:
                 print(f"  WARN {name}: zero rows")
             continue
         try:

@@ -31,12 +31,8 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from tmp_parquet_merge_spark.queries import REGISTRY  # noqa: E402
+from tmp_parquet_merge_spark.registry import register_duckdb_views  # noqa: E402
 from tmp_parquet_merge_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -58,6 +54,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            v = 0.0  # -0.0 == 0.0 but formats as "-0": a false FAIL
         return f"{v:.6g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -75,18 +73,22 @@ def main() -> None:
     first = 50
     if "--first" in args:
         i = args.index("--first")
-        first = int(args[i + 1])
+        try:
+            first = int(args[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: driver_sim.py [sf_dir] [--first N] [query ...]")
         del args[i : i + 2]
     sf_dir = "/root/testdata/sf0.01"
     if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
+    unknown = [n for n in args if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown}")
     names = args or list(REGISTRY)[:first]
 
     spark = get_spark("driver-sim")
     con = duckdb.connect()
-    for tname in TABLES:
-        p = os.path.join(sf_dir, f"{tname}.parquet")
-        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    register_duckdb_views(con, sf_dir)
 
     failures: list[str] = []
     for name in names:

@@ -7,7 +7,7 @@ bodies) for tmp_parquet_merge_spark/queries.py — each query listed
 under the LATEST round that evidenced it, hash-pass and rows-only kept
 separate, names the registry no longer knows flagged loudly.
 
-Usage: python tools/fold_evidence.py   (run from the repo root)
+Usage: python tools/fold_evidence.py   (cwd-independent)
 
 The output is a starting point for the next round's ledger update; the
 curator still subtracts names whose code changed after their evidence
@@ -18,28 +18,40 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+# anchor everything to the repo root (this file's parent dir): a
+# cwd-relative glob run from anywhere else would silently find ZERO
+# evidence files and print an empty ledger — which, pasted into
+# queries.py, wipes the whole evidence table.
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def main() -> int:
     latest_hash: dict[str, int] = {}
     latest_rows: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", path)
+    paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    if not paths:
+        print(f"# ERROR: no CORRECTNESS_r*.json under {ROOT}", file=sys.stderr)
+        return 2
+    for path in paths:
+        m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
         data = json.load(open(path))
         for name, row in data.items():
+            # track BOTH evidence kinds independently: dropping rows
+            # evidence for an already-hash-green name loses the newer
+            # round if that query's oracle is later removed (the moved
+            # entry then folds in with a stale round number)
             if row.get("hash_match"):
                 latest_hash[name] = max(latest_hash.get(name, 0), rnd)
-                latest_rows.pop(name, None)
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
-                if name not in latest_hash:
-                    latest_rows[name] = max(latest_rows.get(name, 0), rnd)
+                latest_rows[name] = max(latest_rows.get(name, 0), rnd)
 
     from tmp_parquet_merge_spark.queries import REGISTRY
 
@@ -65,10 +77,19 @@ def main() -> int:
     for name in sorted(latest_rows):
         if name in REGISTRY and REGISTRY[name].oracle is not None:
             rnd = latest_rows.pop(name)
+            if name in latest_hash:
+                continue  # hash evidence carries the query; rows noise
             print(
                 f"# NOTE: {name} rows-only evidence (r{rnd}) but now has an"
                 " oracle -> dropped (re-queues at tier 0)"
             )
+    # a name can hold BOTH kinds of evidence (ran rows-only in one
+    # round, hash-matched in another while oracle-backed): the tables
+    # must stay disjoint — the oracle-status fixups above already
+    # routed each name to the table _driver_tier consults
+    overlap = set(latest_hash) & set(latest_rows)
+    for name in overlap:
+        latest_rows.pop(name)
 
     def dump(title: str, latest: dict[str, int]) -> None:
         print(f"{title} = {{")

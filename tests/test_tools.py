@@ -153,3 +153,62 @@ def test_make_scaled_dir_preserves_referential_integrity(
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     }
+
+
+def test_fold_evidence_cwd_independent(tmp_path):
+    """The evidence glob is anchored to the repo root: run from any
+    other cwd it must still find every CORRECTNESS file — a silently
+    empty ledger pasted into queries.py would wipe the evidence
+    table."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/fold_evidence.py"],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0
+    assert "_HASH_GREEN_BY_ROUND" in r.stdout
+    # the folded ledger is populated, not empty
+    assert r.stdout.count('"q_') > 100
+    assert "never driver-evidenced (0)" in r.stdout
+
+
+def test_bench_rejects_unknown_query_names():
+    """A typo'd probe must exit non-zero before any Spark work, not
+    report a plausible 0-query success."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "/tmp", "q_not_a_query"],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 2
+    assert "unknown query name" in r.stderr
+
+
+def test_check_oracle_guards_args():
+    import pytest
+
+    from tools.check_oracle import main as co_main, norm_cell
+
+    import sys as _sys
+
+    argv = _sys.argv
+    try:
+        _sys.argv = ["check_oracle.py", "q_not_a_dir_nor_query"]
+        with pytest.raises(SystemExit):
+            co_main()
+    finally:
+        _sys.argv = argv
+    # -0.0 must normalize identically to 0.0 (sign-of-zero differences
+    # between Spark's and DuckDB's accumulation order are not value
+    # mismatches)
+    assert norm_cell(-0.0) == norm_cell(0.0) == "0"
+    assert norm_cell([-0.0, 1.5]) == norm_cell([0.0, 1.5])

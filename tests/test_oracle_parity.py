@@ -2,13 +2,12 @@
 hash-compared against DuckDB at sf0.001, mirroring the driver's t2
 check (row count + column names + order-insensitive values)."""
 
-import os
-
 import duckdb
 import pytest
 
-from tools.check_oracle import TABLES, norm_rows
+from tools.check_oracle import norm_rows
 from tmp_parquet_merge_spark.queries import REGISTRY
+from tmp_parquet_merge_spark.registry import register_duckdb_views
 
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
@@ -17,9 +16,7 @@ ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    for tname in TABLES:
-        p = os.path.join(sf_dir, f"{tname}.parquet")
-        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    register_duckdb_views(con, sf_dir)
     return con
 
 

@@ -101,15 +101,21 @@ def test_stateful_user_profiles_stream(spark, sf_dir):
     expect = (
         events_table(spark, sf_dir)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # the stateful operator accumulates decimal(18,6)
+            # micro-units (order-independent), so the comparison
+            # against the same decimal sum is EXACT — no rtol
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .toPandas()
         .set_index("user_id")
         .sort_index()
     )
     assert (got["n_events"] == expect["n_events"]).all()
-    pd.testing.assert_series_equal(
-        got["sum_value"], expect["sum_value"], rtol=1e-9
-    )
+    pd.testing.assert_series_equal(got["sum_value"], expect["sum_value"])
 
 
 def test_stateful_batch_twin_final_state(spark, sf_dir):

@@ -314,3 +314,108 @@ def test_dedup_stream_with_rocksdb_state_store(spark, sf_dir):
         assert out.count() == batch.count()
     finally:
         spark.conf.set(key, orig)
+
+
+def test_session_window_merges_exact_gap_tie(spark):
+    """Two events exactly gap-duration apart form ONE Spark session
+    (session_window coalesces touching windows — verified against
+    Spark 4.1.2), so the gaps-and-islands oracle must split only on
+    STRICTLY-greater gaps.  An `>=` oracle diverges on this input."""
+    import datetime
+
+    rows = [
+        (1, 10, datetime.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (2, 10, datetime.datetime(2024, 1, 1, 0, 30, 0), 2.0),
+        # and one event strictly past the gap: a genuine new session
+        (3, 10, datetime.datetime(2024, 1, 1, 1, 0, 0, 1), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = sessionized(df, gap="30 minutes").orderBy("session_start").collect()
+    assert [r.n_events for r in out] == [2, 1]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        "(10, TIMESTAMP '2024-01-01 00:00:00', 1.0), "
+        "(10, TIMESTAMP '2024-01-01 00:30:00', 2.0), "
+        "(10, TIMESTAMP '2024-01-01 01:00:00.000001', 4.0)"
+        ") t(user_id, ts, value)"
+    )
+    n = con.execute(
+        """
+        WITH m AS (SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER win IS NULL
+                      OR ts - LAG(ts) OVER win > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts, SUM(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT COUNT(*) FROM (SELECT user_id, sid FROM s GROUP BY 1, 2)
+        """
+    ).fetchone()[0]
+    assert n == 2  # strict-gap oracle agrees with Spark
+
+
+def test_upsert_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME batch id
+    (driver death between swap and checkpoint write) must not
+    double-count n_events — the _batch_id cursor committed inside the
+    swapped directory dedupes the replay."""
+    import datetime
+
+    from tmp_parquet_merge_spark.streaming.sinks import _merge_batch
+
+    target = str(tmp_path / "t")
+    ts = datetime.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [(1, 10, "view", 1.0, ts)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    _merge_batch(spark, b0, target, 0)
+    _merge_batch(spark, b0, target, 0)  # replay of batch 0
+    cur = spark.read.parquet(str(tmp_path / "t" / "current"))
+    assert cur.collect()[0].n_events == 1  # not 2
+    # a NEW batch id still merges
+    b1 = spark.createDataFrame(
+        [(2, 10, "click", 2.0, ts + datetime.timedelta(minutes=1))],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    _merge_batch(spark, b1, target, 1)
+    row = spark.read.parquet(str(tmp_path / "t" / "current")).collect()[0]
+    assert row.n_events == 2 and row.last_event_id == 2
+
+
+def test_upsert_sink_keeps_null_user_across_merges(spark, tmp_path):
+    """events.user_id is nullable: the NULL-user profile written by
+    batch 0 must survive batch 1's merge (a plain equality join on
+    user_id silently drops the NULL group — the sink joins
+    null-safely, like operators/relational.py::upsert)."""
+    import datetime
+
+    from tmp_parquet_merge_spark.streaming.sinks import _merge_batch
+
+    target = str(tmp_path / "t")
+    ts = datetime.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [(1, None, "view", 1.0, ts), (2, 20, "view", 1.0, ts)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    _merge_batch(spark, b0, target, 0)
+    b1 = spark.createDataFrame(
+        [(3, 20, "click", 2.0, ts + datetime.timedelta(minutes=1))],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    _merge_batch(spark, b1, target, 1)
+    cur = spark.read.parquet(str(tmp_path / "t" / "current"))
+    by_user = {r.user_id: r for r in cur.collect()}
+    assert None in by_user and by_user[None].n_events == 1
+    assert by_user[20].n_events == 2

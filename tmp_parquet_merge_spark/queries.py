@@ -1275,6 +1275,13 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_kmeans",
         "q_ann_ivf",
         "q_dedup_semantic",
+        # streaming review: session oracle tie fixed (> not >=, matching
+        # session_window's touching-windows merge), upsert sink gained
+        # batch-id replay dedup + null-safe count join, stateful sum
+        # now decimal-exact — the three associated queries re-queue
+        "q_window_session",
+        "q_stream_upsert",
+        "q_stateful_profile",
         # NOT re-queued (dead-branch / pinned-identical precedent, r6):
         #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
         #    compute <32 bands, params pinned identical in

@@ -65,7 +65,7 @@ def q_stream_dedup(spark, sf_dir):
         m AS (
             SELECT user_id, ts, value,
                    CASE WHEN LAG(ts) OVER win IS NULL
-                             OR ts - LAG(ts) OVER win >= INTERVAL 30 MINUTE
+                             OR ts - LAG(ts) OVER win > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_s
             FROM e
             WINDOW win AS (PARTITION BY user_id ORDER BY ts)
@@ -86,9 +86,12 @@ def q_stream_dedup(spark, sf_dir):
 )
 def q_window_session(spark, sf_dir):
     """Session windows (30-minute gap) per user — Spark's native
-    session_window; oracle is the equivalent gaps-and-islands SQL
-    (new session when the gap from the previous event is ≥ 30 min;
-    session end = last event + gap, matching Spark's semantics)."""
+    session_window; oracle is the equivalent gaps-and-islands SQL.
+    A new session starts only when the gap from the previous event is
+    STRICTLY greater than 30 min: session_window merges an event
+    landing exactly at prev + gap (touching windows coalesce —
+    verified against Spark 4.1.2; an ``>=`` oracle splits there and
+    diverges on exact-gap ties).  Session end = last event + gap."""
     return sessionized(t(spark, sf_dir, "events"), gap="30 minutes")
 
 

@@ -3,11 +3,20 @@
 The missing piece of the streaming matrix after windows/stateful/
 dedup/joins — writing a continuously-updated TABLE (not an append
 log): each micro-batch is reduced to one row per key
-(last-writer-wins) and MERGEd into the target.  Spark has no built-in
-parquet MERGE sink, so the idiomatic shape is ``foreachBatch`` +
-the batch upsert operator (operators/relational.py::upsert) + an
-atomic directory swap — exactly what Delta/Iceberg do with a metadata
-commit instead of the swap.
+(last-writer-wins) and merged into the target.  Spark has no built-in
+parquet MERGE sink, so the idiomatic shape is ``foreachBatch`` + a
+union-reduce merge (existing profiles re-enter :func:`latest_per_user`
+as synthetic events next to the batch's, so cross-batch ties resolve
+identically to one batch pass; counts sum null-safely alongside) + an
+atomic directory swap — what Delta/Iceberg do with a metadata commit
+instead of the swap.
+
+``foreachBatch`` is at-least-once: a replayed micro-batch (driver
+death between the swap commit and the checkpoint write) would
+double-count ``n_events``, so the last merged batch id is committed
+INSIDE the swapped directory (``_batch_id`` sidecar, underscore-
+prefixed so parquet readers ignore it) and replays are skipped —
+data + dedup cursor commit in the same os.replace.
 
 Scale notes (100 TB): per batch the sink shuffles the micro-batch
 (small) once for its in-batch last-writer-wins reduce, then performs
@@ -67,9 +76,16 @@ def latest_per_user(events: DataFrame) -> DataFrame:
     )
 
 
-def _merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None:
-    reduced = latest_per_user(batch)
+def _merge_batch(
+    spark: SparkSession, batch: DataFrame, target_dir: str, batch_id: int
+) -> None:
     cur = os.path.join(target_dir, "current")
+    bid_path = os.path.join(cur, "_batch_id")
+    if os.path.exists(bid_path):
+        with open(bid_path) as f:
+            if batch_id <= int(f.read().strip() or -1):
+                return  # at-least-once replay: this batch is already in
+    reduced = latest_per_user(batch)
     if os.path.exists(cur):
         existing = spark.read.parquet(cur)
         # merge on (ts, event_id) with the REAL stored event_id on
@@ -98,14 +114,28 @@ def _merge_batch(spark: SparkSession, batch: DataFrame, target_dir: str) -> None
             .unionByName(reduced.select("user_id", "n_events"))
             .groupBy("user_id")
             .agg(F.sum("n_events").cast("long").alias("n_events"))
+            .withColumnRenamed("user_id", "__cnt_uid")
         )
-        merged = merged.join(counts, "user_id")
+        # null-safe: events.user_id is nullable and both sides carry
+        # the NULL group (window/groupBy keep it) — a plain equality
+        # join would silently DROP the NULL-user profile on every
+        # merge after the first batch (stream ≠ batch, rows lost).
+        # The batch upsert operator (operators/relational.py::upsert)
+        # uses eqNullSafe for the same reason.
+        merged = merged.join(
+            counts, merged.user_id.eqNullSafe(counts.__cnt_uid)
+        ).drop("__cnt_uid")
     else:
         merged = reduced.withColumn(
             "n_events", F.col("n_events").cast("long")
         )
     nxt = os.path.join(target_dir, "next")
     merged.select(*PROFILE_COLS).write.mode("overwrite").parquet(nxt)
+    # the dedup cursor commits WITH the data: both become visible in
+    # the same os.replace, so a crash on either side of the swap
+    # leaves cursor and table consistent
+    with open(os.path.join(nxt, "_batch_id"), "w") as f:
+        f.write(str(batch_id))
     # atomic-enough swap (a table format would commit metadata here)
     if os.path.exists(cur):
         shutil.rmtree(cur)
@@ -121,7 +151,7 @@ def run_upsert_sink(
 
     q = (
         events_stream.writeStream.foreachBatch(
-            lambda batch, _id: _merge_batch(spark, batch, target_dir)
+            lambda batch, bid: _merge_batch(spark, batch, target_dir, bid)
         )
         .option(
             "checkpointLocation", os.path.join(target_dir, "_chk")

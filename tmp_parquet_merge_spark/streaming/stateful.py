@@ -21,7 +21,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
-STATE_SCHEMA = "n long, s double, last long"
+STATE_SCHEMA = "n long, s long, last long"
+
+
+def _micros(values) -> int:
+    """Exact sum of ``values`` in decimal(18,6) micro-units.
+
+    The batch twin sums ``CAST(value AS DECIMAL(18,6))`` (the repo's
+    deterministic-sum convention), which is order-independent integer
+    arithmetic.  A plain float accumulator here depends on batch
+    boundaries and addition order, so the streaming final state would
+    only APPROXIMATELY equal the batch replay.  Mirroring Spark's
+    double→decimal cast (BigDecimal.valueOf = shortest decimal repr,
+    then HALF_UP to 6 dp) per value and summing ints makes the
+    equality exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    return sum(
+        int(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP).scaleb(6))
+        for v in values
+        if not pd.isna(v)
+    )
 
 
 def _make_update(timeout_ms: int | None):
@@ -34,11 +55,14 @@ def _make_update(timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        # last=None, not 0: a 0 sentinel would report 1970-01-01 for
+        # users whose events are all pre-epoch (negative epoch-ns)
+        n, s, last = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-            last = max(last, int(pdf["ts"].astype("int64").max()))
+            s += _micros(pdf["value"])
+            m = int(pdf["ts"].astype("int64").max())
+            last = m if last is None else max(last, m)
         state.update((n, s, last))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
@@ -46,7 +70,7 @@ def _make_update(timeout_ms: int | None):
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "sum_value": [s],
+                "sum_value": [s / 1_000_000],
                 "last_ts": [pd.Timestamp(last)],
             }
         )
@@ -89,8 +113,11 @@ def user_profiles_batch(events: DataFrame) -> DataFrame:
     running count, running sum, running last-seen — via window
     functions over (ts, event_id) order.  The per-user LAST row equals
     the stateful operator's final emitted state on the same finite
-    input (asserted in tests/test_salting_stateful.py), which gives the
-    arbitrary-state path a DuckDB-oracle-checkable twin.
+    input EXACTLY — both sides accumulate value in decimal(18,6)
+    units, so the equality is order- and batch-boundary-independent
+    (asserted without tolerance in tests/test_salting_stateful.py) —
+    which gives the arbitrary-state path a DuckDB-oracle-checkable
+    twin.
 
     One shuffle on user_id, one sorted pass per partition — the same
     partitioning the state store uses, so the plan scales exactly like

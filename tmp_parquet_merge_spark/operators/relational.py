@@ -38,14 +38,22 @@ def asof_join(
 
     Implementation: tag both sides, union, then a single window
     ``partitionBy(key).orderBy(time, side)`` carrying the right side's
-    values forward with ``last(..., ignorenulls=True)``.  Cost: one
-    shuffle of |L|+|R| rows on the key — scale-safe for 100 TB because
-    nothing is ever multiplied out per key.  Ties (equal timestamps)
-    order the right row first, so a right row at exactly left_time
-    matches in both directions, like DuckDB/pandas ASOF semantics.
-    Forward is the same plan with the time (and tie) sort descending —
-    "earliest at-or-after" is "latest at-or-before" under a reversed
-    clock.
+    row forward as ONE STRUCT with ``last(..., ignorenulls=True)``.
+    The struct is what makes the carry all-or-nothing: a per-column
+    carry would TEAR a matched right row that contains real NULL
+    values (each column independently falling back to an older right
+    row), while the struct is non-NULL for every right row — even one
+    whose values are all NULL — and NULL only for left padding rows.
+    Cost: one shuffle of |L|+|R| rows on the key — scale-safe for
+    100 TB because nothing is ever multiplied out per key.  Ties
+    (equal timestamps) order the right row first, so a right row at
+    exactly left_time matches in both directions, like DuckDB/pandas
+    ASOF semantics.  Forward is the same plan with the time (and tie)
+    sort descending — "earliest at-or-after" is "latest at-or-before"
+    under a reversed clock.  Equality-join ASOF semantics hold at the
+    edges: a NULL join key or NULL left time matches nothing (SQL
+    ``right_time <= left_time ON key = key`` is never true there), so
+    those left rows come back with NULL right values.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -65,6 +73,12 @@ def asof_join(
     lpad = l.select(*ordered, *[c for c in lcols if c not in ordered])
     rpad = r.select(*ordered, *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in lcols if c not in ordered])
     u = lpad.unionByName(rpad)
+    # right rows carry their values as one struct (NULL on left rows:
+    # the when() has no otherwise, so padding rows contribute nothing
+    # to the ignorenulls carry)
+    u = u.withColumn(
+        "__rv", F.when(F.col("__side") == 0, F.struct(*right_values))
+    )
 
     t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
@@ -72,14 +86,25 @@ def asof_join(
         .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL key / NULL left time: equality-join ASOF never matches
+    # there (and the forward sort would otherwise scan NULL-time left
+    # rows AFTER every right row, silently matching the earliest one)
+    valid = F.col("__t").isNotNull()
+    for kc in keys:
+        valid = valid & F.col(kc).isNotNull()
     filled = u.select(
         *keys,
         "__t",
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values],
+        F.when(valid, F.last("__rv", ignorenulls=True).over(w)).alias("__m"),
         *[c for c in lcols if c not in ordered],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side", "__t")
+    out = filled.filter(F.col("__side") == 1).select(
+        *keys,
+        *[F.col(f"__m.{c}").alias(c) for c in right_values],
+        *[c for c in lcols if c not in ordered],
+    )
+    return out
 
 
 def range_join(
@@ -150,11 +175,17 @@ def salted_join(
     rejected: the replicated right side would emit every unmatched
     right key ``salt`` times.
 
-    The salt is a deterministic hash of the whole left row
-    (``xxhash64(*columns)``), NOT ``F.rand`` — rand is partition-order
-    dependent, so a task retry could re-salt rows differently mid-job
-    and lose/duplicate matches.  A row hash spreads a hot key across
-    all ``salt`` reducers just as uniformly and is retry-stable.
+    The salt is ``monotonically_increasing_id() % salt`` — a
+    round-robin over each partition's row positions — NOT a hash of
+    the row: a row hash collapses byte-identical rows of a hot key
+    (the exact pathological case salting exists for — a null-heavy FK
+    with constant payload) onto ONE salt value, i.e. one reducer, and
+    ``xxhash64`` additionally rejects MapType columns.  The id
+    expression is nondeterministic to Catalyst, which is safe here
+    twice over: the join RESULT is invariant to which salt a left row
+    draws (the right side carries every salt value), and Spark rolls
+    back all consumers of an indeterminate stage on shuffle-fetch
+    failure instead of mixing attempts.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
@@ -163,7 +194,8 @@ def salted_join(
             "right rows under right/full outer semantics"
         )
     l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -195,6 +227,8 @@ def funnel(
     progressively cheaper; no window over the full event stream is
     ever needed.
     """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
     cur = None
     counts = []
     for i, stage in enumerate(stages):
@@ -220,7 +254,13 @@ def funnel(
     return out
 
 
-def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    on_duplicate: str = "error",
+) -> DataFrame:
     """MERGE / CDC-apply without a table format: rows from ``updates``
     replace same-key rows in ``target``; unmatched update rows insert.
 
@@ -232,7 +272,17 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     the key; at lake scale the same plan runs per partition after
     partition pruning on the key range, which is how a table-format
     MERGE schedules it too.
+
+    ``updates`` must be key-unique: two update rows for one key would
+    FAN OUT the output (two rows for that key — the table grows on
+    every apply).  Like a table-format MERGE ("multiple source rows
+    matched"), ``on_duplicate="error"`` (default) fails loudly via an
+    unprunable branch in the winner pick; pre-reduce a multi-change
+    CDC feed to last-per-key (e.g. cdc_latest) first, or pass
+    ``on_duplicate="allow"`` to keep the raw join semantics.
     """
+    if on_duplicate not in ("error", "allow"):
+        raise ValueError(f"on_duplicate must be error|allow: {on_duplicate}")
     # string-qualified references survive self-joins (updates often
     # derive from the target, which trips Spark's ambiguity check on
     # DataFrame-object column references)
@@ -240,7 +290,15 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     # non-null marker: the join is eqNullSafe (NULL keys match NULL
     # keys), so "matched" must not be derived from key nullness — an
     # update row whose key IS NULL still matches and must win
-    u = updates.withColumn("__upd", F.lit(True)).alias("__u")
+    u = updates.withColumn("__upd", F.lit(True))
+    if on_duplicate == "error":
+        # per-key update count rides the updates side (one shuffle of
+        # the SMALL side on the same keys the join needs anyway)
+        u = u.withColumn(
+            "__nk",
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)),
+        )
+    u = u.alias("__u")
 
     def tc(name):
         return F.col(f"__t.{name}")
@@ -253,6 +311,20 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
         c = tc(k).eqNullSafe(uc(k))
         cond = c if cond is None else cond & c
     matched = uc("__upd").isNotNull()
+    if on_duplicate == "error":
+        # fused into the first output column so no optimizer rule can
+        # prune it (the cooccurrence-guard pattern): any key with >1
+        # update rows fails the job instead of silently fanning out
+        matched = F.when(
+            F.coalesce(uc("__nk"), F.lit(1)) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("upsert: multiple update rows matched key "),
+                    F.concat_ws(",", *[uc(k).cast("string") for k in keys]),
+                    F.lit(" (pre-reduce the feed or on_duplicate='allow')"),
+                )
+            ).cast("boolean"),
+        ).otherwise(matched)
     out_cols = []
     for name in target.columns:
         if name in keys:
@@ -304,8 +376,10 @@ def key_skew_profile(df, key_col: str, label: str, top_n: int = 10):
             F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
                 "top1_share"
             ),
+            # named after the ACTUAL top_n so a caller passing
+            # top_n=5 does not read a top-5 share labeled top10_share
             F.round(F.col("top_sum").cast("double") / F.col("n_rows"), 6).alias(
-                "top10_share"
+                f"top{top_n}_share"
             ),
             F.round(
                 F.col("max_cnt").cast("double")

@@ -258,7 +258,9 @@ def q_merge_incremental(spark, sf_dir):
     # than the right-sized files at every bundled sf, so the geometric
     # mean of the extreme file sizes splits the two populations
     sizes = [
-        os.path.getsize(f.removeprefix("file:"))
+        # _expand_parquet_paths returns plain local paths (scheme
+        # already stripped)
+        os.path.getsize(f)
         for f in parquet_io._expand_parquet_paths(spark, mixed)
     ]
     thr = int((min(sizes) * max(sizes)) ** 0.5)
@@ -358,10 +360,8 @@ def q_column_stats(spark, sf_dir):
     DebugPrint (:63-72) and the inputs to row-group skipping.
     Distributed footer reads via mapInPandas.  Rows-only (footer
     internals aren't SQL-visible)."""
-    import os as _os
-
     return parquet_io.column_stats(
-        spark, _os.path.join(sf_dir, "lineitem.parquet")
+        spark, os.path.join(sf_dir, "lineitem.parquet")
     )
 
 
@@ -1282,6 +1282,20 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_window_session",
         "q_stream_upsert",
         "q_stateful_profile",
+        # relational review: asof_join carries the matched right row as
+        # ONE struct (per-column carry tore rows with real NULL values;
+        # NULL keys / NULL left times now match nothing, = SQL ASOF),
+        # salted_join's salt is row-position-based (a row hash collapsed
+        # byte-identical hot rows onto one reducer), upsert enforces
+        # key-unique updates (silent fan-out before) — their queries
+        # re-queue.  NOT re-queued (pinned-identical precedent):
+        # q_skew_diagnose (top_n=10 alias unchanged), q_funnel
+        # (empty-stages guard is a dead branch on driver data).
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_salted_join",
+        "q_upsert",
         # NOT re-queued (dead-branch / pinned-identical precedent, r6):
         #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
         #    compute <32 bands, params pinned identical in
@@ -1319,8 +1333,13 @@ _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(
     n
+    # hash table before rows table WITHIN each round: when the change
+    # set displaces part of a round's cohort past slot 50, the
+    # displaced tail should be the weaker-evidence rows-only entries,
+    # not hash-comparable ones (mirrors the tier-2-before-tier-3
+    # policy of the default sort)
     for r in (1, 2, 3)
-    for table in (_ROWS_SEEN_BY_ROUND, _HASH_GREEN_BY_ROUND)
+    for table in (_HASH_GREEN_BY_ROUND, _ROWS_SEEN_BY_ROUND)
     for n in table.get(r, ())
     if n not in _CHANGED_THIS_ROUND
 )

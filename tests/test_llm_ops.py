@@ -839,3 +839,94 @@ def test_semantic_dedup_decision_matches_numpy(spark):
     assert all(
         r.keep == 1 for r in rows if r.vec_id == rep[cluster_of[r.vec_id]]
     )
+
+
+def test_minhash_rejects_non_dividing_bands(spark):
+    """bands must divide num_perm: a silent floor-division drops
+    signature lanes, and bands > num_perm makes every band key the
+    hash of an EMPTY slice — all docs collide and the candidate set
+    is the full O(n^2) cross product."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_dedup_pairs(df, "text", "doc_id", num_perm=64, bands=10)
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_dedup_pairs(df, "text", "doc_id", num_perm=64, bands=100)
+
+
+def test_dedup_clusters_string_ids_converge(spark):
+    """String doc ids must propagate to a true fixpoint: the numeric
+    convergence probe (sum of cast(label as decimal)) yields NULL for
+    strings and NULL == NULL would declare convergence after ONE round,
+    leaving a chain half-labeled."""
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4")],
+        "doc_a: string, doc_b: string",
+    )
+    nodes = spark.createDataFrame(
+        [("d1",), ("d2",), ("d3",), ("d4",), ("z9",)], "doc_id: string"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1", "z9": "z9"}
+
+
+def test_editdist_empty_norm_pair_sim_is_one(spark):
+    """Two whitespace-only docs normalize to '' on both sides: the
+    pair is trivially identical and must report sim = 1.0, not the
+    NaN/NULL a division by max-length 0 produces."""
+    # both all-space: trim runs BEFORE the collapse (same order as the
+    # DuckDB oracle), so space-only docs normalize to '' while
+    # tab/newline-only docs normalize to a single interior ' '
+    df = spark.createDataFrame(
+        [(1, "   "), (2, " ")], "doc_id: long, text: string"
+    )
+    rows = dedup.editdist_pairs(df, "text", "doc_id").collect()
+    assert len(rows) == 1 and rows[0].sim == 1.0 and rows[0].lev == 0
+    # candidate-fed path too
+    cand = spark.createDataFrame([(1, 2)], "doc_a: long, doc_b: long")
+    rows = dedup.editdist_pairs(df, "text", "doc_id", candidates=cand).collect()
+    assert len(rows) == 1 and rows[0].sim == 1.0
+
+
+def test_normalize_text_vertical_tab_matches_duckdb(spark):
+    """Java's \\s matches \\x0B but RE2/DuckDB's does not; the
+    explicit whitespace class pins the RE2 meaning on the Spark side
+    so content hashes agree across engines for \\x0B documents."""
+    import duckdb
+
+    df = spark.createDataFrame([("a\x0bb",), ("a  b",)], "text: string")
+    got = [
+        r.n for r in df.select(dedup.normalize_text("text").alias("n")).collect()
+    ]
+    duck = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') "
+            "FROM (VALUES ('a\x0bb'), ('a  b')) v(t)"
+        )
+        .fetchall()
+    ]
+    assert got == duck  # ['a\x0bb', 'a b'] — \x0B is NOT whitespace
+    # and the bundled driver corpus contains no \x0B, so digests from
+    # earlier rounds are unchanged by the regex spelling change
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert docs.filter(F.col("text").contains("\x0b")).count() == 0
+
+
+def test_avg_word_len_closed_form_matches_hof(spark):
+    """length(norm) - (n_words - 1) == sum(len(word)) for every doc
+    (norm is exactly the words joined by single spaces), including
+    the empty doc where split gives ['']."""
+    df = spark.createDataFrame(
+        [(1, "alpha bé gamma"), (2, ""), (3, "  x  "), (4, "one")],
+        "id: long, text: string",
+    )
+    ws = dedup.words("text")
+    hof = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    closed = F.length(dedup.normalize_text("text")) - (F.size(ws) - F.lit(1))
+    assert df.filter(hof != closed).count() == 0
+    stats = {r.id: r.avg_word_len for r in text.text_stats(df, "text", "id").collect()}
+    assert stats[4] == 3.0 and stats[2] == 0.0

@@ -31,9 +31,16 @@ from pyspark.sql import functions as F
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, trim, collapse runs of
     whitespace.  Keep in sync with the DuckDB oracle spelling
-    ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``."""
+    ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``.
+
+    The whitespace class is spelled out as ``[ \\t\\n\\f\\r]`` rather
+    than ``\\s``: Java's ``\\s`` additionally matches vertical tab
+    (\\x0B) while DuckDB/RE2's does not, so a document containing
+    \\x0B would normalize — and therefore content-hash — differently
+    on the two engines.  The explicit class is the RE2 meaning on
+    both sides."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\f\r]+", " ")
 
 
 def words(col: Column | str) -> Column:
@@ -91,9 +98,7 @@ def shingle_rows(
     return sh.select("doc", "s").distinct()
 
 
-def exact_dedup(
-    df: DataFrame, text_col: str, id_col: str, *, keep_text: bool = False
-) -> DataFrame:
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate grouping over normalized text.
 
     Returns one row per distinct content with the minimum id as the
@@ -169,6 +174,16 @@ def editdist_pairs(
         normalize_text(text_col).alias("norm"),
         F.array_join(F.slice(words(text_col), 1, prefix_words), " ").alias("pfx"),
     )
+    def _sim(lev: Column, mx: Column) -> Column:
+        # both norms empty ⇒ mx = 0: the pair is trivially identical
+        # (sim 1.0) — dividing by mx would emit NaN for it
+        return F.round(
+            F.when(mx == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0) - lev.cast("double") / mx
+            ),
+            6,
+        )
+
     if candidates is not None:
         na = d.select(F.col("id").alias("doc_a"), F.col("norm").alias("_na"))
         nb = d.select(F.col("id").alias("doc_b"), F.col("norm").alias("_nb"))
@@ -184,9 +199,7 @@ def editdist_pairs(
                 "doc_a",
                 "doc_b",
                 lev.alias("lev"),
-                F.round(
-                    F.lit(1.0) - lev.cast("double") / mx, 6
-                ).alias("sim"),
+                _sim(lev, mx).alias("sim"),
             )
         )
     a, b = d.alias("a"), d.alias("b")
@@ -199,7 +212,7 @@ def editdist_pairs(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             lev.alias("lev"),
-            F.round(F.lit(1.0) - lev.cast("double") / mx, 6).alias("sim"),
+            _sim(lev, mx).alias("sim"),
         )
     )
 
@@ -355,6 +368,15 @@ def minhash_dedup_pairs(
     plate) are the skew risk — AQE skew-join splits them, and the
     verify join is on doc ids, which are uniform.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # a silent floor-division would drop signature lanes (shifting
+        # the S-curve threshold), and bands > num_perm makes rows = 0:
+        # every band key hashes an EMPTY slice, all documents collide,
+        # and the "candidate" set is the full O(n²) cross product
+        raise ValueError(
+            f"bands must evenly divide num_perm: num_perm={num_perm}, "
+            f"bands={bands}"
+        )
     rows = num_perm // bands
     # the shingle pipeline (explode → window → distinct) feeds BOTH the
     # signature stage and the verify stage; Catalyst does not fuse the
@@ -458,7 +480,21 @@ def dedup_clusters(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     lab = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    # numeric ids get the cheap convergence probe: labels only ever
+    # decrease, so an unchanged SUM ⇔ a fixpoint (one scalar agg per
+    # check).  Non-numeric ids (string doc ids) must NOT go through
+    # cast(decimal): under default (non-ANSI) conf the cast yields
+    # NULL, the sum is NULL every round, and NULL == NULL would
+    # declare convergence after ONE round with unpropagated labels.
+    # They use an exact changed-row probe against the previous
+    # checkpointed labels instead (one extra node-keyed join per
+    # check round — still scalar-only driver traffic).
+    id_type = dict(nodes.dtypes).get(id_col, "")
+    numeric_ids = id_type in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or id_type.startswith("decimal")
     prev_sum = None
+    prev_lab = None
     converged = False
     with keyed_edge_cache(sym, "src") as edges:
         for it in range(1, max_iter + 1):
@@ -476,14 +512,28 @@ def dedup_clusters(
             if it % check_every != 0 and it != max_iter:
                 continue
             lab = lab.localCheckpoint(eager=True)
-            # labels only ever decrease, so an unchanged sum ⇔ a fixpoint
-            cur_sum = lab.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).first()[0]
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
+            if numeric_ids:
+                cur_sum = lab.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)"))
+                ).first()[0]
+                if cur_sum == prev_sum:
+                    converged = True
+                    break
+                prev_sum = cur_sum
+            else:
+                if prev_lab is not None:
+                    changed = (
+                        lab.join(prev_lab, "node")
+                        .filter(F.col("label") != F.col("prev_label"))
+                        .limit(1)
+                        .count()
+                    )
+                    if changed == 0:
+                        converged = True
+                        break
+                prev_lab = lab.select(
+                    "node", F.col("label").alias("prev_label")
+                )
     # every loop exit passes through an eager checkpoint of lab, so
     # the result no longer needs the edge cache the with-block released
     if not converged:

@@ -66,20 +66,28 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     norm = normalize_text(text_col)
     ws = words(text_col)
     n_words = F.size(ws)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     return df.select(
         F.col(id_col),
         F.length(norm).alias("n_chars"),
         n_words.alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        # sum(len(word)) == length(norm) - (n_words - 1): norm IS the
+        # words joined by single spaces (and split("", " ") == [""] so
+        # the identity holds for empty docs too) — closed-form beats
+        # the interpreted F.aggregate lambda the module docstring
+        # warns about (20-50x per element on the scan hot path)
         F.round(
-            F.aggregate(
-                ws, F.lit(0), lambda acc, w: acc + F.length(w)
-            )
+            (F.length(norm) - (n_words - F.lit(1)))
             / F.greatest(n_words, F.lit(1)).cast("double"),
             6,
         ).alias("avg_word_len"),
+        # regexp_count stays in whole-stage codegen and never
+        # materializes the per-char match array (regexp_extract_all
+        # allocated one just to take its size); F.col also removes the
+        # f-string SQL that broke on non-identifier column names
         F.round(
-            F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)"))
+            F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
             / F.greatest(F.length(norm), F.lit(1)).cast("double"),
             6,
         ).alias("punct_ratio"),
@@ -125,9 +133,12 @@ def quality_subscore_exprs(
     embeds the gate."""
     ws = words(text_col)
     n_words = F.size(ws).cast("double")
-    awl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.greatest(
-        F.size(ws), F.lit(1)
-    ).cast("double")
+    # closed-form mean word length (see text_stats): length(norm)
+    # minus the n-1 joining spaces, no interpreted array lambda on
+    # the hot path every fused pipeline shares
+    awl = (
+        F.length(normalize_text(text_col)) - (F.size(ws) - F.lit(1))
+    ) / F.greatest(F.size(ws), F.lit(1)).cast("double")
     diversity = F.size(F.array_distinct(ws)) / F.greatest(F.size(ws), F.lit(1)).cast(
         "double"
     )
@@ -159,15 +170,15 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish pre-tokenizer count (words /
     digit runs / punctuation singles) — the budget columns a training
     pipeline partitions on."""
-    # Spark SQL string literals eat unknown escapes ('\s' → 's'), so the
-    # regex must be double-escaped when inlined into F.expr.
-    sql_re = TOKEN_RE.replace("\\", "\\\\")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     return df.select(
         F.col(id_col),
         F.size(words(text_col)).alias("ws_tokens"),
-        F.size(
-            F.expr(f"regexp_extract_all({text_col}, '{sql_re}', 0)")
-        ).alias("bpe_ish_tokens"),
+        # regexp_count: codegen-native, no materialized match array,
+        # no SQL-string escaping (the old F.expr inlining needed
+        # double-escaped regexes and broke on non-identifier column
+        # names)
+        F.regexp_count(c, F.lit(TOKEN_RE)).alias("bpe_ish_tokens"),
     )
 
 
@@ -178,7 +189,7 @@ def repetition_ratio(
     shingles (Gopher-style boilerplate/loop signal; 0 = no repeated
     n-grams).  Distinct counts ride the existing shingle pipeline's
     doc-keyed shuffle; totals are a scan-speed expression."""
-    from tmp_parquet_merge_spark.operators.dedup import shingle_rows, words
+    from tmp_parquet_merge_spark.operators.dedup import shingle_rows
 
     total = df.select(
         F.col(id_col),
@@ -333,8 +344,6 @@ def chunk_words(
     if not 0 < stride <= chunk:
         raise ValueError("need 0 < stride <= chunk")
     overlap = chunk - stride
-    from tmp_parquet_merge_spark.operators.dedup import words
-
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.size("ws") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),

@@ -1296,6 +1296,24 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_join_asof_nearest",
         "q_salted_join",
         "q_upsert",
+        # dedup/text review: avg-word-length closed form replaces the
+        # interpreted HOF lambda (and regexp_count the materialized
+        # extract-all) in text_stats/quality_subscore_exprs/
+        # token_counts — their queries and the fused pipeline embedding
+        # the subscores re-queue; editdist_pairs gained the
+        # empty-norm sim=1.0 branch.  NOT re-queued (pinned-identical
+        # precedent, as with the r6 stopword escaping): the
+        # normalize_text explicit-whitespace-class spelling — byte-
+        # identical on the bundled corpus (no \x0B; pinned in
+        # tests/test_llm_ops.py::test_normalize_text_vertical_tab...),
+        # minhash band validation + dedup_clusters string-id probe
+        # (dead branches for driver data).
+        "q_text_stats",
+        "q_quality_score",
+        "q_token_count",
+        "q_curation_pipeline",
+        "q_dedup_editdist",
+        "q_dedup_editdist_lsh",
         # NOT re-queued (dead-branch / pinned-identical precedent, r6):
         #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
         #    compute <32 bands, params pinned identical in

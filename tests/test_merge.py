@@ -54,6 +54,26 @@ def test_row_group_read(spark, sf_dir):
     assert one_col.columns == ["n_name"]
 
 
+def test_row_group_read_addresses_middle_group(spark, tmp_path):
+    # q_rowgroup_read's oracle leans on the single-row-group identity
+    # (RowGroup(0) == full table for the bundled nation file); this
+    # pins the actual ADDRESSING semantics on a multi-group file —
+    # group i must return exactly the i-th written slice, not the
+    # file head or the whole table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "multi_rg.parquet")
+    pq.write_table(
+        pa.table({"v": list(range(100))}), path, row_group_size=30
+    )
+    assert pq.ParquetFile(path).metadata.num_row_groups == 4
+    g1 = parquet_io.read_row_group(spark, path, 1)
+    assert sorted(r.v for r in g1.collect()) == list(range(30, 60))
+    g3 = parquet_io.read_row_group(spark, path, 3)  # short tail group
+    assert sorted(r.v for r in g3.collect()) == list(range(90, 100))
+
+
 def test_row_group_read_refuses_oversized_group(spark, sf_dir):
     # inspection-only contract: a group over the byte ceiling is
     # refused with a pointer at the distributed read path

@@ -67,7 +67,20 @@ def q_scan_count(spark, sf_dir):
     return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@query("q_scan_batch_size")
+@query(
+    "q_scan_batch_size",
+    oracle="""
+        SELECT CAST(256 AS INTEGER) AS batch_size,
+               COUNT(*) AS n_rows,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        UNION ALL
+        SELECT CAST(4096 AS INTEGER),
+               COUNT(*),
+               CAST(SUM(l_quantity) AS BIGINT)
+        FROM lineitem
+    """,
+)
 def q_scan_batch_size(spark, sf_dir):
     """Batch-size-parity scan (r5 verdict #8, closing the last §6
     baseline anchor): the same projected scan-aggregate executed at
@@ -77,10 +90,14 @@ def q_scan_batch_size(spark, sf_dir):
     results must be invariant to the knob.  The aggregate reads a real
     data column (sum) so the scan can't be answered from footer stats.
     Eager by necessity (the knob is a session conf read at execution,
-    so the two scans run inside build, like the layout writers);
-    rows-only — batch size isn't SQL-visible.  Each setting's scan
-    runs inside parquet_io.session_conf (module conf lock + restore,
-    r7), so a concurrent engine write/scan on the same session cannot
+    so the two scans run inside build, like the layout writers).
+    Oracle (r7): the knob itself isn't SQL-visible, but the INVARIANCE
+    claim is — the oracle computes the one true aggregate per batch
+    size, so a batch-size-dependent scan result hash-fails (l_quantity
+    is integral 1..50, so the double sum is exact and the BIGINT cast
+    is truncation-safe in both engines).  Each setting's scan runs
+    inside parquet_io.session_conf (module conf lock + restore, r7),
+    so a concurrent engine write/scan on the same session cannot
     inherit the pinned batch size."""
     knob = "spark.sql.parquet.columnarReaderBatchSize"
     out = []
@@ -132,11 +149,40 @@ def q_merge_files(spark, sf_dir):
     return spark.read.parquet(p, p)
 
 
-@query("q_roundtrip")
+@query(
+    "q_roundtrip",
+    # The oracle is the fixture's closed form re-derived over
+    # range(500) (fixtures.alltypes_df generators, reader-writer.cc:
+    # 80-163): every cell the roundtrip returns must equal the
+    # generator value, so any write- or read-side corruption
+    # hash-fails.  Literals are CAST to DOUBLE before arithmetic —
+    # DuckDB decimal literals would otherwise compute in DECIMAL and
+    # drift from Spark's double math in the last ulp.
+    oracle="""
+        SELECT (i % 2 = 0) AS boolean_field,
+               CAST(i AS INTEGER) AS int32_field,
+               '[' || CAST(2 * i AS VARCHAR) || ',' ||
+                      CAST(2 * i + 1 AS VARCHAR) || ']' AS int64_field,
+               strftime(make_timestamp(i * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS int96_field,
+               CAST(i * CAST(1.1 AS DOUBLE) AS REAL) AS float_field,
+               i * CAST(1.1111111 AS DOUBLE) AS double_field,
+               CASE WHEN i % 2 = 0
+                    THEN 'parquet' || lpad(CAST(i AS VARCHAR), 3, '0')
+               END AS ba_field,
+               repeat(lpad(upper(to_hex(i % 256)), 2, '0'), 10)
+                   AS flba_field
+        FROM range(500) AS t(i)
+    """,
+)
 def q_roundtrip(spark, sf_dir):
     """Write→read roundtrip of the 8-type reference schema with snappy
     + 16 MiB row groups (reader-writer.cc:57-74, reader-writer2.cc:46).
-    Rows-only: content is deterministic, oracle can't write files.
+    Oracle (r7): the fixture generators are closed-form over the row
+    index, so DuckDB re-derives every expected cell from range(500)
+    and the hash compare proves value fidelity end-to-end through the
+    write+read cycle (the oracle can't write files, but it CAN state
+    what a lossless roundtrip must return).
     The REPEATED field stays an array in the *written* file (that is
     the fidelity under test); the *returned* frame serializes it to
     JSON because the driver's pandas canonicalizer can't sort/factorize
@@ -156,16 +202,54 @@ def q_roundtrip(spark, sf_dir):
         int96_timestamps=True,
     )
     back = spark.read.parquet(out)
-    return back.withColumn("int64_field", F.to_json("int64_field")).withColumn(
-        "int96_field",
-        F.date_format(
-            F.to_utc_timestamp("int96_field", spark.conf.get("spark.sql.session.timeZone")),
-            "yyyy-MM-dd HH:mm:ss",
-        ),
+    return (
+        back.withColumn("int64_field", F.to_json("int64_field"))
+        .withColumn(
+            "int96_field",
+            F.date_format(
+                F.to_utc_timestamp(
+                    "int96_field",
+                    spark.conf.get("spark.sql.session.timeZone"),
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+        )
+        # hex, not raw binary: DuckDB BLOBs surface as unhashable
+        # bytearray cells in the driver's pandas canonicalizer (the
+        # oracle side would ERR), and hex keeps the byte fidelity
+        # check intact
+        .withColumn("flba_field", F.hex("flba_field"))
     )
 
 
-@query("q_typed_roundtrip")
+@query(
+    "q_typed_roundtrip",
+    # Golden oracle (r7): the expected footer is a pure function of
+    # the fixture (500 rows, 2 list elements per row) and the typed
+    # writer's declared physical types — nothing here depends on file
+    # layout, partition count, or byte sizes, so the golden is stable
+    # under any executor split (n_values SUMS across part files).
+    oracle="""
+        SELECT * FROM (VALUES
+            ('ba_field', 'BYTE_ARRAY',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('boolean_field', 'BOOLEAN',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('double_field', 'DOUBLE',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('flba_field', 'FIXED_LEN_BYTE_ARRAY',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('float_field', 'FLOAT',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('int32_field', 'INT32',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER)),
+            ('int64_field.list.element', 'INT64',
+             CAST(1000 AS BIGINT), CAST(500 AS INTEGER)),
+            ('int96_field', 'INT96',
+             CAST(500 AS BIGINT), CAST(500 AS INTEGER))
+        ) AS t("column", physical_type, n_values, rows_read_back)
+    """,
+)
 def q_typed_roundtrip(spark, sf_dir):
     """Physical-type-fidelity roundtrip, driver-visible: writes the
     reference's exact 8-type schema via write_parquet_typed —
@@ -174,8 +258,11 @@ def q_typed_roundtrip(spark, sf_dir):
     explicit typed_read_schema (Spark's footer converter rejects TIME),
     and returns per-column footer physical types + value counts from
     column_stats plus the read-back row count, so the declared footer
-    IS the query result.  Rows-only (writes temp files); footer shape
-    also pinned in tests/test_typed_write.py.
+    IS the query result.  Oracle (r7): a golden VALUES table — the
+    expected footer is closed-form (8 declared physical types, 500
+    values per column, 1000 for the 2-element repeated leaf), so the
+    hash compare certifies the typed writer's physical-type fidelity;
+    footer shape also pinned in tests/test_typed_write.py.
 
     Schema-tree parity: 7 of the 8 reference fields byte-match the
     reference footer.  The exception is ``int64_field`` —
@@ -219,11 +306,30 @@ def q_typed_roundtrip(spark, sf_dir):
     )
 
 
-@query("q_merge_schema_evolution")
+@query(
+    "q_merge_schema_evolution",
+    # The fixture generations are closed-form (int_str_df ± the
+    # derived `extra` column), so the oracle states the exact unioned
+    # result a mergeSchema read must produce: gen1 rows with extra
+    # NULL, gen2 rows with extra = int*10.
+    oracle="""
+        WITH v("int", str) AS (VALUES
+            (1, 'some'), (2, 'string'), (3, 'content'),
+            (4, 'in'), (5, 'rows'))
+        SELECT CAST("int" AS BIGINT) AS "int", str,
+               CAST(NULL AS BIGINT) AS extra
+        FROM v
+        UNION ALL
+        SELECT CAST("int" AS BIGINT), str, CAST("int" * 10 AS BIGINT)
+        FROM v
+    """,
+)
 def q_merge_schema_evolution(spark, sf_dir):
     """Schema-evolution merge: two file generations, second adds a
     column; mergeSchema read unions the schemas (missing → NULL).
-    Rows-only (writes temp files)."""
+    Oracle (r7): the two generations are deterministic fixtures, so
+    the schema-union semantics (old rows NULL-filled in the new
+    column) are stated exactly as a VALUES union."""
     base = tempfile.mkdtemp(prefix="tpms_evo_")
     f1, f2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
     v1 = fixtures.int_str_df(spark)
@@ -312,11 +418,15 @@ def q_merge_compaction(spark, sf_dir):
     )
 
 
-@query("q_rowgroup_read")
+@query("q_rowgroup_read", oracle="SELECT * FROM nation")
 def q_rowgroup_read(spark, sf_dir):
     """Single row-group read — reader->RowGroup(0)->ReadTable
-    (parquet-arrow/src/reader-writer.cc:77-90).  Rows-only (row-group
-    addressing is not SQL)."""
+    (parquet-arrow/src/reader-writer.cc:77-90).  Oracle (r7): the
+    bundled nation.parquet is a single-row-group file at every sf
+    (25 rows), so RowGroup(0) ≡ the whole table and the hash compare
+    certifies the row-group read path's values; multi-row-group
+    addressing (group 1+ of a multi-group file) is pinned in
+    tests/test_merge.py."""
     return parquet_io.read_row_group(
         spark,
         os.path.join(sf_dir, "nation.parquet"),
@@ -324,9 +434,38 @@ def q_rowgroup_read(spark, sf_dir):
     )
 
 
-@query("q_schema_dump")
+@query(
+    "q_schema_dump",
+    # Golden oracle (r7): lineitem's schema is pinned by TESTDATA.md
+    # (driver-generated, read-only, identical across sf dirs), so the
+    # recovered tree is a known constant — the hash compare certifies
+    # the footer→schema conversion letter for letter.  DuckDB e''
+    # strings carry the tree's newlines.
+    oracle="""
+        SELECT 'struct<l_orderkey:bigint,l_partkey:bigint,'
+            || 'l_suppkey:bigint,l_linenumber:int,l_quantity:double,'
+            || 'l_extendedprice:double,l_discount:double,l_tax:double,'
+            || 'l_returnflag:string,l_linestatus:string,'
+            || 'l_shipdate:timestamp_ntz>' AS simple_string,
+            e'root\\n'
+            || e' |-- l_orderkey: long (nullable = true)\\n'
+            || e' |-- l_partkey: long (nullable = true)\\n'
+            || e' |-- l_suppkey: long (nullable = true)\\n'
+            || e' |-- l_linenumber: integer (nullable = true)\\n'
+            || e' |-- l_quantity: double (nullable = true)\\n'
+            || e' |-- l_extendedprice: double (nullable = true)\\n'
+            || e' |-- l_discount: double (nullable = true)\\n'
+            || e' |-- l_tax: double (nullable = true)\\n'
+            || e' |-- l_returnflag: string (nullable = true)\\n'
+            || e' |-- l_linestatus: string (nullable = true)\\n'
+            || e' |-- l_shipdate: timestamp_ntz (nullable = true)\\n'
+            AS tree_string
+    """,
+)
 def q_schema_dump(spark, sf_dir):
-    """Schema tree dump — parquet-dump-schema.cc:23-36. Rows-only."""
+    """Schema tree dump — parquet-dump-schema.cc:23-36.  Oracle (r7):
+    golden — the bundled lineitem schema is immutable (TESTDATA.md),
+    so the expected simpleString/treeString are stated verbatim."""
     return parquet_io.schema_dump(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
@@ -1189,12 +1328,16 @@ _HASH_GREEN_BY_ROUND = {
         "q_zorder_layout",
     ),
 }
+# NB (r7): nine former rows-only queries GAINED oracles this round
+# (q_roundtrip, q_typed_roundtrip, q_scan_batch_size, q_schema_dump,
+# q_rowgroup_read, q_merge_schema_evolution, q_pagerank,
+# q_dedup_editdist_lsh, q_dedup_cluster_lsh) — their rows evidence
+# certifies a rows-only contract that no longer exists, so it is
+# dropped here (the fold_evidence oracle-status rule) and each sits
+# in the pinned window below for a fresh hash-compared driver run.
 _ROWS_SEEN_BY_ROUND = {
     1: (
         "q_column_stats",
-        "q_merge_schema_evolution",
-        "q_rowgroup_read",
-        "q_schema_dump",
     ),
     3: (
         "q_agg_sketch",
@@ -1211,20 +1354,14 @@ _ROWS_SEEN_BY_ROUND = {
     ),
     5: (
         "q_contamination_lsh",
-        "q_dedup_cluster_lsh",
         "q_dedup_minhash",
         "q_merge_incremental",
     ),
     6: (
-        "q_dedup_editdist_lsh",
         "q_dedup_embedding_lsh",
         "q_frame_sample",
         "q_metadata_stats",
         "q_multimodal_features",
-        "q_pagerank",
-        "q_roundtrip",
-        "q_scan_batch_size",
-        "q_typed_roundtrip",
     ),
 }
 
@@ -1296,6 +1433,18 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_join_asof_nearest",
         "q_salted_join",
         "q_upsert",
+        # r7 oracle conversions (rows-only → hash-compared): the
+        # closed-form fixtures / golden footers / exact-twin SQL /
+        # unrolled-iteration CTE now oracle these; the three below
+        # were otherwise unchanged this round (the other six
+        # conversions already re-queue via the entries above —
+        # q_roundtrip, q_typed_roundtrip, q_scan_batch_size,
+        # q_pagerank (also tol=0 now: fixed 10 rounds so the unrolled
+        # oracle's round count is sf-independent),
+        # q_dedup_editdist_lsh, q_dedup_cluster_lsh)
+        "q_schema_dump",
+        "q_rowgroup_read",
+        "q_merge_schema_evolution",
         # dedup/text review: avg-word-length closed form replaces the
         # interpreted HOF lambda (and regexp_count the materialized
         # extract-all) in text_stats/quality_subscore_exprs/
@@ -1338,15 +1487,16 @@ def _driver_tier(q: Query) -> int:
 
 # Round-7 window plan (r6 verdict, "Next round" #1): registry FROZEN,
 # zero new queries; the whole window goes to draining the evidence-
-# freshness tail.  The 50 stalest queries are exactly one window: the
-# 15 r1/r2-evidence queries (4 r1 rows-only + 11 r2 hash) then the 35
-# r3-evidence queries (28 hash + 7 rows-only).  The default tier sort
-# would bury the rows-only stale entries (tier 3) behind all 167
-# oracle-backed tier-2 queries, so the window is PINNED explicitly:
-# round-7 changed queries first (they must re-queue under the
-# evidence-certifies-the-code rule), then the stale cohort oldest
-# round first.  Stale r3 entries displaced past slot 50 by the change
-# set rotate in round 8.
+# freshness tail.  The stale cohort is the 15 r1/r2-evidence queries
+# (4 r1 rows-only + 11 r2 hash) then the 35 r3-evidence queries
+# (28 hash + 7 rows-only); the r7 oracle conversions move three of
+# the r1 entries into the changed set (same window, earlier slots).
+# The default tier sort would bury the rows-only stale entries
+# (tier 3) behind all oracle-backed tier-2 queries, so the window is
+# PINNED explicitly: round-7 changed queries first (they must
+# re-queue under the evidence-certifies-the-code rule), then the
+# stale cohort oldest round first.  Stale r3 entries displaced past
+# slot 50 by the change set rotate in round 8.
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(

@@ -151,25 +151,29 @@ def q_dedup_prefix(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_editdist",
-    oracle=f"""
-        WITH {_W_CAP},
-        p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   levenshtein(a.norm, b.norm) AS lev,
-                   greatest(length(a.norm), length(b.norm)) AS mx
-            FROM w a
-            JOIN w b
-              ON array_to_string(a.ws[1:2], ' ') = array_to_string(b.ws[1:2], ' ')
-             AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b, lev,
-               round(1 - CAST(lev AS DOUBLE) / mx, 6) AS sim
-        FROM p
-        WHERE lev * 100 <= mx * 20
-    """,
-)
+# Shared by the blocked query and its LSH-fed twin (which tests pin
+# row-for-row equal on the bundled corpora — every small-edit pair
+# both shares its 2-word prefix and sits far above the LSH S-curve
+# knee, so the one exact-SQL spelling oracles both plans).
+_EDITDIST_ORACLE = f"""
+    WITH {_W_CAP},
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.norm, b.norm) AS lev,
+               greatest(length(a.norm), length(b.norm)) AS mx
+        FROM w a
+        JOIN w b
+          ON array_to_string(a.ws[1:2], ' ') = array_to_string(b.ws[1:2], ' ')
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, lev,
+           round(1 - CAST(lev AS DOUBLE) / mx, 6) AS sim
+    FROM p
+    WHERE lev * 100 <= mx * 20
+"""
+
+
+@query("q_dedup_editdist", oracle=_EDITDIST_ORACLE)
 def q_dedup_editdist(spark, sf_dir):
     """Character-level (Levenshtein) near-dup pairs with 2-word prefix
     blocking: the small-edit complement to shingle Jaccard — catches
@@ -183,16 +187,21 @@ def q_dedup_editdist(spark, sf_dir):
     )
 
 
-@query("q_dedup_editdist_lsh")
+@query("q_dedup_editdist_lsh", oracle=_EDITDIST_ORACLE)
 def q_dedup_editdist_lsh(spark, sf_dir):
     """The 100 TB spelling of q_dedup_editdist (r5 verdict #4):
     candidate pairs come from MinHash-LSH (shuffle O(docs × bands),
     bodies never enter the blocking join) and Levenshtein runs as a
     verify over id-joined candidates only — normalized text moves for
     candidate ids alone, so verify cost tracks |candidates|, not
-    |corpus|².  Rows-only: LSH recall at the banding knee is
-    probabilistic; tests/test_llm_ops.py pins LSH-fed ≡ blocked-join
-    output on the bundled corpus."""
+    |corpus|².  Oracle (r7): the exact blocked-join SQL — on the
+    bundled corpora every small-edit pair shares its 2-word prefix
+    AND sits far above the LSH S-curve knee, so the two plans are
+    row-for-row equal (pinned in tests/test_llm_ops.py::
+    test_editdist_lsh_fed_equals_blocked_join) and the hash compare
+    holds deterministically (seeded hashing, no RNG).  On adversarial
+    data LSH recall < 1 by the S-curve — the oracle certifies
+    corpus-level equality, not an algebraic identity."""
     docs = t(spark, sf_dir, "documents")
     cand = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=None
@@ -216,9 +225,10 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_cluster",
-    oracle=f"""
+# Shared by the exact-pair query and its LSH twin (tests pin the two
+# composed pipelines row-for-row equal on the bundled corpora:
+# test_lsh_twin_queries_equal_exact_on_bundled_corpus).
+_CLUSTER_ORACLE = f"""
         WITH RECURSIVE {_W_CAP}, {_SH},
         e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
@@ -244,8 +254,10 @@ def q_dedup_simhash(spark, sf_dir):
             SELECT ed.b, walk.lab FROM walk JOIN ed ON ed.a = walk.node
         )
         SELECT node AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY node
-    """,
-)
+"""
+
+
+@query("q_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the near-dup pairs — the dedup
     pipeline's final stage: every document labelled with its
@@ -271,15 +283,19 @@ def q_dedup_cluster(spark, sf_dir):
     return dedup.dedup_clusters(pairs, docs, "doc_id")
 
 
-@query("q_dedup_cluster_lsh")
+@query("q_dedup_cluster_lsh", oracle=_CLUSTER_ORACLE)
 def q_dedup_cluster_lsh(spark, sf_dir):
     """The 100 TB spelling of q_dedup_cluster: pairs from MinHash-LSH
     candidates (shuffle O(docs × bands), document text never moves)
     verified with exact shingle Jaccard, then the same min-label
-    propagation.  Rows-only: LSH candidate recall at the J=0.5
-    boundary is probabilistic by the S-curve, so hash parity with the
-    exact oracle is data-dependent — equality on the bundled corpora
-    is asserted in tests/test_llm_ops.py instead."""
+    propagation.  Oracle (r7): the exact twin's recursive-CTE SQL —
+    the bundled corpora's near-dup pairs sit far above the 16×4
+    S-curve knee, so verified-LSH pairs equal exact pairs and the
+    composed pipelines are row-for-row equal (pinned in
+    tests/test_llm_ops.py::test_lsh_twin_queries_equal_exact_on_
+    bundled_corpus); the hash compare is deterministic (seeded
+    hashing, no RNG).  On adversarial J≈0.5 data recall < 1 — the
+    oracle certifies corpus-level equality, not an identity."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5

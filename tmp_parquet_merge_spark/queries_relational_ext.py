@@ -1514,15 +1514,69 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-@query("q_pagerank")
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled damped PageRank as one DuckDB query — iteration-for-
+    iteration the SQL spelling of graph.pagerank over the symmetrized
+    part co-purchase edges (no dangling nodes by symmetry, so the
+    dangling-mass term is identically zero on both sides).  Float
+    literals mirror Spark's arithmetic exactly: the teleport term is
+    spelled ``(1 - 0.85) / n`` because Spark computes it driver-side
+    as Python ``(1.0 - damping) / n_nodes`` — and IEEE ``1 - 0.85``
+    is 0.15000000000000002, one ulp off a literal ``0.15``."""
+    cte = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )""",
+        """e AS (SELECT a AS src, b AS dst FROM e0
+             UNION ALL SELECT b, a FROM e0)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)",
+        """r0 AS (SELECT d.src AS node, d.deg,
+                         CAST(1 AS DOUBLE) / nn.n AS rank
+                  FROM deg d CROSS JOIN nn)""",
+    ]
+    for k in range(1, n_iter + 1):
+        cte.append(
+            f"""r{k} AS (
+            SELECT d.src AS node, d.deg,
+                   (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(c.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM deg d CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank / r.deg) AS inflow
+                FROM r{k - 1} r JOIN e ON e.src = r.node
+                GROUP BY 1
+            ) c ON c.node = d.src
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+        SELECT node, round(rank, 6) AS rank,
+               CAST({n_iter} AS INTEGER) AS n_iter
+        FROM r{n_iter}"""
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(10))
 def q_pagerank(spark, sf_dir):
     """PageRank over the part co-purchase graph (parts linked when
     they share an order, symmetrized): the canonical iterative
-    join-aggregate, 10 damped rounds or L1-convergence — the same
-    loop discipline (localCheckpoint per round, scalar-only driver
-    traffic) as k-means and connected components.  Rows-only:
-    iterative float fixpoints aren't SQL-expressible; the local test
-    pins the result against a dense NumPy reference."""
+    join-aggregate, 10 damped rounds — the same loop discipline
+    (persisted pre-partitioned edges, scalar-only driver traffic) as
+    k-means and connected components.  Oracle (r7): a fixed 10-round
+    unrolled CTE chain — the registered query pins ``tol=0`` so the
+    round count is closed-form at every sf (the L1 early exit stays
+    exercised in tests/test_graph.py); ranks round to 6 decimals on
+    both sides, far above the ~1e-13 cross-engine summation-order
+    noise.  The local test additionally pins the result against a
+    dense NumPy reference."""
     from tmp_parquet_merge_spark.operators import graph
 
     pairs = graph.cooccurrence_pairs(
@@ -1531,18 +1585,21 @@ def q_pagerank(spark, sf_dir):
         "l_partkey",
     ).distinct()
     edges = graph.symmetrize(pairs, "a", "b")
-    # check_every=2 halves the scalar convergence reads; a symmetrized
-    # graph also skips the dangling branch entirely (probed once);
-    # checkpoint_every=2 batches two join-aggregate rounds per eager
-    # job (per-job scheduling overhead dominates on a 20k-node state).
-    # num_partitions pins the loop's node-hash layout: 2.4M edges /
-    # 20k nodes at sf0.1 fit 8 partitions comfortably; on a cluster
-    # this scales with edge bytes (~128 MB/partition), not a constant.
+    # tol=0: all 10 rounds always run, so the unrolled oracle's round
+    # count holds at every sf (and no per-check scalar reads at all —
+    # strictly fewer driver round-trips than the tol>0 spelling); a
+    # symmetrized graph also skips the dangling branch entirely
+    # (probed once); checkpoint_every=2 batches two join-aggregate
+    # rounds per eager job (per-job scheduling overhead dominates on
+    # a 20k-node state).  num_partitions pins the loop's node-hash
+    # layout: 2.4M edges / 20k nodes at sf0.1 fit 8 partitions
+    # comfortably; on a cluster this scales with edge bytes
+    # (~128 MB/partition), not a constant.
     return graph.pagerank(
         edges,
         damping=0.85,
         max_iter=10,
-        check_every=2,
+        tol=0,
         checkpoint_every=2,
         num_partitions=8,
     )

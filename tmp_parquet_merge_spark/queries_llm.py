@@ -88,9 +88,10 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# Shared by the capped exact verify twin and q_dedup_minhash (tests
+# pin verified-LSH output == exact output at the 0.5 threshold on the
+# bundled corpora: test_minhash_verified_equals_exact_at_half).
+_NGRAM_JACCARD_ORACLE = f"""
         WITH {_W_CAP}, {_SH},
         e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
@@ -105,8 +106,10 @@ def q_dedup_exact(spark, sf_dir):
         JOIN n na ON na.doc_id = doc_a
         JOIN n nb ON nb.doc_id = doc_b
         WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) >= 0.5
-    """,
-)
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (sim ≥ 0.5) — the
     verify stage of the near-dup pipeline, oracle-checked.  Input
@@ -116,12 +119,17 @@ def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-@query("q_dedup_minhash")
+@query("q_dedup_minhash", oracle=_NGRAM_JACCARD_ORACLE)
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(64) + LSH(16 bands × 4 rows ⇒ ~0.5 Jaccard S-curve knee)
-    candidate pairs, verified with exact shingle Jaccard.  Rows-only:
-    murmur3 seeding isn't reproducible in SQL; the verify stage is the
-    oracle-checked q_dedup_ngram."""
+    candidate pairs, verified with exact shingle Jaccard.  Oracle
+    (r7): murmur3 banding isn't reproducible in SQL, but the VERIFIED
+    output is — on the bundled corpora every true pair survives
+    banding (pinned in tests/test_llm_ops.py::
+    test_minhash_verified_equals_exact_at_half), so the exact-Jaccard
+    SQL oracles the full pipeline deterministically (seeded hashing,
+    no RNG).  On adversarial J≈0.5 data recall < 1 by the S-curve —
+    corpus-level equality, not an identity."""
     return dedup.minhash_dedup_pairs(
         t(spark, sf_dir, "documents"),
         "text",
@@ -956,9 +964,10 @@ def q_lang_id_eval(spark, sf_dir):
     )
 
 
-@query(
-    "q_contamination",
-    oracle=f"""
+# Shared by the exact-pair query and its LSH twin (tests pin the two
+# composed pipelines row-for-row equal on the bundled corpora:
+# test_lsh_twin_queries_equal_exact_on_bundled_corpus).
+_CONTAMINATION_ORACLE = f"""
         WITH {_W_CAP}, {_SH},
         e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
@@ -990,8 +999,10 @@ def q_lang_id_eval(spark, sf_dir):
         JOIN s sa ON sa.doc_id = pj.doc_a
         JOIN s sb ON sb.doc_id = pj.doc_b
         WHERE sa.split != sb.split
-    """,
-)
+"""
+
+
+@query("q_contamination", oracle=_CONTAMINATION_ORACLE)
 def q_contamination(spark, sf_dir):
     """Train/eval contamination detection: near-duplicate pairs
     (word-3-gram Jaccard ≥ 0.5) whose members fall in DIFFERENT
@@ -1030,13 +1041,17 @@ def _contamination_join(docs, pairs):
     )
 
 
-@query("q_contamination_lsh")
+@query("q_contamination_lsh", oracle=_CONTAMINATION_ORACLE)
 def q_contamination_lsh(spark, sf_dir):
     """The 100 TB spelling of q_contamination: MinHash-LSH candidates +
     exact Jaccard verify (O(docs × bands) shuffle, no all-pairs stage)
-    composed with the same split assignment.  Rows-only for the same
-    S-curve reason as q_dedup_cluster_lsh; equality on the bundled
-    corpora is asserted in tests/test_llm_ops.py."""
+    composed with the same split assignment.  Oracle (r7): the exact
+    twin's SQL — the composed pipelines are row-for-row equal on the
+    bundled corpora (pinned in tests/test_llm_ops.py::
+    test_lsh_twin_queries_equal_exact_on_bundled_corpus) and the hash
+    compare is deterministic (seeded hashing, no RNG); on adversarial
+    J≈0.5 data LSH recall < 1 by the S-curve, so the oracle certifies
+    corpus-level equality, not an identity."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, verify_threshold=0.5
@@ -1211,11 +1226,51 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-@query("q_frame_sample")
+@query(
+    "q_frame_sample",
+    # The sampled frames are pure byte arithmetic over the synthesized
+    # payload (UTF-8 bytes of the document text), so DuckDB re-derives
+    # them by slicing the payload's hex spelling: 2 hex chars per
+    # byte ⇒ byte offset k, length 16 ≡ hex offset 2k+1, length 32.
+    # A NULL text yields a NULL offsets list on both sides (unnest
+    # drops it, matching posexplode); an empty text yields one frame
+    # at offset 0 with empty bytes on both sides.
+    oracle="""
+        SELECT media_id, frame_idx, byte_offset,
+               substring(ph, byte_offset * 2 + 1, 32) AS frame_hex
+        FROM (
+            SELECT media_id, ph,
+                   CAST(unnest(generate_series(1, len(offs))) - 1
+                        AS INTEGER) AS frame_idx,
+                   unnest(offs) AS byte_offset
+            FROM (
+                SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+                       list_slice(
+                           generate_series(
+                               0,
+                               greatest(octet_length(encode(text)) - 1, 0),
+                               64),
+                           1, 8) AS offs
+                FROM documents
+            )
+        )
+    """,
+)
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: posexplode sampled byte offsets of each
-    payload, slice bytes per frame — pure JVM, no Python.  Rows-only."""
-    return multimodal.frame_sample(multimodal.media_table(spark, sf_dir))
+    payload, slice bytes per frame — pure JVM, no Python.  Oracle
+    (r7): the payload is the deterministic UTF-8 encoding of the
+    document text, so the 16-byte frames at every 64-byte offset are
+    closed-form — the registered query returns the frame as hex
+    (DuckDB BLOBs surface as unhashable bytearrays in the driver's
+    canonicalizer; the operator itself keeps real binary)."""
+    frames = multimodal.frame_sample(multimodal.media_table(spark, sf_dir))
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "byte_offset",
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
 
 
 @query(

@@ -174,7 +174,7 @@ def test_fold_evidence_cwd_independent(tmp_path):
     assert "_HASH_GREEN_BY_ROUND" in r.stdout
     # the folded ledger is populated, not empty
     assert r.stdout.count('"q_') > 100
-    # the only never-evidenced entries are the twelve r7 oracle
+    # the only never-evidenced entries are the thirteen r7 oracle
     # conversions: their rows-only driver evidence certifies a
     # contract that no longer exists (fold_evidence's oracle-status
     # rule drops it), and each sits in the pinned r7 window for a
@@ -193,6 +193,7 @@ def test_fold_evidence_cwd_independent(tmp_path):
         "q_dedup_minhash",
         "q_contamination_lsh",
         "q_frame_sample",
+        "q_multimodal_features",
     }
     (never_line,) = [
         ln for ln in r.stdout.splitlines() if "never driver-evidenced" in ln

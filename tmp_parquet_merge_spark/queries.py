@@ -1328,11 +1328,12 @@ _HASH_GREEN_BY_ROUND = {
         "q_zorder_layout",
     ),
 }
-# NB (r7): twelve former rows-only queries GAINED oracles this round
+# NB (r7): thirteen former rows-only queries GAINED oracles this round
 # (q_roundtrip, q_typed_roundtrip, q_scan_batch_size, q_schema_dump,
 # q_rowgroup_read, q_merge_schema_evolution, q_pagerank,
 # q_dedup_editdist_lsh, q_dedup_cluster_lsh, q_dedup_minhash,
-# q_contamination_lsh, q_frame_sample) — their rows evidence
+# q_contamination_lsh, q_frame_sample, q_multimodal_features) —
+# their rows evidence
 # certifies a rows-only contract that no longer exists, so it is
 # dropped here (the fold_evidence oracle-status rule) and each sits
 # in the pinned window below for a fresh hash-compared driver run.
@@ -1359,7 +1360,6 @@ _ROWS_SEEN_BY_ROUND = {
     6: (
         "q_dedup_embedding_lsh",
         "q_metadata_stats",
-        "q_multimodal_features",
     ),
 }
 
@@ -1446,6 +1446,7 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_dedup_minhash",
         "q_contamination_lsh",
         "q_frame_sample",
+        "q_multimodal_features",
         # dedup/text review: avg-word-length closed form replaces the
         # interpreted HOF lambda (and regexp_count the materialized
         # extract-all) in text_stats/quality_subscore_exprs/

@@ -1201,19 +1201,62 @@ def q_media_metadata(spark, sf_dir):
     )
 
 
-@query("q_multimodal_features")
+def _byte_hist_oracle() -> str:
+    """The byte-histogram featurizer re-derived in SQL: bin(byte) =
+    byte // 16 = the byte's HIGH HEX NIBBLE, so the 16-bin histogram
+    is the frequency of each hex digit at the odd positions of
+    hex(payload) — extracted by collapsing each hex pair to its first
+    char.  Counts are exact integers, so the oracle never touches
+    float formatting; the argmax bin is the FIRST index attaining the
+    max (list_position = first occurrence, matching Python max())."""
+    nibbles = "0123456789ABCDEF"
+    counts = ",\n                   ".join(
+        f"len(hi) - len(replace(hi, '{c}', '')) AS c{i}"
+        for i, c in enumerate(nibbles)
+    )
+    lst = "list_value(" + ", ".join(f"c{i}" for i in range(16)) + ")"
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   regexp_replace(hex(encode(text)), '(.).', '\\1', 'g')
+                       AS hi,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n,
+                   {counts}
+            FROM h
+        )
+        SELECT doc_id AS media_id,
+               'text/plain;fake-image' AS mime,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(list_position({lst}, list_max({lst})) - 1 AS INTEGER)
+                   AS byte_entropy_bin,
+               array_to_string({lst}, '|') AS byte_counts_csv
+        FROM c
+    """
+
+
+@query("q_multimodal_features", oracle=_byte_hist_oracle())
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata struct →
     Arrow-batched mapInPandas feature extraction (deterministic fake
     standing in for the decode step — codecs absent in this env).
-    Rows-only (binary payload pipelines aren't SQL).
 
-    The registered output serializes the feature vector to a '|'-joined
-    string: row-oriented canonicalizers can't hash list cells (the r3
-    driver crashed on the raw array — same class as q_agg_collect in
-    r2).  Order is positional, so no sort; 6-decimal fixed-point keeps
-    the serialization float-stable.  Downstream pipelines use the
-    operator directly and keep the real array<double>."""
+    Oracle (r7): the byte-histogram fallback is closed-form over the
+    payload bytes (bin = high hex nibble), so DuckDB re-derives the
+    histogram by counting nibbles in hex(payload).  The registered
+    output serializes the EXACT integer counts (recovered from the
+    normalized float vector via round(f*n_bytes) — lossless, the
+    float is k/n with k ≤ n ≤ payload bytes) rather than fixed-point
+    floats: integer strings hash identically with no HALF_UP-vs-
+    half-even formatter skew, and row-oriented canonicalizers can't
+    hash list cells anyway (the r3 driver crash).  Downstream
+    pipelines use the operator directly and keep the real normalized
+    array.  The synthesized text payloads never parse as images, so
+    the byte fallback is the computed path with or without codecs
+    installed — the oracle does not depend on the PIL boundary."""
     feats = multimodal.extract_features(multimodal.media_table(spark, sf_dir))
     return feats.select(
         "media_id",
@@ -1221,8 +1264,14 @@ def q_multimodal_features(spark, sf_dir):
         "n_bytes",
         "byte_entropy_bin",
         F.array_join(
-            F.transform("features", lambda x: F.format_number(x, 6)), "|"
-        ).alias("features_csv"),
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.col("n_bytes"))
+                .cast("long")
+                .cast("string"),
+            ),
+            "|",
+        ).alias("byte_counts_csv"),
     )
 
 

@@ -352,6 +352,17 @@ def main() -> None:
     # mode, via a different path) and every completed timing would be
     # lost.  Errors are carried in the detail record and the final
     # metric line so a failure is loud, not fatal.
+    # 1-min loadavg bracketing the sweep: this box is shared, and a
+    # loaded box inflates in-sweep times across UNRELATED queries (the
+    # r7 sweeps saw 21–27 isolation-adjudicated noise flags under
+    # external load vs ~2 on an idle box).  Recording the load turns
+    # "many sweep-noise entries" from a suspicion into an adjudicable
+    # fact — a high flag count WITH load ≈ n_cpus is contention; the
+    # same count at low load would point at the harness.
+    try:
+        load_start = round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - getloadavg always works on linux
+        load_start = None
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(plan_names):
@@ -465,11 +476,22 @@ def main() -> None:
     # driver's 2,000-char stdout tail, so round 3 recorded no benchmark
     # number at all (BENCH_r03 parsed: null).  The FINAL stdout line is
     # a compact, always-parseable metric JSON with no per-query dict.
+    try:
+        load_end = round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover
+        load_end = None
     detail = {
         "queries": timings,
         "n": len(timings),
         "regressions": regressions,
         "errors": errors,
+        # external-contention context for the noise adjudications:
+        # [start, end] 1-min loadavg; the sweep itself drives ~32
+        # (local[32]), so values far above that mean a loaded box
+        "loadavg": [load_start, load_end],
+        "n_sweep_noise": sum(
+            1 for r in regressions.values() if r["verdict"] == "sweep-noise"
+        ),
     }
     print(json.dumps(detail), file=sys.stderr)
     if full_sweep:
@@ -508,6 +530,11 @@ def main() -> None:
         "regressed": sorted(
             n for n, r in regressions.items() if r["verdict"] == "REGRESSION"
         ),
+        # noise context, kept tiny: count of isolation-adjudicated
+        # sweep-noise entries + [start, end] 1-min loadavg (the sweep
+        # itself drives ~32; far above that = externally loaded box)
+        "noise": detail["n_sweep_noise"],
+        "load": detail["loadavg"],
     }
     if errors:
         out["errors"] = sorted(errors)

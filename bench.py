@@ -419,9 +419,33 @@ def main() -> None:
         floor = 2.0 if name.endswith("__write") else 1.0
         return max(1.5 * exp, exp + floor)
 
+    # Box-speed normalization (r7): the watchlist floors are all-time
+    # BESTS — minima over many runs on a shared box whose speed swings
+    # ~2x — so a typical sweep sits a near-uniform factor above them
+    # (measured: median ratio 1.46 on an IDLE box, which put half the
+    # registry near the 1.5x flag line and produced 17 isolation
+    # adjudications, all noise).  Deflating the threshold by the
+    # sweep's MEDIAN ratio-to-floor separates the two failure modes:
+    # a single query regressing stands out against the sweep's own
+    # ambient factor and still flags; a uniformly slow box raises the
+    # median, not the flag count.  A GLOBAL plan regression (every
+    # query slower) is intentionally out of scope for per-query flags
+    # — it moves the headline total, which the driver compares across
+    # rounds — and the factor is clamped at 3x so anything beyond
+    # box-speed scale cannot be absorbed silently.
+    ratios = sorted(
+        s / expected[n]
+        for n, s in timings.items()
+        if n in expected and expected[n] > 0
+    )
+    box_factor = (
+        round(max(1.0, min(3.0, ratios[len(ratios) // 2])), 2)
+        if ratios
+        else 1.0
+    )
     flagged = [
         n for n, s in timings.items()
-        if n in expected and s > _threshold(expected[n], n)
+        if n in expected and s > box_factor * _threshold(expected[n], n)
     ]
     for name in flagged:
         base = name.removesuffix("__write")
@@ -444,10 +468,13 @@ def main() -> None:
             else:
                 one = b + e
             iso = min(iso, one)
-            if iso <= _threshold(expected[name], name):
+            # isolated runs shed sweep overhead but not box speed —
+            # judge them against the same deflated bar
+            if iso <= box_factor * _threshold(expected[name], name):
                 break
         verdict = (
-            "sweep-noise" if iso <= _threshold(expected[name], name)
+            "sweep-noise"
+            if iso <= box_factor * _threshold(expected[name], name)
             else "REGRESSION"
         )
         regressions[name] = {
@@ -489,6 +516,7 @@ def main() -> None:
         # [start, end] 1-min loadavg; the sweep itself drives ~32
         # (local[32]), so values far above that mean a loaded box
         "loadavg": [load_start, load_end],
+        "box_factor": box_factor,
         "n_sweep_noise": sum(
             1 for r in regressions.values() if r["verdict"] == "sweep-noise"
         ),
@@ -535,6 +563,7 @@ def main() -> None:
         # itself drives ~32; far above that = externally loaded box)
         "noise": detail["n_sweep_noise"],
         "load": detail["loadavg"],
+        "boxf": box_factor,
     }
     if errors:
         out["errors"] = sorted(errors)

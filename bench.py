@@ -567,6 +567,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = sorted(errors)
+    # The driver parses the LAST ≤2,000 chars of stdout (round 3
+    # recorded `parsed: null` when a fat line blew past the tail).
+    # regressed/errors are unbounded name lists — a catastrophic round
+    # (many real regressions or a broken session erroring half the
+    # registry) would otherwise truncate the JSON and record NO
+    # benchmark at all, exactly when the numbers matter most.  Elide
+    # list tails to counts; full detail always lands in
+    # bench_detail.json and stderr.
+    for key in ("errors", "regressed"):
+        total = len(out.get(key) or ())
+        while len(json.dumps(out)) > 1800 and out.get(key):
+            out[key] = out[key][: len(out[key]) // 2]
+            out[f"{key}_n"] = total
     print(json.dumps(out))
 
 

@@ -236,6 +236,13 @@ LAYOUT_WRITERS = {
 }
 
 
+def _loadavg1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover - getloadavg always works on linux
+        return None
+
+
 def run_query(name: str, spark, sf_dir: str) -> tuple[float, float]:
     """Returns (build_sec, exec_sec).
 
@@ -359,10 +366,7 @@ def main() -> None:
     # "many sweep-noise entries" from a suspicion into an adjudicable
     # fact — a high flag count WITH load ≈ n_cpus is contention; the
     # same count at low load would point at the harness.
-    try:
-        load_start = round(os.getloadavg()[0], 1)
-    except OSError:  # pragma: no cover - getloadavg always works on linux
-        load_start = None
+    load_start = _loadavg1()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(plan_names):
@@ -447,6 +451,40 @@ def main() -> None:
         n for n, s in timings.items()
         if n in expected and s > box_factor * _threshold(expected[n], n)
     ]
+    # The isolation verdicts need their OWN box factor, measured NOW:
+    # reusing the sweep's factor would let a real plan regression up
+    # to 3x*1.5x hide as "sweep-noise" whenever the sweep ran under
+    # transient external load that has since ended (sweep factor high,
+    # isolation box idle).  Re-measuring a few unflagged mid-cost
+    # sentinels prices the box at adjudication time; flagged queries
+    # are then judged against what the box can actually do right now.
+    iso_factor = box_factor
+    if flagged:
+        sentinels = sorted(
+            (
+                n
+                for n, s in timings.items()
+                if n in expected
+                and expected[n] > 0
+                and n not in flagged
+                and n not in LAYOUT_WRITERS
+                and not n.endswith("__write")
+            ),
+            key=lambda n: abs(expected[n] - 1.0),
+        )[:3]
+        sratios = []
+        for n in sentinels:
+            _release_session_state(spark, full_gc=True)
+            try:
+                b, e = run_query(n, spark, sf_dir)
+            except Exception:  # noqa: BLE001 - sentinel is best-effort
+                continue
+            sratios.append((b + e) / expected[n])
+        if sratios:
+            sratios.sort()
+            iso_factor = round(
+                max(1.0, min(3.0, sratios[len(sratios) // 2])), 2
+            )
     for name in flagged:
         base = name.removesuffix("__write")
         # best-of-2 isolated re-measure: a single re-run on this
@@ -469,12 +507,12 @@ def main() -> None:
                 one = b + e
             iso = min(iso, one)
             # isolated runs shed sweep overhead but not box speed —
-            # judge them against the same deflated bar
-            if iso <= box_factor * _threshold(expected[name], name):
+            # judge them against the sentinel-measured bar
+            if iso <= iso_factor * _threshold(expected[name], name):
                 break
         verdict = (
             "sweep-noise"
-            if iso <= box_factor * _threshold(expected[name], name)
+            if iso <= iso_factor * _threshold(expected[name], name)
             else "REGRESSION"
         )
         regressions[name] = {
@@ -503,10 +541,7 @@ def main() -> None:
     # driver's 2,000-char stdout tail, so round 3 recorded no benchmark
     # number at all (BENCH_r03 parsed: null).  The FINAL stdout line is
     # a compact, always-parseable metric JSON with no per-query dict.
-    try:
-        load_end = round(os.getloadavg()[0], 1)
-    except OSError:  # pragma: no cover
-        load_end = None
+    load_end = _loadavg1()
     detail = {
         "queries": timings,
         "n": len(timings),
@@ -517,6 +552,7 @@ def main() -> None:
         # (local[32]), so values far above that mean a loaded box
         "loadavg": [load_start, load_end],
         "box_factor": box_factor,
+        "iso_factor": iso_factor,
         "n_sweep_noise": sum(
             1 for r in regressions.values() if r["verdict"] == "sweep-noise"
         ),

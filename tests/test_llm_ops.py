@@ -493,6 +493,35 @@ def test_multimodal_features_shape(spark, sf_dir):
     assert all(r.decoded is False for r in rows)
 
 
+def test_multimodal_oracle_preconditions_hold_on_bundled_corpora():
+    """The q_multimodal_features oracle assumes two properties of the
+    documents corpus that the Spark side does not share on violation:
+    (1) no NULL text — Spark's featurize maps an empty payload to an
+    all-zero vector with argmax bin 0, while the oracle's
+    list_position over NULL counts yields NULL; (2) no payload that
+    PIL would parse as a text-format image (PPM/PGM 'P1'..'P6'
+    headers, XBM '#define') — on a codec-equipped box such a payload
+    flips featurize to the pixel-histogram path while the oracle
+    keeps counting bytes.  Both hold on the bundled corpora; this
+    test makes a regenerated corpus that breaks either assumption
+    fail HERE instead of as a driver hash mismatch."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        nulls, pil_magic = con.execute(
+            f"""
+            SELECT COUNT(*) FILTER (text IS NULL),
+                   COUNT(*) FILTER (
+                       regexp_matches(text, '^P[1-6]\\s')
+                       OR text LIKE '#define%')
+            FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')
+            """
+        ).fetchone()
+        assert nulls == 0, f"sf{sf}: {nulls} NULL texts"
+        assert pil_magic == 0, f"sf{sf}: {pil_magic} PIL-magic texts"
+
+
 def test_multimodal_real_codec_decodes_images(spark):
     """With PIL present, real image payloads route through the decoder
     (decoded=True, pixel-histogram features); skipped where the

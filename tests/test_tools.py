@@ -199,7 +199,13 @@ def test_fold_evidence_cwd_independent(tmp_path):
         ln for ln in r.stdout.splitlines() if "never driver-evidenced" in ln
     ]
     assert f"never driver-evidenced ({len(converted)})" in never_line
-    assert {n for n in converted if n in never_line} == converted
+    # exact-set compare on the parsed names — substring containment
+    # would let 'q_roundtrip' be satisfied by 'q_typed_roundtrip' and
+    # miss a swapped-out member entirely
+    import re
+
+    never_names = set(re.findall(r"'(q_\w+)'", never_line))
+    assert never_names == converted, never_names ^ converted
 
 
 def test_bench_rejects_unknown_query_names():

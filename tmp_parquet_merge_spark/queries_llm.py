@@ -52,12 +52,30 @@ _DOT = (
 # quadratic.  Every registered query that uses one caps its pair-
 # generation input to _PAIR_CAP ids — far above every bundled sf (sf0.1
 # has 5k docs / 2k vectors) but a hard ceiling so the registered plan
-# cannot be pointed at a large corpus by accident.  The capped LSH
-# twins (q_dedup_*_lsh, q_contamination_lsh, q_ann_*) are the uncapped
-# 100 TB path.  The cap predicate appears in BOTH the Spark builder and
-# the oracle SQL so hash parity holds at any sf.
+# cannot be pointed at a large corpus by accident.  The LSH twins
+# (q_dedup_*_lsh, q_dedup_minhash, q_contamination_lsh, q_ann_*) are
+# the uncapped 100 TB path.  The cap predicate appears in BOTH the
+# Spark builder and the oracle SQL — or in NEITHER (the LSH twins'
+# oracles are _uncapped() because their Spark builders scan the full
+# corpus) — so hash parity never hinges on corpus size.
 _PAIR_CAP = 20_000
 _W_CAP = _W.replace("FROM documents", f"FROM documents WHERE doc_id < {_PAIR_CAP}")
+
+
+def _uncapped(capped_oracle: str) -> str:
+    """The uncapped spelling of a _W_CAP-built oracle — for the LSH
+    twins, whose Spark builders scan the FULL corpus (the 100 TB
+    path), so their oracles must not cap either or hash parity breaks
+    the first time a corpus crosses _PAIR_CAP ids (the cap-parity
+    contract above: the cap appears in both engines or neither).  The
+    oracle side is a correctness-gate artifact that only ever runs at
+    the driver's sf0.01 / the suite's sf0.001, so the exact pair
+    generator's quadratic worst case is not a concern here — the cap
+    on the EXACT twins protects their registered Spark plans, not
+    DuckDB."""
+    cap = f"FROM documents WHERE doc_id < {_PAIR_CAP}"
+    assert capped_oracle.count(cap) == 1, capped_oracle.count(cap)
+    return capped_oracle.replace(cap, "FROM documents")
 
 
 def _cos(a: str, b: str) -> str:
@@ -119,7 +137,7 @@ def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-@query("q_dedup_minhash", oracle=_NGRAM_JACCARD_ORACLE)
+@query("q_dedup_minhash", oracle=_uncapped(_NGRAM_JACCARD_ORACLE))
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(64) + LSH(16 bands × 4 rows ⇒ ~0.5 Jaccard S-curve knee)
     candidate pairs, verified with exact shingle Jaccard.  Oracle
@@ -195,7 +213,7 @@ def q_dedup_editdist(spark, sf_dir):
     )
 
 
-@query("q_dedup_editdist_lsh", oracle=_EDITDIST_ORACLE)
+@query("q_dedup_editdist_lsh", oracle=_uncapped(_EDITDIST_ORACLE))
 def q_dedup_editdist_lsh(spark, sf_dir):
     """The 100 TB spelling of q_dedup_editdist (r5 verdict #4):
     candidate pairs come from MinHash-LSH (shuffle O(docs × bands),
@@ -291,7 +309,7 @@ def q_dedup_cluster(spark, sf_dir):
     return dedup.dedup_clusters(pairs, docs, "doc_id")
 
 
-@query("q_dedup_cluster_lsh", oracle=_CLUSTER_ORACLE)
+@query("q_dedup_cluster_lsh", oracle=_uncapped(_CLUSTER_ORACLE))
 def q_dedup_cluster_lsh(spark, sf_dir):
     """The 100 TB spelling of q_dedup_cluster: pairs from MinHash-LSH
     candidates (shuffle O(docs × bands), document text never moves)
@@ -1041,7 +1059,7 @@ def _contamination_join(docs, pairs):
     )
 
 
-@query("q_contamination_lsh", oracle=_CONTAMINATION_ORACLE)
+@query("q_contamination_lsh", oracle=_uncapped(_CONTAMINATION_ORACLE))
 def q_contamination_lsh(spark, sf_dir):
     """The 100 TB spelling of q_contamination: MinHash-LSH candidates +
     exact Jaccard verify (O(docs × bands) shuffle, no all-pairs stage)

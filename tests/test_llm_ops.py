@@ -170,25 +170,63 @@ def test_brute_force_topk_shape_and_selfexclusion(spark, emb):
         assert sims == sorted(sims, reverse=True)
 
 
-def test_ann_lsh_recall(spark, emb):
+def test_ann_lsh_exact_twin_on_bundled_corpus(spark, emb):
+    """The q_ann_lsh oracle-equality contract (r8): at the default
+    256-bit sketch / 200-candidate over-fetch, the candidate set
+    covers the true top-10 on the bundled embeddings, so ann_topk is
+    ROW-IDENTICAL to brute force — ids AND rounded sims.  A miss here
+    means the exact-twin SQL oracle would hash-fail on the driver."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_vec, r.n_vec, r.sim)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.q_vec, r.n_vec, r.sim)
+        for r in similarity.ann_topk(emb, q, dim=64, k=10).collect()
+    }
+    assert approx == exact
+
+
+def test_ann_lsh_exact_twin_at_driver_sf(spark):
+    """Same equality at sf0.01 — the tier the correctness driver
+    hashes at (the parity fixture runs sf0.001; both must hold)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_vec, r.n_vec, r.sim)
+        for r in similarity.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.q_vec, r.n_vec, r.sim)
+        for r in similarity.ann_topk(emb, q, dim=64, k=10).collect()
+    }
+    assert approx == exact
+
+
+def test_ann_lsh_recall_floor_at_bench_sf(spark):
+    """Recall ≥ 0.9 at sf0.1 (2000 uniform-random vectors — the SRP
+    worst case; measured 0.92 at the 256-bit/200-candidate default).
+    The floor the r7 verdict asked to pin; equality is NOT promised
+    here, only at the oracle tiers above."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
     exact = {
         (r.q_vec, r.n_vec)
         for r in similarity.brute_force_topk(emb, q, k=10).collect()
     }
     approx = {
-        (r.q_vec, r.n_vec) for r in similarity.ann_topk(emb, q, dim=64, k=10).collect()
+        (r.q_vec, r.n_vec)
+        for r in similarity.ann_topk(emb, q, dim=64, k=10).collect()
     }
-    # uniform-random vectors are SRP-LSH's statistical worst case (top
-    # neighbors only reach cos≈0.3, where a 4×4-bit band collides ~40%
-    # of the time); just require meaningfully-better-than-chance here —
-    # the clustered-data test below asserts real recall
-    assert len(approx & exact) / len(exact) >= 0.1
+    assert len(approx & exact) / len(exact) >= 0.9
 
 
 def test_ann_lsh_recall_clustered(spark):
     # 20 clusters × 25 members: cluster center ± small noise — the
-    # structure real embedding corpora have, where LSH must deliver
+    # structure real embedding corpora have.  Hamming sketch ranking
+    # concentrates hard here: require ≥0.9 (the r7 banded form only
+    # managed the 0.8 floor this test used to carry).
     import random
 
     rnd = random.Random(7)
@@ -206,7 +244,7 @@ def test_ann_lsh_recall_clustered(spark):
     approx = {
         (r.q_vec, r.n_vec) for r in similarity.ann_topk(df, q, dim=64, k=10).collect()
     }
-    assert len(approx & exact) / len(exact) >= 0.8
+    assert len(approx & exact) / len(exact) >= 0.9
 
 
 def test_ivf_topk_runs_and_ranks(spark, emb):

@@ -477,15 +477,44 @@ def q_knn_classify(spark, sf_dir):
     )
 
 
-@query("q_ann_lsh")
+@query(
+    "q_ann_lsh",
+    # Exact-twin oracle (r8, the dedup-LSH conversion pattern): the
+    # 256-bit SRP sketch + 200-candidate over-fetch + exact re-rank
+    # covers the true top-10 on the bundled corpora (recall 1.0 at
+    # sf0.001 AND sf0.01, pinned in tests/test_llm_ops.py), so the
+    # approximate path's output is row-identical to the brute-force
+    # SQL below.  On data where over-fetch misses, the pinned recall
+    # floor (≥0.9 at sf0.1) is the honest contract — see ann_topk.
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_vec, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS n_vec, embedding AS n_emb FROM embeddings),
+        sims AS (
+            SELECT q_vec, n_vec, round({_cos("q_emb", "n_emb")}, 6) AS sim
+            FROM c, q WHERE n_vec != q_vec
+        ),
+        r AS (
+            SELECT q_vec, n_vec, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec
+                                      ORDER BY sim DESC, n_vec) AS rn
+            FROM sims
+        )
+        SELECT q_vec, n_vec, sim FROM r WHERE rn <= 10
+    """,
+)
 def q_ann_lsh(spark, sf_dir):
-    """Approximate top-k via sign-random-projection LSH buckets
-    (16 bits, 4 bands): candidates share a signature band, then exact
-    cosine + rank.  Rows-only (approximate recall by design); the
-    exact twin q_topk_similarity is the oracle-checked baseline."""
+    """Approximate top-k via SRP sketches: 256-bit signatures ranked
+    by Hamming distance, 200-candidate over-fetch, exact cosine
+    re-rank (similarity.ann_topk).  Replaces the r7 banded form whose
+    4×4-bit bands measured 25/50 missed pairs — banding cannot
+    separate cos 0.3 signal from cos 0.0 noise; sketch RANKING uses
+    all 256 bits and can.  Oracle: brute-force exact twin (candidate
+    cover pinned in tests makes the approximate output identical)."""
     e = t(spark, sf_dir, "embeddings")
     return similarity.ann_topk(
-        e, e.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=16, bands=4
+        e, e.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=256,
+        overfetch=200,
     )
 
 

@@ -155,57 +155,131 @@ def test_make_scaled_dir_preserves_referential_integrity(
     }
 
 
-def test_fold_evidence_cwd_independent(tmp_path):
-    """The evidence glob is anchored to the repo root: run from any
-    other cwd it must still find every CORRECTNESS file — a silently
-    empty ledger pasted into queries.py would wipe the evidence
-    table."""
+def _run_fold(cwd, *extra):
     import subprocess
     import sys
 
-    r = subprocess.run(
-        [sys.executable, "/root/repo/tools/fold_evidence.py"],
-        cwd=str(tmp_path),
+    return subprocess.run(
+        [sys.executable, "/root/repo/tools/fold_evidence.py", *extra],
+        cwd=str(cwd),
         capture_output=True,
         text=True,
         timeout=120,
     )
+
+
+def test_fold_evidence_cwd_independent(tmp_path):
+    """The evidence glob is anchored to the repo root: run from any
+    other cwd it must still find every CORRECTNESS file — a silently
+    empty ledger pasted into queries.py would wipe the evidence
+    table.  Assertions are shape-only (the r7 judge's fix: the exact
+    pending set depends on which live CORRECTNESS artifacts exist at
+    HEAD, which mutates the moment a driver round lands — the
+    content-level rules are pinned against a synthesized fixture dir
+    in the two tests below)."""
+    r = _run_fold(tmp_path)
     assert r.returncode == 0
     assert "_HASH_GREEN_BY_ROUND" in r.stdout
+    assert "_ROWS_SEEN_BY_ROUND" in r.stdout
     # the folded ledger is populated, not empty
     assert r.stdout.count('"q_') > 100
-    # the only never-evidenced entries are the thirteen r7 oracle
-    # conversions: their rows-only driver evidence certifies a
-    # contract that no longer exists (fold_evidence's oracle-status
-    # rule drops it), and each sits in the pinned r7 window for a
-    # fresh hash-compared run.  Anything OUTSIDE this set appearing
-    # here means evidence was silently lost.
-    converted = {
-        "q_roundtrip",
-        "q_typed_roundtrip",
-        "q_scan_batch_size",
-        "q_schema_dump",
-        "q_rowgroup_read",
-        "q_merge_schema_evolution",
-        "q_pagerank",
-        "q_dedup_editdist_lsh",
-        "q_dedup_cluster_lsh",
-        "q_dedup_minhash",
-        "q_contamination_lsh",
-        "q_frame_sample",
-        "q_multimodal_features",
-    }
+    assert "never driver-evidenced (" in r.stdout
+
+
+def test_fold_evidence_synthesized_pending_states(tmp_path):
+    """Ledger folding against a controlled evidence dir: both the
+    some-pending and the all-but-evidenced states, independent of
+    which CORRECTNESS_r*.json exist in the live repo."""
+    import json
+    import re
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    total = len(REGISTRY)
+    # pick one currently-oracle-backed and one currently-rows-only
+    # name from the live registry (membership, not a pinned list, so
+    # future conversions don't stale this test)
+    oracled = next(n for n, q in REGISTRY.items() if q.oracle is not None)
+    rows_only = next(n for n, q in REGISTRY.items() if q.oracle is None)
+
+    ev = tmp_path / "ev1"
+    ev.mkdir()
+    (ev / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                oracled: {"hash_match": True, "spark_rows": 5, "err": None},
+                rows_only: {
+                    "hash_match": None,
+                    "spark_rows": 5,
+                    "err": "no_oracle",
+                },
+            }
+        )
+    )
+    r = _run_fold(tmp_path, "--evidence-dir", str(ev))
+    assert r.returncode == 0
     (never_line,) = [
         ln for ln in r.stdout.splitlines() if "never driver-evidenced" in ln
     ]
-    assert f"never driver-evidenced ({len(converted)})" in never_line
-    # exact-set compare on the parsed names — substring containment
-    # would let 'q_roundtrip' be satisfied by 'q_typed_roundtrip' and
-    # miss a swapped-out member entirely
-    import re
+    assert f"never driver-evidenced ({total - 2})" in never_line
+    never = set(re.findall(r"'(q_\w+)'", never_line))
+    assert oracled not in never and rows_only not in never
+    # a LATER round's evidence supersedes: same names again in r02
+    (ev / "CORRECTNESS_r02.json").write_text(
+        json.dumps({oracled: {"hash_match": True, "spark_rows": 5, "err": None}})
+    )
+    r2 = _run_fold(tmp_path, "--evidence-dir", str(ev))
+    assert f'2: (\n        "{oracled}",' in r2.stdout
 
-    never_names = set(re.findall(r"'(q_\w+)'", never_line))
-    assert never_names == converted, never_names ^ converted
+
+def test_fold_evidence_oracle_status_rules(tmp_path):
+    """The evidence-tier fixups: hash evidence for a now-oracle-less
+    query folds into the rows table; rows evidence for a query that
+    has since GAINED an oracle is dropped (re-queues at tier 0) —
+    the exact rule that made the r7 conversions re-enter the driver
+    window."""
+    import json
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    oracled = next(n for n, q in REGISTRY.items() if q.oracle is not None)
+    rows_only = next(n for n, q in REGISTRY.items() if q.oracle is None)
+
+    ev = tmp_path / "ev2"
+    ev.mkdir()
+    (ev / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                # hash evidence for a query that is rows-only at HEAD
+                rows_only: {"hash_match": True, "spark_rows": 5, "err": None},
+                # rows evidence for a query that is oracle-backed at HEAD
+                oracled: {
+                    "hash_match": None,
+                    "spark_rows": 5,
+                    "err": "no_oracle",
+                },
+            }
+        )
+    )
+    r = _run_fold(tmp_path, "--evidence-dir", str(ev))
+    assert r.returncode == 0
+    assert f"# NOTE: {rows_only} hash-green in r3 but now oracle-less" in r.stdout
+    assert f"# NOTE: {oracled} rows-only evidence (r3) but now has an" in r.stdout
+    # rows_only landed in the rows table; oracled is pending again
+    (never_line,) = [
+        ln for ln in r.stdout.splitlines() if "never driver-evidenced" in ln
+    ]
+    assert oracled in never_line and rows_only not in never_line
+
+
+def test_fold_evidence_empty_dir_errors(tmp_path):
+    """No evidence files must be a loud non-zero exit, never an empty
+    ledger (which, pasted into queries.py, wipes the table)."""
+    ev = tmp_path / "empty"
+    ev.mkdir()
+    r = _run_fold(tmp_path, "--evidence-dir", str(ev))
+    assert r.returncode == 2
+    assert "no CORRECTNESS_r*.json" in r.stderr
 
 
 def test_bench_rejects_unknown_query_names():

@@ -7,7 +7,10 @@ bodies) for tmp_parquet_merge_spark/queries.py — each query listed
 under the LATEST round that evidenced it, hash-pass and rows-only kept
 separate, names the registry no longer knows flagged loudly.
 
-Usage: python tools/fold_evidence.py   (cwd-independent)
+Usage: python tools/fold_evidence.py [--evidence-dir DIR]
+(cwd-independent; DIR defaults to the repo root — tests point it at a
+synthesized fixture dir so assertions never depend on which live
+CORRECTNESS artifacts happen to exist at HEAD)
 
 The output is a starting point for the next round's ledger update; the
 curator still subtracts names whose code changed after their evidence
@@ -30,12 +33,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    evidence_dir = ROOT
+    if "--evidence-dir" in args:
+        i = args.index("--evidence-dir")
+        try:
+            evidence_dir = args[i + 1]
+        except IndexError:
+            print("usage: fold_evidence.py [--evidence-dir DIR]", file=sys.stderr)
+            return 2
+        del args[i : i + 2]
+    if args:
+        print(f"# ERROR: unknown args {args}", file=sys.stderr)
+        return 2
     latest_hash: dict[str, int] = {}
     latest_rows: dict[str, int] = {}
-    paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    paths = sorted(glob.glob(os.path.join(evidence_dir, "CORRECTNESS_r*.json")))
     if not paths:
-        print(f"# ERROR: no CORRECTNESS_r*.json under {ROOT}", file=sys.stderr)
+        print(
+            f"# ERROR: no CORRECTNESS_r*.json under {evidence_dir}",
+            file=sys.stderr,
+        )
         return 2
     for path in paths:
         m = re.search(r"r(\d+)", os.path.basename(path))

@@ -337,18 +337,19 @@ def test_kv_metadata_roundtrip(spark, tmp_path):
 
 
 def test_q_metadata_stats_includes_engine_kv(spark):
-    """The registered dump query must include at least one file whose
-    kv map carries engine-written keys."""
-    import json
-
+    """The registered dump query must surface the engine-written kv
+    key on exactly the stamped table, NULL everywhere else (the r8
+    oracle-shaped output: engine_writer column)."""
     from tmp_parquet_merge_spark.queries import REGISTRY
 
     rows = REGISTRY["q_metadata_stats"].build(
         spark, "/root/testdata/sf0.001"
     ).collect()
-    kvs = [json.loads(r.key_value_metadata) for r in rows]
-    assert any(
-        kv.get("engine.query") == "q_metadata_stats" for kv in kvs
+    by_table = {r.table_name: r for r in rows}
+    assert by_table["nation_kv"].engine_writer == "tmp-parquet-merge-spark"
+    assert by_table["nation_kv"].num_rows == 25
+    assert all(
+        r.engine_writer is None for r in rows if r.table_name != "nation_kv"
     )
 
 

@@ -339,7 +339,22 @@ def q_merge_schema_evolution(spark, sf_dir):
     return parquet_io.read_parquet(spark, f1, f2, merge_schema=True)
 
 
-@query("q_merge_incremental")
+@query(
+    "q_merge_incremental",
+    # Oracle (r8): fixture-closed-form invariants — the scatter is BY
+    # CONSTRUCTION 4 right-sized + 48 small files holding exactly the
+    # 4000-row tail (limit(4000).repartition(48)), and incremental
+    # compaction must keep the 4, rewrite the 48, and conserve the
+    # tail's rows on both sides of the rewrite (footer-read).  File
+    # BYTES are sf-coupled and deliberately not oracled (r7
+    # adjudication); written-file count is byte-coupled likewise.
+    oracle="""
+        SELECT CAST(4 AS INTEGER) AS n_kept,
+               CAST(48 AS INTEGER) AS n_compacted,
+               CAST(4000 AS BIGINT) AS rows_compacted_in,
+               CAST(4000 AS BIGINT) AS rows_written_out
+    """,
+)
 def q_merge_incremental(spark, sf_dir):
     """Incremental small-files compaction — the steady-state lake-
     maintenance form of the namesake merge (parquet_io.
@@ -348,9 +363,8 @@ def q_merge_incremental(spark, sf_dir):
     toward the target size while the big files stay untouched
     (manifest actions kept/compacted/written).  At 100 TB maintenance
     cost tracks the small-file backlog, not table size.  Returns the
-    per-action manifest rollup; rows-only (writes temp files) —
-    row-count conservation and kept-file identity are pinned in
-    tests/test_merge.py."""
+    footer-verified kept/rewritten split and row conservation; the
+    full per-file manifest stays pinned in tests/test_merge.py."""
     base = tempfile.mkdtemp(prefix="tpms_inc_")
     mixed = os.path.join(base, "mixed")
     li = t(spark, sf_dir, "lineitem")
@@ -370,51 +384,84 @@ def q_merge_incremental(spark, sf_dir):
         for f in parquet_io._expand_parquet_paths(spark, mixed)
     ]
     thr = int((min(sizes) * max(sizes)) ** 0.5)
+    compacted_dir = os.path.join(base, "compacted")
     manifest = parquet_io.compact_incremental(
         spark,
         mixed,
-        os.path.join(base, "compacted"),
+        compacted_dir,
         small_file_bytes=thr,
         target_file_size_bytes=8 * thr,
         block_size_bytes=4 * thr,
     )
-    return (
-        manifest.groupBy("action")
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("bytes").alias("total_bytes"),
-        )
-        .orderBy("action")
-        .select("action", "n_files")
+    # footer-verified invariants: the kept/compacted split is the
+    # fixture's 4-big/48-small construction, and the rewritten tail
+    # conserves its 4000 rows exactly (footer num_rows on BOTH sides —
+    # the compacted inputs and the written outputs)
+    in_rows = parquet_io.metadata_stats(spark, mixed).select(
+        "file", F.col("num_rows").alias("in_rows")
     )
+    sides = manifest.join(in_rows, "file", "left").agg(
+        F.sum(F.when(F.col("action") == "kept", 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("action") == "compacted", 1).otherwise(0))
+        .cast("int")
+        .alias("n_compacted"),
+        F.sum(
+            F.when(F.col("action") == "compacted", F.col("in_rows"))
+        ).alias("rows_compacted_in"),
+    )
+    out_rows = parquet_io.metadata_stats(spark, compacted_dir).agg(
+        F.sum("num_rows").alias("rows_written_out")
+    )
+    return sides.crossJoin(out_rows)
 
 
-@query("q_merge_compaction")
+@query(
+    "q_merge_compaction",
+    # Oracle (r8): the compaction invariants the footers must satisfy —
+    # row conservation (sum of output footer num_rows == count(*) of
+    # the scattered source), schema width, and the row-group byte
+    # budget (block ≤ group ≤ 2×block slack, the tests/test_merge.py
+    # contract).  Output file COUNT is byte-coupled (sf-dependent) and
+    # deliberately not oracled — the r7 adjudication for layout bytes.
+    oracle="""
+        SELECT (SELECT count(*) FROM lineitem) AS total_rows,
+               11 AS num_columns,
+               true AS rowgroup_budget_ok
+    """,
+)
 def q_merge_compaction(spark, sf_dir):
     """Small-files compaction at bench scale — the repo-namesake
     operation as it runs on a lake: lineitem scattered into 64 small
     files, then ``merge_files`` compacts them into target-size outputs
     (file count sized from input bytes, 16 MiB row-group budget
     matching the reference's buffered row-group rotation,
-    reader-writer2.cc:46).  Returns per-output-file footer metadata so
-    the row-group sizing is assertable (tests/test_merge.py pins the
-    budget).  Rows-only (writes temp files); bench reports the
-    scatter+compact write phase separately from the footer read."""
+    reader-writer2.cc:46).  Returns the footer-verified compaction
+    invariants (row conservation / schema width / row-group budget);
+    per-file layout detail stays in tests/test_merge.py.  Bench
+    reports the scatter+compact write phase separately from the
+    footer read."""
     base = tempfile.mkdtemp(prefix="tpms_compact_")
     small = os.path.join(base, "small")
     merged = os.path.join(base, "merged")
     t(spark, sf_dir, "lineitem").repartition(64).write.mode(
         "overwrite"
     ).parquet(small)
+    block = 16 * 1024 * 1024
     parquet_io.merge_files(
         spark,
         [small],
         merged,
-        target_file_size_bytes=32 * 1024 * 1024,
-        block_size_bytes=16 * 1024 * 1024,
+        target_file_size_bytes=2 * block,
+        block_size_bytes=block,
     )
-    return parquet_io.metadata_stats(spark, merged).select(
-        "num_rows", "num_row_groups", "num_columns", "max_row_group_bytes"
+    return parquet_io.metadata_stats(spark, merged).agg(
+        F.sum("num_rows").alias("total_rows"),
+        F.max("num_columns").cast("int").alias("num_columns"),
+        (F.max("max_row_group_bytes") <= F.lit(2 * block)).alias(
+            "rowgroup_budget_ok"
+        ),
     )
 
 
@@ -469,17 +516,54 @@ def q_schema_dump(spark, sf_dir):
     return parquet_io.schema_dump(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
-@query("q_metadata_stats")
+@query(
+    "q_metadata_stats",
+    # Oracle (r8): footer facts the views can restate — num_rows per
+    # table is data-derived (count(*)); num_row_groups is 1 for every
+    # bundled file AND the engine-written stamp (single-partition
+    # nation; measured invariant at sf0.001/0.01, TESTDATA.md-pinned
+    # generator); num_columns is schema-pinned per table (the
+    # q_schema_dump golden pattern); the engine-stamped file must
+    # surface its custom kv key.  Byte sizes stay in the operator and
+    # its tests (not SQL-visible — the r7 adjudication).
+    oracle="""
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM customer) AS num_rows,
+               1 AS num_row_groups, 5 AS num_columns,
+               CAST(NULL AS VARCHAR) AS engine_writer
+        UNION ALL SELECT 'documents', (SELECT count(*) FROM documents),
+               1, 5, NULL
+        UNION ALL SELECT 'embeddings', (SELECT count(*) FROM embeddings),
+               1, 3, NULL
+        UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+               1, 6, NULL
+        UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+               1, 11, NULL
+        UNION ALL SELECT 'nation', (SELECT count(*) FROM nation),
+               1, 3, NULL
+        UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+               1, 6, NULL
+        UNION ALL SELECT 'part', (SELECT count(*) FROM part),
+               1, 6, NULL
+        UNION ALL SELECT 'region', (SELECT count(*) FROM region),
+               1, 2, NULL
+        UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier),
+               1, 4, NULL
+        UNION ALL SELECT 'nation_kv', (SELECT count(*) FROM nation),
+               1, 3, 'tmp-parquet-merge-spark'
+    """,
+)
 def q_metadata_stats(spark, sf_dir):
-    """Footer metadata dump (file/row-group/column counts, sizes,
-    key-value metadata) — parquet_reader.cc:44-72.  Distributed footer
-    reads via mapInPandas.  Also exercises the WRITE side of the kv
-    surface (parquet_reader.cc:46-47): one engine-written file with
-    custom footer keys (write_parquet(kv_metadata=...)) joins the
-    dump, so the kv column carries engine-written keys, not just
-    arrow/spark schema blobs.  Rows-only (byte sizes aren't
-    SQL-visible); the kv roundtrip is asserted in
-    tests/test_merge.py."""
+    """Footer metadata dump (file/row-group/column counts, key-value
+    metadata) — parquet_reader.cc:44-72.  Distributed footer reads via
+    mapInPandas.  Also exercises the WRITE side of the kv surface
+    (parquet_reader.cc:46-47): one engine-written file with custom
+    footer keys (write_parquet(kv_metadata=...)) joins the dump, so
+    the engine_writer column carries an engine-written key, not just
+    arrow/spark schema blobs.  Oracle (r8): per-table (num_rows,
+    num_row_groups, num_columns, engine kv) — footer num_rows must
+    equal the view's count(*); byte sizes stay pinned in
+    tests/test_merge.py (not SQL-visible)."""
     stamped = os.path.join(tempfile.mkdtemp(prefix="tpms_kv_"), "nation_kv")
     parquet_io.write_parquet(
         t(spark, sf_dir, "nation"),
@@ -489,18 +573,118 @@ def q_metadata_stats(spark, sf_dir):
             "engine.query": "q_metadata_stats",
         },
     )
-    return parquet_io.metadata_stats(spark, sf_dir, stamped)
+    md = parquet_io.metadata_stats(spark, sf_dir, stamped)
+    base = F.element_at(F.split(F.col("file"), "/"), -1)
+    parent = F.element_at(F.split(F.col("file"), "/"), -2)
+    table_name = F.when(base.startswith("part-"), parent).otherwise(
+        F.regexp_replace(base, r"\.parquet$", "")
+    )
+    # aggregate per logical table: the stamped dir may hold several
+    # part files in general (single-partition nation writes one; the
+    # sum/max spelling stays correct either way)
+    return (
+        md.withColumn("table_name", table_name)
+        .groupBy("table_name")
+        .agg(
+            F.sum("num_rows").alias("num_rows"),
+            F.sum("num_row_groups").cast("int").alias("num_row_groups"),
+            F.max("num_columns").cast("int").alias("num_columns"),
+            F.max(
+                F.get_json_object(
+                    F.col("key_value_metadata"), "$['engine.writer']"
+                )
+            ).alias("engine_writer"),
+        )
+    )
 
 
-@query("q_column_stats")
+_LI_NUM_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+_LI_STR_COLS = ("l_returnflag", "l_linestatus", "l_shipdate")
+_LI_PHYS = {
+    "l_orderkey": "INT64",
+    "l_partkey": "INT64",
+    "l_suppkey": "INT64",
+    "l_linenumber": "INT32",
+    "l_quantity": "DOUBLE",
+    "l_extendedprice": "DOUBLE",
+    "l_discount": "DOUBLE",
+    "l_tax": "DOUBLE",
+    "l_returnflag": "BYTE_ARRAY",
+    "l_linestatus": "BYTE_ARRAY",
+    "l_shipdate": "INT64",
+}
+
+
+def _column_stats_oracle() -> str:
+    """One branch per lineitem column: the footer's min/max/null_count
+    must equal the same aggregates computed FROM THE DATA — a real
+    cross-check of the stats the reader's row-group skipping trusts,
+    not a golden transcription.  physical_type is schema-pinned (the
+    q_schema_dump golden pattern); timestamps compare as their VARCHAR
+    spelling (identical '%Y-%m-%d %H:%M:%S' on both engines)."""
+    branches = []
+    for c in _LI_NUM_COLS:
+        branches.append(
+            f"SELECT '{c}' AS column_name, '{_LI_PHYS[c]}' AS physical_type,"
+            f" count(*) AS num_values,"
+            f" count(*) - count({c}) AS null_count,"
+            f" CAST(min({c}) AS DOUBLE) AS min_num,"
+            f" CAST(max({c}) AS DOUBLE) AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str,"
+            f" CAST(NULL AS VARCHAR) AS max_str"
+            f" FROM lineitem"
+        )
+    for c in _LI_STR_COLS:
+        branches.append(
+            f"SELECT '{c}', '{_LI_PHYS[c]}', count(*),"
+            f" count(*) - count({c}),"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            f" CAST(min({c}) AS VARCHAR), CAST(max({c}) AS VARCHAR)"
+            f" FROM lineitem"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@query("q_column_stats", oracle=_column_stats_oracle())
 def q_column_stats(spark, sf_dir):
-    """Per-column-chunk footer stats (min/max/null_count/sizes/
-    encodings) — the per-column sections of parquet_reader.cc's
-    DebugPrint (:63-72) and the inputs to row-group skipping.
-    Distributed footer reads via mapInPandas.  Rows-only (footer
-    internals aren't SQL-visible)."""
-    return parquet_io.column_stats(
+    """Per-column-chunk footer stats (min/max/null_count/num_values) —
+    the per-column sections of parquet_reader.cc's DebugPrint (:63-72)
+    and the inputs to row-group skipping.  Distributed footer reads
+    via mapInPandas.  Oracle (r8): the footer stats, aggregated across
+    row groups (min-of-mins / sum-of-counts — the multi-group-correct
+    rollup), must equal the same aggregates computed from the data by
+    the oracle engine; encodings/byte sizes stay in the operator and
+    tests/test_merge.py (writer-specific, not SQL-visible)."""
+    cs = parquet_io.column_stats(
         spark, os.path.join(sf_dir, "lineitem.parquet")
+    )
+    is_num = F.col("column").isin(*_LI_NUM_COLS)
+    return (
+        cs.groupBy(F.col("column").alias("column_name"))
+        .agg(
+            F.first("physical_type").alias("physical_type"),
+            F.sum("num_values").alias("num_values"),
+            F.sum("null_count").alias("null_count"),
+            F.min(
+                F.when(is_num, F.col("min_value").cast("double"))
+            ).alias("min_num"),
+            F.max(
+                F.when(is_num, F.col("max_value").cast("double"))
+            ).alias("max_num"),
+            # lexicographic min-of-mins is exact for strings, and ISO
+            # timestamp spellings sort chronologically
+            F.min(F.when(~is_num, F.col("min_value"))).alias("min_str"),
+            F.max(F.when(~is_num, F.col("max_value"))).alias("max_str"),
+        )
     )
 
 

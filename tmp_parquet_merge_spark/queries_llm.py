@@ -245,9 +245,33 @@ def q_dedup_editdist_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +
     Hamming ≤ 8 — all-JVM bit arithmetic, one shuffle.  Rows-only
-    (xxhash64 isn't reproducible in SQL)."""
-    return dedup.simhash_dedup_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    (xxhash64 isn't reproducible in SQL) — but each emitted pair now
+    carries its exact 3-gram shingle Jaccard (r8 quality metadata):
+    only the emitted pairs pay the verify join, and the rows-only
+    driver check sees that simhash collisions are genuinely similar
+    texts, not just that rows exist.  Jaccard-vs-hamming coupling is
+    floor-asserted in tests/test_llm_ops.py."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_dedup_pairs(
+        docs, "text", "doc_id", max_hamming=8
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        dedup.word_shingles(F.col("text"), 3).alias("__sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
     )
 
 
@@ -381,11 +405,23 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     — stay O(n); a fixed layout measured 25x slower on 5x the vectors
     in the r6 scale sweep.  Rows-only: recall < 1 by the LSH S-curve,
     so the output is a strict subset of the exact twin
-    q_dedup_embedding — subset + recall floor asserted in
+    q_dedup_embedding — but every row now carries the MEASURED
+    pair_recall vs that twin (r8): LSH pairs are verified with the
+    same exact cosine, so |lsh| / |exact| IS the recall, and the
+    rows-only driver check sees it as a column.  Floor asserted in
     tests/test_llm_ops.py."""
-    return similarity.embedding_dedup_pairs_lsh(
-        t(spark, sf_dir, "embeddings"), threshold=0.4
+    emb = t(spark, sf_dir, "embeddings")
+    lsh = similarity.embedding_dedup_pairs_lsh(
+        emb, threshold=0.4
+    ).localCheckpoint(eager=False)
+    n_exact = similarity.embedding_dedup_pairs(emb, threshold=0.4).agg(
+        F.count(F.lit(1)).alias("__n_exact")
     )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("__n_lsh"))
+    rec = n_lsh.crossJoin(n_exact).select(
+        F.round(F.col("__n_lsh") / F.col("__n_exact"), 4).alias("pair_recall")
+    )
+    return lsh.crossJoin(F.broadcast(rec))
 
 
 # ---------------------------------------------------------------------------
@@ -533,12 +569,34 @@ def q_kmeans(spark, sf_dir):
 
 @query("q_ann_ivf")
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN: corpus assigned to nearest of 16 deterministic
+    """IVF ANN: corpus assigned to nearest of 16 k-means-fitted
     centroids, queries probe their 4 nearest cells.  Rows-only
-    (approximate by design)."""
+    (approximate by design) — but the output carries MEASURED quality
+    (r8, the q_kmeans fit-metadata pattern): recall_at_k per query vs
+    the exact brute-force twin, so the rows-only driver check sees
+    answer quality, not just opaque row counts.  The exact pass is
+    the verify stage (broadcast queries, one corpus matmul pass) —
+    the standard recall-evaluation harness an ANN index ships with;
+    at corpus scale it runs on the same sampled query set."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 5), n_cells=16, n_probe=4, k=10
+    q = e.filter(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(e, q, n_cells=16, n_probe=4, k=10)
+    ivf = ivf.localCheckpoint(eager=False)
+    exact = similarity.brute_force_topk(e, q, k=10).select("q_vec", "n_vec")
+    hits = exact.join(
+        ivf.select("q_vec", "n_vec").withColumn("__hit", F.lit(1)),
+        ["q_vec", "n_vec"],
+        "left",
+    )
+    rec = hits.groupBy("q_vec").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_at_k")
+    )
+    return ivf.join(F.broadcast(rec), "q_vec").select(
+        "q_vec", "n_vec", "sim", "recall_at_k"
     )
 
 

@@ -43,17 +43,33 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
+# The oldest evidence round being drained this round: the r8 window
+# spends its changed slots then the r3 cohort then fills from r4
+# (r7 verdict "Next round" #3) — bump as older cohorts drain away.
+DRAIN_FRONTIER = 4
+
+
 def test_named_evidence_debts_lead():
-    # r6 verdict "Next round" #1: the round-7 window is PINNED to the
-    # evidence-freshness tail — every pinned entry is either changed
-    # this round (must re-queue) or carries stale (round ≤ 3) driver
-    # evidence being drained oldest-first.
+    # the window is PINNED to the evidence-freshness tail — every
+    # pinned entry is either changed this round (must re-queue) or
+    # carries stale (round ≤ frontier) driver evidence being drained
+    # oldest-first.
     assert tuple(REGISTRY)[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     for n in _DRIVER_FIRST:
-        stale = _EVIDENCE_ROUND.get(n, 0) <= 3
+        stale = _EVIDENCE_ROUND.get(n, 0) <= DRAIN_FRONTIER
         assert n in _CHANGED_THIS_ROUND or stale, (
             f"{n} has fresh evidence (r{_EVIDENCE_ROUND.get(n)}) and is "
             "unchanged — drop it from _DRIVER_FIRST"
+        )
+    # and the frontier is tight: no UNCHANGED query with evidence
+    # older than the frontier is left outside the pinned prefix
+    for n, q in REGISTRY.items():
+        if n in _DRIVER_FIRST or n in _CHANGED_THIS_ROUND:
+            continue
+        r = _EVIDENCE_ROUND.get(n, 0)
+        assert r > DRAIN_FRONTIER or r == 0, (
+            f"{n} (evidence r{r}) is staler than the drain frontier but "
+            "not pinned in _DRIVER_FIRST"
         )
 
 

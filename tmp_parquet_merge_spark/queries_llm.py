@@ -256,27 +256,45 @@ def q_dedup_simhash(spark, sf_dir):
     only the emitted pairs pay the verify join, and the rows-only
     driver check sees that simhash collisions are genuinely similar
     texts, not just that rows exist.  Jaccard-vs-hamming coupling is
-    floor-asserted in tests/test_llm_ops.py."""
+    floor-asserted in tests/test_llm_ops.py.
+
+    The verify rides the codegen shingle path (dedup.shingle_rows
+    explode → join → hash-agg counts), NOT the array-column form —
+    word_shingles' interpreted transform + O(len²) array_distinct per
+    doc measured a 2.8 s → 7.3 s isolated regression at sf0.1 (caught
+    by the r8 bench watchlist) before this spelling replaced it."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.simhash_dedup_pairs(
         docs, "text", "doc_id", max_hamming=8
+    ).localCheckpoint(eager=False)
+    sh = dedup.shingle_rows(docs, "text", "doc_id", n=3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
-    sh = docs.select(
-        F.col("doc_id"),
-        dedup.word_shingles(F.col("text"), 3).alias("__sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("__n").alias("__nb"))
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "hamming",
-            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+            F.round(
+                F.coalesce(F.col("__i"), F.lit(0))
+                / (
+                    F.col("__na")
+                    + F.col("__nb")
+                    - F.coalesce(F.col("__i"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
         )
     )
 

@@ -333,6 +333,28 @@ def test_ann_ivf_query_emits_consistent_recall_metadata(spark, sf_dir):
     assert mean >= 0.5, mean  # measured 0.86 (sf0.001) / 0.84 (sf0.01)
 
 
+def test_ann_pq_query_emits_consistent_recall_metadata(spark, sf_dir):
+    """q_ann_pq's recall_at_k column: equals the recall recomputed
+    against brute force, clears the pq floor (same contract as
+    q_ann_ivf's)."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_ann_pq"].build(spark, sf_dir).collect()
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in similarity.brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r.q_vec, set()).add(r.n_vec)
+    got, claimed = {}, {}
+    for r in rows:
+        got.setdefault(r.q_vec, set()).add(r.n_vec)
+        claimed[r.q_vec] = r.recall_at_k
+    for qv, nset in got.items():
+        true_recall = len(nset & exact[qv]) / len(exact[qv])
+        assert abs(claimed[qv] - true_recall) < 1e-3, (qv, claimed[qv], true_recall)
+    assert sum(claimed.values()) / len(claimed) >= 0.5  # the pq floor
+
+
 def test_dedup_embedding_lsh_query_emits_pair_recall(spark, sf_dir):
     """q_dedup_embedding_lsh's pair_recall column: LSH output is a
     verified subset of the exact twin, so |lsh|/|exact| is the true

@@ -1573,8 +1573,9 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_merge_incremental",
         # r8 quality-metadata columns (recall_at_k / pair_recall /
         # per-pair jaccard) change these rows-only queries' outputs —
-        # their r3/r6/r7 rows evidence no longer certifies the code
+        # their r3/r4/r6/r7 rows evidence no longer certifies the code
         "q_ann_ivf",
+        "q_ann_pq",
         "q_dedup_embedding_lsh",
         "q_dedup_simhash",
     }

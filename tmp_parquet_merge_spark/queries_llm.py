@@ -1658,10 +1658,31 @@ def q_ann_pq(spark, sf_dir):
     family next to LSH and IVF — PQ is the one whose index state
     (codes) is ~64× smaller than the vectors, the property that
     matters when the corpus is 100 TB.  Rows-only (approximate by
-    design); the local test pins recall vs brute force."""
+    design: 4-byte codes buy compression, not exactness — bundled
+    recall ~0.5–0.7, floor-pinned in tests) — and, like q_ann_ivf,
+    the output stamps MEASURED per-query recall_at_k vs the exact
+    brute-force twin (r8), so the rows-only driver check sees answer
+    quality, not just row counts."""
     e = t(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(
-        e, e.filter(F.col("vec_id") < 5), m=4, ksub=16, k=10
+    q = e.filter(F.col("vec_id") < 5)
+    pq_df = similarity.pq_topk(e, q, m=4, ksub=16, k=10).localCheckpoint(
+        eager=False
+    )
+    exact = similarity.brute_force_topk(e, q, k=10).select("q_vec", "n_vec")
+    hits = exact.join(
+        pq_df.select("q_vec", "n_vec").withColumn("__hit", F.lit(1)),
+        ["q_vec", "n_vec"],
+        "left",
+    )
+    rec = hits.groupBy("q_vec").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_at_k")
+    )
+    return pq_df.join(F.broadcast(rec), "q_vec").select(
+        "q_vec", "n_vec", "sim", "recall_at_k"
     )
 
 

@@ -206,9 +206,10 @@ def test_ann_lsh_exact_twin_at_driver_sf(spark):
 
 def test_ann_lsh_recall_floor_at_bench_sf(spark):
     """Recall ≥ 0.9 at sf0.1 (2000 uniform-random vectors — the SRP
-    worst case; measured 0.92 at the 256-bit/200-candidate default).
-    The floor the r7 verdict asked to pin; equality is NOT promised
-    here, only at the oracle tiers above."""
+    worst case).  The 512-bit/300-candidate default actually measures
+    1.0 here (check_oracle passes at sf0.1 too); this floor is the
+    graceful-degradation CONTRACT, deliberately looser than today's
+    measurement so knob tuning has room without dishonesty."""
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
     exact = {

@@ -431,8 +431,8 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 10,
-    nbits: int = 256,
-    overfetch: int = 200,
+    nbits: int = 512,
+    overfetch: int = 300,
     round_to: int = 6,
     query_cap: int = 1024,
 ) -> DataFrame:
@@ -441,8 +441,8 @@ def ann_topk(
 
     Stage 1 ranks the corpus by Hamming distance between ``nbits``-bit
     sign-random-projection sketches (one batch matmul: the sketch is
-    ``nbits/8`` bytes/vector — 8× smaller than the raw 64-float vector
-    at the 256-bit default — so the candidate scan touches a fraction
+    ``nbits/8`` bytes/vector — 4× smaller than the raw 64-float vector
+    at the 512-bit default — so the candidate scan touches a fraction
     of the bytes a brute-force pass reads) and keeps the ``overfetch``
     closest ids per query, pruned per Arrow batch so only
     O(batches × |Q| × overfetch) int triples ever leave the scan.
@@ -458,8 +458,9 @@ def ann_topk(
     corpora (real embedding data) small over-fetch is enough; on
     UNstructured uniform-random vectors (the SRP worst case, and what
     the bundled table is) recall is governed by overfetch and nbits —
-    the 256-bit/200-candidate default measures recall 1.0 at sf0.001/
-    sf0.01 and ≥0.9 at sf0.1.  Banded bucket joins
+    the 512-bit/300-candidate default measures recall 1.0 at EVERY
+    bundled tier (sf0.001/sf0.01/sf0.1; exact already at 512/200 and
+    384/300, so both knobs carry margin).  Banded bucket joins
     (:func:`lsh_bucket_candidates`) remain the right tool for the
     high-similarity pair-mining regime (embedding near-dedup), but for
     top-k at moderate cosine they cannot separate signal from noise

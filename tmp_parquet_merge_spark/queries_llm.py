@@ -567,12 +567,14 @@ def q_knn_classify(spark, sf_dir):
 @query(
     "q_ann_lsh",
     # Exact-twin oracle (r8, the dedup-LSH conversion pattern): the
-    # 256-bit SRP sketch + 200-candidate over-fetch + exact re-rank
-    # covers the true top-10 on the bundled corpora (recall 1.0 at
-    # sf0.001 AND sf0.01, pinned in tests/test_llm_ops.py), so the
-    # approximate path's output is row-identical to the brute-force
-    # SQL below.  On data where over-fetch misses, the pinned recall
-    # floor (≥0.9 at sf0.1) is the honest contract — see ann_topk.
+    # 512-bit SRP sketch + 300-candidate over-fetch + exact re-rank
+    # covers the true top-10 on EVERY bundled corpus (recall 1.0 at
+    # sf0.001, sf0.01 AND sf0.1, pinned in tests/test_llm_ops.py — the
+    # 256/200 first cut was exact only at the two oracle tiers and
+    # failed check_oracle at sf0.1), so the approximate path's output
+    # is row-identical to the brute-force SQL below at every tier the
+    # parity tools run.  On data where over-fetch misses, recall
+    # degrades gracefully — see ann_topk's honest-recall note.
     oracle=f"""
         WITH q AS (SELECT vec_id AS q_vec, embedding AS q_emb
                    FROM embeddings WHERE vec_id < 5),
@@ -596,12 +598,12 @@ def q_ann_lsh(spark, sf_dir):
     re-rank (similarity.ann_topk).  Replaces the r7 banded form whose
     4×4-bit bands measured 25/50 missed pairs — banding cannot
     separate cos 0.3 signal from cos 0.0 noise; sketch RANKING uses
-    all 256 bits and can.  Oracle: brute-force exact twin (candidate
+    all 512 bits and can.  Oracle: brute-force exact twin (candidate
     cover pinned in tests makes the approximate output identical)."""
     e = t(spark, sf_dir, "embeddings")
     return similarity.ann_topk(
-        e, e.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=256,
-        overfetch=200,
+        e, e.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=512,
+        overfetch=300,
     )
 
 

@@ -172,7 +172,7 @@ def test_brute_force_topk_shape_and_selfexclusion(spark, emb):
 
 def test_ann_lsh_exact_twin_on_bundled_corpus(spark, emb):
     """The q_ann_lsh oracle-equality contract (r8): at the default
-    256-bit sketch / 200-candidate over-fetch, the candidate set
+    512-bit sketch / 300-candidate over-fetch, the candidate set
     covers the true top-10 on the bundled embeddings, so ann_topk is
     ROW-IDENTICAL to brute force — ids AND rounded sims.  A miss here
     means the exact-twin SQL oracle would hash-fail on the driver."""

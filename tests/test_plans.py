@@ -108,15 +108,18 @@ def test_embedding_lsh_dedup_avoids_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in op_tree
     assert "BroadcastNestedLoopJoin" not in op_tree
 
-    # the registered query's extra joins (the |lsh|×|exact| recall
-    # ratio and its stamp onto the rows) are 1-row-aggregate broadcasts
-    # by construction — every nested-loop build side must be broadcast,
-    # and the unbounded pair generator stays equi-join (checked above)
+    # the registered query's ONE extra join (the 1-row pair_recall
+    # stamp onto the rows) is a 1-row-aggregate broadcast by
+    # construction; the unbounded pair generator stays equi-join
+    # (checked above).  plan_tree lists each physical operator exactly
+    # once, so count nested-loop TREE LINES and cap at the stamp's 1 —
+    # a reintroduced all-pairs generator adds a second node and fails.
     q_tree = plan_tree(build("q_dedup_embedding_lsh", spark, sf_dir))
     assert "CartesianProduct" not in q_tree
-    for line in q_tree.splitlines():
-        if "BroadcastNestedLoopJoin" in line and "(" in line:
-            assert "BuildRight" in line or "BuildLeft" in line, line
+    bnlj_lines = [
+        ln for ln in q_tree.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(bnlj_lines) == 1, q_tree  # exactly the pair_recall stamp
 
 
 def test_tpch_q6_filters_all_pushed(spark, sf_dir):

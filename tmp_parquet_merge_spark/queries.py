@@ -576,8 +576,13 @@ def q_metadata_stats(spark, sf_dir):
     md = parquet_io.metadata_stats(spark, sf_dir, stamped)
     base = F.element_at(F.split(F.col("file"), "/"), -1)
     parent = F.element_at(F.split(F.col("file"), "/"), -2)
-    table_name = F.when(base.startswith("part-"), parent).otherwise(
-        F.regexp_replace(base, r"\.parquet$", "")
+    # dir-shaped tables: …/nation.parquet/part-* names the TABLE by
+    # its parent dir — strip the suffix there too, so single-file and
+    # Spark-written layouts roll up under the same logical name
+    table_name = F.regexp_replace(
+        F.when(base.startswith("part-"), parent).otherwise(base),
+        r"\.parquet$",
+        "",
     )
     # aggregate per logical table: the stamped dir may hold several
     # part files in general (single-partition nation writes one; the
@@ -1563,7 +1568,7 @@ _CHANGED_THIS_ROUND = frozenset(
         # rows evidence certifies a contract that no longer exists —
         # fold_evidence already dropped it, listing them here pins
         # their window slot):
-        #  * q_ann_lsh — ann_topk rewritten (256-bit SRP sketch
+        #  * q_ann_lsh — ann_topk rewritten (512-bit SRP sketch
         #    ranking + over-fetch + exact re-rank), exact-twin oracle
         "q_ann_lsh",
         #  * footer-fact invariant oracles over reshaped outputs
@@ -1592,8 +1597,8 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-8 window plan (r7 verdict, "Next round" #3): the 8 changed
-# queries first (5 oracle conversions + 3 quality-metadata reshapes —
+# Round-8 window plan (r7 verdict, "Next round" #3): the 9 changed
+# queries first (5 oracle conversions + 4 quality-metadata reshapes —
 # they must re-queue under the evidence-certifies-the-code rule), then
 # the stale cohort oldest round first: the 24 remaining r3-evidence
 # queries (22 hash + q_agg_sketch/q_hll_rollup rows-only), then the r4

@@ -433,7 +433,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     pair_recall vs that twin (r8): LSH pairs are verified with the
     same exact cosine, so |lsh ∩ probe| / |exact ∩ probe| IS the
     recall on the probe.  The measurement runs on a FIXED-SIZE probe
-    set (lowest {_RECALL_PROBE} ids) so the exact side is O(probe²)
+    set (lowest 500 ids, _RECALL_PROBE) so the exact side is O(probe²)
     regardless of corpus size — stamping recall must never
     re-introduce the all-pairs cost the LSH path exists to avoid (the
     first r8 spelling did, and measurably hung the 25× stress).  On
@@ -458,9 +458,8 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         .toPandas()
     )
     X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    nrm = np.linalg.norm(X, axis=1, keepdims=True)
-    nrm[nrm == 0.0] = 1.0
-    S = np.round((X / nrm) @ (X / nrm).T, 6)
+    Xn = X / similarity._safe_norm(X)
+    S = np.round(Xn @ Xn.T, 6)
     iu = np.triu_indices(len(X), k=1)
     n_exact = int((S[iu] >= 0.4).sum())
     # numerator stays lazy: both branches read the one localCheckpoint
@@ -593,8 +592,8 @@ def q_knn_classify(spark, sf_dir):
     """,
 )
 def q_ann_lsh(spark, sf_dir):
-    """Approximate top-k via SRP sketches: 256-bit signatures ranked
-    by Hamming distance, 200-candidate over-fetch, exact cosine
+    """Approximate top-k via SRP sketches: 512-bit signatures ranked
+    by Hamming distance, 300-candidate over-fetch, exact cosine
     re-rank (similarity.ann_topk).  Replaces the r7 banded form whose
     4×4-bit bands measured 25/50 missed pairs — banding cannot
     separate cos 0.3 signal from cos 0.0 noise; sketch RANKING uses
@@ -620,6 +619,29 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def _stamp_recall_at_k(approx, exact):
+    """Join-back quality stamp shared by the approximate-ANN queries:
+    per-query recall of ``approx`` vs the ``exact`` twin's (q_vec,
+    n_vec) pairs, rounded to 4, broadcast onto every approx row as
+    ``recall_at_k``.  ``approx`` should be localCheckpoint'd by the
+    caller so the pipeline isn't re-run for the stamp branch."""
+    hits = exact.select("q_vec", "n_vec").join(
+        approx.select("q_vec", "n_vec").withColumn("__hit", F.lit(1)),
+        ["q_vec", "n_vec"],
+        "left",
+    )
+    rec = hits.groupBy("q_vec").agg(
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall_at_k")
+    )
+    return approx.join(F.broadcast(rec), "q_vec").select(
+        "q_vec", "n_vec", "sim", "recall_at_k"
+    )
+
+
 @query("q_ann_ivf")
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: corpus assigned to nearest of 16 k-means-fitted
@@ -634,22 +656,9 @@ def q_ann_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     ivf = similarity.ivf_topk(e, q, n_cells=16, n_probe=4, k=10)
-    ivf = ivf.localCheckpoint(eager=False)
-    exact = similarity.brute_force_topk(e, q, k=10).select("q_vec", "n_vec")
-    hits = exact.join(
-        ivf.select("q_vec", "n_vec").withColumn("__hit", F.lit(1)),
-        ["q_vec", "n_vec"],
-        "left",
-    )
-    rec = hits.groupBy("q_vec").agg(
-        F.round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("recall_at_k")
-    )
-    return ivf.join(F.broadcast(rec), "q_vec").select(
-        "q_vec", "n_vec", "sim", "recall_at_k"
+    return _stamp_recall_at_k(
+        ivf.localCheckpoint(eager=False),
+        similarity.brute_force_topk(e, q, k=10),
     )
 
 
@@ -1685,24 +1694,11 @@ def q_ann_pq(spark, sf_dir):
     quality, not just row counts."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    pq_df = similarity.pq_topk(e, q, m=4, ksub=16, k=10).localCheckpoint(
-        eager=False
-    )
-    exact = similarity.brute_force_topk(e, q, k=10).select("q_vec", "n_vec")
-    hits = exact.join(
-        pq_df.select("q_vec", "n_vec").withColumn("__hit", F.lit(1)),
-        ["q_vec", "n_vec"],
-        "left",
-    )
-    rec = hits.groupBy("q_vec").agg(
-        F.round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("recall_at_k")
-    )
-    return pq_df.join(F.broadcast(rec), "q_vec").select(
-        "q_vec", "n_vec", "sim", "recall_at_k"
+    return _stamp_recall_at_k(
+        similarity.pq_topk(e, q, m=4, ksub=16, k=10).localCheckpoint(
+            eager=False
+        ),
+        similarity.brute_force_topk(e, q, k=10),
     )
 
 

@@ -110,6 +110,13 @@ def test_sketch_aggs_within_error_bounds(spark, sf_dir):
         assert abs(sk.approx_parts - ex.nd) / ex.nd < 0.1
         # GK sketch with accuracy 10000 is near-exact at this scale
         assert abs(sk.p50_sketch - ex.p50) / ex.p50 < 0.05
+        # r8 quality columns: the emitted exact twin and rel_err must
+        # EQUAL this independent recomputation (driver-visible truth)
+        assert sk.exact_parts == ex.nd
+        assert abs(
+            sk.distinct_rel_err - abs(sk.approx_parts - ex.nd) / ex.nd
+        ) < 1e-3
+        assert sk.distinct_rel_err < 0.1
 
 
 def test_upsert_semantics(spark):

@@ -240,10 +240,7 @@ def test_copurchase_topk_is_heap_not_global_sort(spark, sf_dir):
 def test_hll_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
     from tmp_parquet_merge_spark.registry import t
 
-    approx = {
-        r.event_type: r.approx_users
-        for r in build("q_hll_rollup", spark, sf_dir).collect()
-    }
+    rows = {r.event_type: r for r in build("q_hll_rollup", spark, sf_dir).collect()}
     exact = {
         r.event_type: r.n
         for r in t(spark, sf_dir, "events")
@@ -251,9 +248,16 @@ def test_hll_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    assert set(rows) == set(exact)
+    for k, r in rows.items():
+        assert abs(r.approx_users - exact[k]) / exact[k] < 0.05, (k, r)
+        # r8 quality columns: emitted exact twin + rel_err must equal
+        # this independent recomputation
+        assert r.exact_users == exact[k]
+        assert abs(
+            r.rel_err - abs(r.approx_users - exact[k]) / exact[k]
+        ) < 1e-3
+        assert r.rel_err < 0.05
 
 
 # ---------------------------------------------------------------------------

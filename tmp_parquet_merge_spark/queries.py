@@ -1583,6 +1583,11 @@ _CHANGED_THIS_ROUND = frozenset(
         "q_ann_pq",
         "q_dedup_embedding_lsh",
         "q_dedup_simhash",
+        # sketch accuracy now emitted as exact-twin + rel_err columns —
+        # the same contract change, so the last two quality-blind
+        # rows-only queries re-queue as well
+        "q_agg_sketch",
+        "q_hll_rollup",
     }
 )
 

@@ -119,21 +119,36 @@ def q_agg_sketch(spark, sf_dir):
     are the verify stage: at open scale they drop and only the sketch
     columns remain (which is the whole point of the sketches)."""
     li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # THREE separate grouped aggregates joined on the (3-row) group
+    # key, NOT one combined agg: countDistinct forces an Expand, and
+    # exact percentile over the expanded rows degrades the whole
+    # aggregate to a spilling sort path — the combined spelling
+    # measured 9–14 s at sf0.1 (flagged REGRESSION by the r8 bench
+    # watchlist) vs ~2 s for this shape, where each aggregate keeps
+    # its own optimal strategy and the joins are 3-row broadcasts.
+    ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_sketch"),
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_exact"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_sketch"),
+    )
+    cd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_exact"),
         F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99_exact"),
     )
-    return agg.withColumn(
-        "distinct_rel_err",
-        F.round(
-            F.abs(F.col("approx_parts") - F.col("exact_parts"))
-            / F.col("exact_parts"),
-            4,
-        ),
+    return (
+        ap.join(cd, "l_returnflag")
+        .join(pct, "l_returnflag")
+        .withColumn(
+            "distinct_rel_err",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                4,
+            ),
+        )
     )
 
 

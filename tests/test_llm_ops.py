@@ -1081,3 +1081,30 @@ def test_avg_word_len_closed_form_matches_hof(spark):
     assert df.filter(hof != closed).count() == 0
     stats = {r.id: r.avg_word_len for r in text.text_stats(df, "text", "id").collect()}
     assert stats[4] == 3.0 and stats[2] == 0.0
+
+
+def test_simhash_query_keeps_pairs_with_empty_shingle_sets(spark, tmp_path):
+    """The jaccard quality stamp must never drop pairs the simhash
+    operator found (r8 advice): a whitespace-only doc has a simhash
+    signature (can collide) but zero 3-gram shingles, so it has no row
+    in the sizes relation — an inner join there silently removed its
+    pairs. Pinned: empty-shingle collisions survive with jaccard 0.0,
+    and normal identical docs still stamp jaccard 1.0."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "   ", "en"),
+            (2, " \t ", "en"),
+            (3, "the quick brown fox jumps over the lazy dog", "en"),
+            (4, "the quick brown fox jumps over the lazy dog", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["q_dedup_simhash"].build(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert (1, 2) in got, got  # identical (empty) signatures collide
+    assert got[(1, 2)] == 0.0
+    assert (3, 4) in got, got
+    assert got[(3, 4)] == 1.0

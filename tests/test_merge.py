@@ -409,3 +409,24 @@ def test_kv_stamp_repeated_latest_wins(spark, tmp_path):
     import duckdb
 
     assert duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{f}')").fetchone()[0] == 10
+
+
+def test_column_stats_query_canonicalizes_signed_zero(spark):
+    """q_column_stats hash-failed in the r8 driver: lineitem's footer
+    min for l_discount/l_tax is -0.0 while the data-side oracle min()
+    is 0.0, and the driver hashes '-0.0' != '0.0'. The query now adds
+    +0.0 to min_num/max_num, so no emitted numeric ever formats with a
+    negative zero sign. Pinned at sf0.01 where the mismatch reproduced."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_column_stats"].build(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        for v in (r.min_num, r.max_num):
+            if v is not None:
+                assert f"{v:.6g}" != "-0", (r.column_name, v)
+    # and the columns that triggered r8's failure are present + zero-min
+    mins = {r.column_name: r.min_num for r in rows}
+    assert mins["l_discount"] == 0.0 and str(mins["l_discount"])[0] != "-"

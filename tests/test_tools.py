@@ -312,8 +312,9 @@ def test_check_oracle_guards_args():
             co_main()
     finally:
         _sys.argv = argv
-    # -0.0 must normalize identically to 0.0 (sign-of-zero differences
-    # between Spark's and DuckDB's accumulation order are not value
-    # mismatches)
-    assert norm_cell(-0.0) == norm_cell(0.0) == "0"
-    assert norm_cell([-0.0, 1.5]) == norm_cell([0.0, 1.5])
+    # -0.0 must NOT be masked: the round driver hashes '-0.0' != '0.0'
+    # (q_column_stats hash-failed in r8 while the masked local gates
+    # passed), so the local normalizers must surface sign-of-zero
+    # differences and queries must canonicalize them at the source.
+    assert norm_cell(-0.0) != norm_cell(0.0)
+    assert norm_cell([-0.0, 1.5]) != norm_cell([0.0, 1.5])

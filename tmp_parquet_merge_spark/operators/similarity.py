@@ -511,8 +511,12 @@ def ann_topk(
     cand = grouped_top_k(
         cand, ["q_vec"], [F.col("hamm").asc(), F.col("n_vec")], int(overfetch)
     ).select("q_vec", "n_vec")
+    # Plain Python ints/floats, NOT numpy scalars: Spark's non-Arrow
+    # createDataFrame fallback rejects numpy.float64 inside array<double>
+    # (PySparkTypeError FIELD_DATA_TYPE_UNACCEPTABLE — crashed the r8
+    # correctness driver), and whether Arrow engages is config-dependent.
     qe = corpus.sparkSession.createDataFrame(
-        pd.DataFrame({"q_vec": q_ids, "q_emb": list(Qn)}),
+        pd.DataFrame({"q_vec": q_ids.tolist(), "q_emb": Qn.tolist()}),
         schema="q_vec long, q_emb array<double>",
     )
     ne = corpus.select(

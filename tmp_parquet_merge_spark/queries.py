@@ -679,11 +679,17 @@ def q_column_stats(spark, sf_dir):
             F.first("physical_type").alias("physical_type"),
             F.sum("num_values").alias("num_values"),
             F.sum("null_count").alias("null_count"),
-            F.min(
-                F.when(is_num, F.col("min_value").cast("double"))
+            # + 0.0 canonicalizes IEEE signed zero: parquet footers may
+            # record -0.0 as a double min while the data-side oracle's
+            # min() is 0.0, and the driver hashes '-0.0' != '0.0'
+            # (hash-failed in the r8 driver on l_discount/l_tax).
+            (
+                F.min(F.when(is_num, F.col("min_value").cast("double")))
+                + F.lit(0.0)
             ).alias("min_num"),
-            F.max(
-                F.when(is_num, F.col("max_value").cast("double"))
+            (
+                F.max(F.when(is_num, F.col("max_value").cast("double")))
+                + F.lit(0.0)
             ).alias("max_num"),
             # lexicographic min-of-mins is exact for strings, and ISO
             # timestamp spellings sort chronologically

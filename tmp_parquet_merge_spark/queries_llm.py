@@ -278,23 +278,30 @@ def q_dedup_simhash(spark, sf_dir):
     )
     na = sizes.select(F.col("doc").alias("doc_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("doc").alias("doc_b"), F.col("__n").alias("__nb"))
+    # left-join the sizes too: a doc with zero 3-gram shingles (empty /
+    # whitespace-only text) still gets a simhash signature and can
+    # collide, but has no `sizes` row — an inner join here would
+    # silently drop the operator's pair instead of stamping it.  The
+    # quality stamp must never remove pairs simhash found (r8 advice);
+    # empty-shingle pairs get jaccard 0.0 via the zero-denominator guard.
+    union_sz = (
+        F.coalesce(F.col("__na"), F.lit(0))
+        + F.coalesce(F.col("__nb"), F.lit(0))
+        - F.coalesce(F.col("__i"), F.lit(0))
+    )
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        .join(na, "doc_a", "left")
+        .join(nb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
             "hamming",
-            F.round(
-                F.coalesce(F.col("__i"), F.lit(0))
-                / (
-                    F.col("__na")
-                    + F.col("__nb")
-                    - F.coalesce(F.col("__i"), F.lit(0))
-                ),
-                6,
-            ).alias("jaccard"),
+            F.when(union_sz <= 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.coalesce(F.col("__i"), F.lit(0)) / union_sz, 6)
+            )
+            .alias("jaccard"),
         )
     )
 

@@ -24,8 +24,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0:
-            v = 0.0  # -0.0 == 0.0 but formats as "-0": a false FAIL
+        # NO -0.0 masking: the round driver hashes '-0.0' != '0.0', so a
+        # local gate that unifies them hides real driver failures (it hid
+        # q_column_stats' footer -0.0 in r8). Queries must canonicalize
+        # signed zero themselves (add F.lit(0.0) to the expression).
         return f"{v:.10g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()

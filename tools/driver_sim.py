@@ -54,8 +54,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0:
-            v = 0.0  # -0.0 == 0.0 but formats as "-0": a false FAIL
+        # NO -0.0 normalization: the real driver hashes '-0.0' != '0.0'
+        # (q_column_stats hash-failed in r8 while this preflight passed
+        # because it used to mask signed zero). Queries must canonicalize
+        # signed zero themselves; the gate must match the driver.
         return f"{v:.6g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()

@@ -43,10 +43,10 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r8 window
-# spends its changed slots then the r3 cohort then fills from r4
-# (r7 verdict "Next round" #3) — bump as older cohorts drain away.
-DRAIN_FRONTIER = 4
+# The oldest evidence round being drained this round: the r9 window
+# spends its 3 changed slots then the r4 cohort then fills from r5 —
+# bump as older cohorts drain away.
+DRAIN_FRONTIER = 5
 
 
 def test_named_evidence_debts_lead():

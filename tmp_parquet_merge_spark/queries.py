@@ -1345,48 +1345,7 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    3: (
-        "q_collocations",
-        "q_dedup_embedding",
-        "q_dedup_prefix",
-        "q_entropy",
-        "q_interleave_sources",
-        "q_lm_score",
-        "q_media_dedup",
-        "q_media_metadata",
-        "q_mix_rebalance",
-        "q_ngram_freq",
-        "q_pack_sequences",
-        "q_pivot",
-        "q_sample_reservoir",
-        "q_sample_weighted",
-        "q_scalar_json",
-        "q_scalar_map",
-        "q_source_overlap",
-        "q_sql_exists",
-        "q_vector_norm",
-        "q_vocab",
-        "q_window_running",
-        "q_window_tumbling",
-    ),
     4: (
-        "q_anomaly_mad",
-        "q_anomaly_zscore",
-        "q_cdc_apply",
-        "q_ewma",
-        "q_funnel",
-        "q_gapfill",
-        "q_novelty",
-        "q_props_parse",
-        "q_quantile_norm",
-        "q_resample_ffill",
-        "q_retention_cohort",
-        "q_rolling_median",
-        "q_salted_agg",
-        "q_scd2_build",
-        "q_sessionize",
-        "q_sql_tpch_q1",
-        "q_sql_tpch_q10",
         "q_sql_tpch_q11",
         "q_sql_tpch_q12",
         "q_sql_tpch_q13",
@@ -1535,23 +1494,64 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_ntile",
         "q_window_session",
     ),
+    8: (
+        "q_anomaly_mad",
+        "q_anomaly_zscore",
+        "q_cdc_apply",
+        "q_collocations",
+        "q_dedup_embedding",
+        "q_dedup_prefix",
+        "q_entropy",
+        "q_ewma",
+        "q_funnel",
+        "q_gapfill",
+        "q_interleave_sources",
+        "q_lm_score",
+        "q_media_dedup",
+        "q_media_metadata",
+        "q_merge_compaction",
+        "q_merge_incremental",
+        "q_metadata_stats",
+        "q_mix_rebalance",
+        "q_ngram_freq",
+        "q_novelty",
+        "q_pack_sequences",
+        "q_pivot",
+        "q_props_parse",
+        "q_quantile_norm",
+        "q_resample_ffill",
+        "q_retention_cohort",
+        "q_rolling_median",
+        "q_salted_agg",
+        "q_sample_reservoir",
+        "q_sample_weighted",
+        "q_scalar_json",
+        "q_scalar_map",
+        "q_scd2_build",
+        "q_sessionize",
+        "q_source_overlap",
+        "q_sql_exists",
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q10",
+        "q_vector_norm",
+        "q_vocab",
+        "q_window_running",
+        "q_window_tumbling",
+    ),
 }
+
 _ROWS_SEEN_BY_ROUND = {
-    3: (
-        "q_agg_sketch",
-        "q_dedup_simhash",
-        "q_hll_rollup",
-    ),
-    4: (
-        "q_ann_pq",
-    ),
-    6: (
-        "q_dedup_embedding_lsh",
-    ),
     7: (
-        "q_ann_ivf",
         "q_dedup_semantic",
         "q_kmeans",
+    ),
+    8: (
+        "q_agg_sketch",
+        "q_ann_ivf",
+        "q_ann_pq",
+        "q_dedup_embedding_lsh",
+        "q_dedup_simhash",
+        "q_hll_rollup",
     ),
 }
 
@@ -1564,36 +1564,27 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 8) and therefore re-queued regardless
-# of past evidence.  (The r7 change set is fully folded above: every
-# member re-evidenced in CORRECTNESS_r07 — 43 hash-green + 7
-# rows-only, zero errors.)
+# Changed in THIS round (round 9) and therefore re-queued regardless
+# of past evidence.  (The r8 change set is folded above: 9 of its 11
+# members re-evidenced in CORRECTNESS_r08 — the two that FAILED there,
+# q_ann_lsh (numpy-frame crash) and q_column_stats (signed-zero hash
+# mismatch), were fixed this round and re-queue below.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r8 oracle conversions (rows-only → hash-compared; their old
-        # rows evidence certifies a contract that no longer exists —
-        # fold_evidence already dropped it, listing them here pins
-        # their window slot):
-        #  * q_ann_lsh — ann_topk rewritten (512-bit SRP sketch
-        #    ranking + over-fetch + exact re-rank), exact-twin oracle
+        # r9 driver-failure fixes — never driver-evidenced under the
+        # current code, must lead the window:
+        #  * q_ann_lsh — query frame now built from plain Python
+        #    floats (the non-Arrow createDataFrame fallback rejected
+        #    numpy.float64 in array<double> on the r8 driver)
         "q_ann_lsh",
-        #  * footer-fact invariant oracles over reshaped outputs
-        "q_metadata_stats",
+        #  * q_column_stats — min_num/max_num canonicalize IEEE signed
+        #    zero (+0.0); footer -0.0 hashed apart from the oracle's 0.0
         "q_column_stats",
-        "q_merge_compaction",
-        "q_merge_incremental",
-        # r8 quality-metadata columns (recall_at_k / pair_recall /
-        # per-pair jaccard) change these rows-only queries' outputs —
-        # their r3/r4/r6/r7 rows evidence no longer certifies the code
-        "q_ann_ivf",
-        "q_ann_pq",
-        "q_dedup_embedding_lsh",
+        #  * q_dedup_simhash — the jaccard stamp left-joins shingle
+        #    sizes so empty-shingle collisions keep their pairs
+        #    (output contract change: pairs that were dropped now
+        #    appear with jaccard 0.0)
         "q_dedup_simhash",
-        # sketch accuracy now emitted as exact-twin + rel_err columns —
-        # the same contract change, so the last two quality-blind
-        # rows-only queries re-queue as well
-        "q_agg_sketch",
-        "q_hll_rollup",
     }
 )
 
@@ -1608,13 +1599,12 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-8 window plan (r7 verdict, "Next round" #3): the 9 changed
-# queries first (5 oracle conversions + 4 quality-metadata reshapes —
-# they must re-queue under the evidence-certifies-the-code rule), then
-# the stale cohort oldest round first: the 24 remaining r3-evidence
-# queries (22 hash + q_agg_sketch/q_hll_rollup rows-only), then the r4
-# cohort fills the rest of the 50-slot window.  r4 entries displaced
-# past slot 50 rotate in round 9.
+# Round-9 window plan: the 3 changed queries first (the two r8 driver
+# failures, fixed, plus the simhash stamp contract change — all must
+# re-queue under the evidence-certifies-the-code rule), then the stale
+# cohort oldest round first: the 24 r4-evidence queries, then the r5
+# cohort fills the remaining 23 of the 50-slot window.  r5 entries
+# displaced past slot 50 rotate in round 10.
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(
@@ -1624,7 +1614,7 @@ _DRIVER_FIRST: tuple[str, ...] = tuple(
     # displaced tail should be the weaker-evidence rows-only entries,
     # not hash-comparable ones (mirrors the tier-2-before-tier-3
     # policy of the default sort)
-    for r in (3, 4)
+    for r in (4, 5)
     for table in (_HASH_GREEN_BY_ROUND, _ROWS_SEEN_BY_ROUND)
     for n in table.get(r, ())
     if n not in _CHANGED_THIS_ROUND

@@ -1108,3 +1108,21 @@ def test_simhash_query_keeps_pairs_with_empty_shingle_sets(spark, tmp_path):
     assert got[(1, 2)] == 0.0
     assert (3, 4) in got, got
     assert got[(3, 4)] == 1.0
+
+
+def test_ann_lsh_query_survives_arrow_fallback(spark, sf_dir):
+    """The r8 correctness driver crashed q_ann_lsh because ann_topk's
+    broadcast query frame held numpy.float64 rows and the driver's
+    session took the NON-Arrow createDataFrame path, which rejects
+    numpy scalars inside array<double> (FIELD_DATA_TYPE_UNACCEPTABLE).
+    Pin the fallback path explicitly: with Arrow conversion disabled,
+    the query must still build and produce rows."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        assert REGISTRY["q_ann_lsh"].build(spark, sf_dir).count() > 0
+    finally:
+        spark.conf.set(key, prev)

@@ -331,7 +331,9 @@ def test_ann_ivf_query_emits_consistent_recall_metadata(spark, sf_dir):
         true_recall = len(nset & exact[qv]) / len(exact[qv])
         assert abs(claimed[qv] - true_recall) < 1e-3, (qv, claimed[qv], true_recall)
     mean = sum(claimed.values()) / len(claimed)
-    assert mean >= 0.5, mean  # measured 0.86 (sf0.001) / 0.84 (sf0.01)
+    # n_probe=6 (r9): measured 0.90 (sf0.001) / 0.90 (sf0.01) /
+    # 0.96 (sf0.1); deterministic index, so a drop means code changed
+    assert mean >= 0.85, mean
 
 
 def test_ann_pq_query_emits_consistent_recall_metadata(spark, sf_dir):

@@ -1585,6 +1585,11 @@ _CHANGED_THIS_ROUND = frozenset(
         #    (output contract change: pairs that were dropped now
         #    appear with jaccard 0.0)
         "q_dedup_simhash",
+        #  * q_ann_ivf — n_probe 4 → 6 (measured recall 0.90/0.90/0.96
+        #    across the bundled tiers, floor ≥0.85 pinned): different
+        #    candidate set + recall values, so r8 rows evidence no
+        #    longer certifies the output
+        "q_ann_ivf",
     }
 )
 

@@ -652,17 +652,24 @@ def _stamp_recall_at_k(approx, exact):
 @query("q_ann_ivf")
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN: corpus assigned to nearest of 16 k-means-fitted
-    centroids, queries probe their 4 nearest cells.  Rows-only
+    centroids, queries probe their 6 nearest cells.  Rows-only
     (approximate by design) — but the output carries MEASURED quality
     (r8, the q_kmeans fit-metadata pattern): recall_at_k per query vs
     the exact brute-force twin, so the rows-only driver check sees
     answer quality, not just opaque row counts.  The exact pass is
     the verify stage (broadcast queries, one corpus matmul pass) —
     the standard recall-evaluation harness an ANN index ships with;
-    at corpus scale it runs on the same sampled query set."""
+    at corpus scale it runs on the same sampled query set.
+
+    n_probe=6 (r9): measured recall 0.90/0.90/0.96 at
+    sf0.001/0.01/0.1 on the bundled (uniform — IVF's worst-case)
+    vectors, vs 0.86/0.84/0.94 at the old n_probe=4, while still
+    pruning 10/16 cells; the ≥0.85 mean floor is pinned in
+    tests/test_llm_ops.py.  On clustered real embeddings the same
+    knob sits far higher (test_ivf_kmeans_centroids_lift_recall)."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    ivf = similarity.ivf_topk(e, q, n_cells=16, n_probe=4, k=10)
+    ivf = similarity.ivf_topk(e, q, n_cells=16, n_probe=6, k=10)
     return _stamp_recall_at_k(
         ivf.localCheckpoint(eager=False),
         similarity.brute_force_topk(e, q, k=10),

@@ -355,7 +355,9 @@ def test_ann_pq_query_emits_consistent_recall_metadata(spark, sf_dir):
     for qv, nset in got.items():
         true_recall = len(nset & exact[qv]) / len(exact[qv])
         assert abs(claimed[qv] - true_recall) < 1e-3, (qv, claimed[qv], true_recall)
-    assert sum(claimed.values()) / len(claimed) >= 0.5  # the pq floor
+    # 8×256 codebooks + 10× re-rank (r9): measured 1.0 (sf0.001) /
+    # 1.0 (sf0.01) / 0.96 (sf0.1) / 1.0 (25×); deterministic index
+    assert sum(claimed.values()) / len(claimed) >= 0.9
 
 
 def test_dedup_embedding_lsh_query_emits_pair_recall(spark, sf_dir):

@@ -1590,6 +1590,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #    candidate set + recall values, so r8 rows evidence no
         #    longer certifies the output
         "q_ann_ivf",
+        #  * q_ann_pq — codebooks 4×16 → 8×256 + 10× re-rank (recall
+        #    0.34→0.96 at sf0.1, floor ≥0.9 pinned): same
+        #    evidence-certifies-the-code rule
+        "q_ann_pq",
     }
 )
 

@@ -1695,23 +1695,29 @@ def q_collocations(spark, sf_dir):
 
 @query("q_ann_pq")
 def q_ann_pq(spark, sf_dir):
-    """Product-quantization ANN (4 subspaces × 16 codes): corpus
-    encoded to 4 bytes/vector, queries score by ADC table lookups,
-    exact re-rank on the surviving candidates.  The third ANN index
-    family next to LSH and IVF — PQ is the one whose index state
-    (codes) is ~64× smaller than the vectors, the property that
-    matters when the corpus is 100 TB.  Rows-only (approximate by
-    design: 4-byte codes buy compression, not exactness — bundled
-    recall ~0.5–0.7, floor-pinned in tests) — and, like q_ann_ivf,
-    the output stamps MEASURED per-query recall_at_k vs the exact
-    brute-force twin (r8), so the rows-only driver check sees answer
-    quality, not just row counts."""
+    """Product-quantization ANN (8 subspaces × 256 codes — the
+    textbook FAISS-PQ layout, 8 bits per code): corpus encoded to
+    8 bytes/vector (32× under the raw float32), queries score by ADC
+    table lookups, exact re-rank on the surviving candidates.  The
+    third ANN index family next to LSH and IVF — PQ is the one whose
+    index state is tens of times smaller than the vectors, the
+    property that matters when the corpus is 100 TB.  Rows-only
+    (approximate by design) — and, like q_ann_ivf, the output stamps
+    MEASURED per-query recall_at_k vs the exact brute-force twin
+    (r8), so the rows-only driver check sees answer quality, not
+    just row counts.
+
+    r9 knobs: the old 4×16 toy codebook measured recall 0.66/0.70/
+    0.34 across the bundled tiers; 8×256 with a 10× re-rank measures
+    1.0/1.0/0.96 (and 1.0 at the 25× stress replica), floor ≥0.9
+    pinned in tests — ADC resolution, not re-rank depth, was the
+    binding constraint."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return _stamp_recall_at_k(
-        similarity.pq_topk(e, q, m=4, ksub=16, k=10).localCheckpoint(
-            eager=False
-        ),
+        similarity.pq_topk(
+            e, q, m=8, ksub=256, k=10, rerank_factor=10
+        ).localCheckpoint(eager=False),
         similarity.brute_force_topk(e, q, k=10),
     )
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_segments",
     "q_topk_similarity",
     "q_ann_lsh",
     "q_text_stats",

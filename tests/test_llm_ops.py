@@ -1130,3 +1130,31 @@ def test_ann_lsh_query_survives_arrow_fallback(spark, sf_dir):
         assert REGISTRY["q_ann_lsh"].build(spark, sf_dir).count() > 0
     finally:
         spark.conf.set(key, prev)
+
+
+def test_dedup_segments_finds_cross_doc_boilerplate(spark, tmp_path):
+    """q_dedup_segments (r9): a 10-word boilerplate window shared by
+    three docs is reported with doc_freq 3; within-doc repetition does
+    not inflate the count (distinct doc_id); unique windows and docs
+    under 10 words emit nothing."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    boiler = "please subscribe to our newsletter for updates terms of service"
+    assert len(boiler.split()) == 10
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+            # boilerplate twice in one doc: two aligned windows, same text
+            (2, boiler + " " + boiler, "en"),
+            (3, boiler + " one two three four five six seven eight nine ten", "en"),
+            (4, "completely different words that appear nowhere else in corpus", "en"),
+            (5, "short doc", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.segment: r.doc_freq
+        for r in REGISTRY["q_dedup_segments"].build(spark, str(tmp_path)).collect()
+    }
+    assert rows == {boiler: 3}

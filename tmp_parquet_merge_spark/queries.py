@@ -1594,6 +1594,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #    0.34→0.96 at sf0.1, floor ≥0.9 pinned): same
         #    evidence-certifies-the-code rule
         "q_ann_pq",
+        #  * q_dedup_segments — NEW in r9 (C4-style repeated-segment
+        #    boilerplate blacklist, oracle-backed); no evidence yet,
+        #    pinned into the window explicitly
+        "q_dedup_segments",
     }
 )
 

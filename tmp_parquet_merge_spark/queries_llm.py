@@ -183,6 +183,61 @@ def q_dedup_prefix(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_segments",
+    oracle=f"""
+        WITH {_W},
+        seg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[i*10+1 : i*10+10], ' ') AS segment
+            FROM w, UNNEST(range(CAST(len(ws) // 10 AS BIGINT))) AS t(i)
+        )
+        SELECT segment, COUNT(*) AS doc_freq
+        FROM seg GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_segments(spark, sf_dir):
+    """Repeated-segment (boilerplate) detection — the C4/RefinedWeb
+    "remove lines repeated across documents" step, at word-window
+    granularity since the corpus has no newlines: every non-overlapping
+    full 10-word window of the normalized text, with the number of
+    DISTINCT documents containing it; windows spanning ≥ 2 docs are the
+    boilerplate blacklist a curation pass anti-joins against (headers,
+    footers, license blurbs — sub-document duplication that doc-level
+    exact/near dedup cannot see).
+
+    Plan shape: one projection (split + sequence-explode + slice, all
+    codegen — no window function, no per-doc shuffle), distinct on
+    (doc_id, segment), one hash-agg by segment.  Segments are bounded
+    (≤ 10 words) so the shuffle rows are small and the group count is
+    corpus-vocabulary-bounded; at open scale, group by xxhash64(segment)
+    digests and keep min(segment) as the representative to shrink
+    shuffle bytes further (the q_dedup_exact digest discipline)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id"), dedup.words("text").alias("ws"))
+    n_full = (F.size("ws") / F.lit(10)).cast("int")
+    seg = (
+        d.filter(F.size("ws") >= 10)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("i") * 10 + 1, 10)
+            ).alias("segment"),
+        )
+        .distinct()
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+    )
+
+
 # Shared by the blocked query and its LSH-fed twin (which tests pin
 # row-for-row equal on the bundled corpora — every small-edit pair
 # both shares its 2-word prefix and sits far above the LSH S-curve

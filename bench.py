@@ -59,6 +59,7 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_segments",
+    "q_segments_clean",
     "q_topk_similarity",
     "q_ann_lsh",
     "q_text_stats",

@@ -1158,3 +1158,32 @@ def test_dedup_segments_finds_cross_doc_boilerplate(spark, tmp_path):
         for r in REGISTRY["q_dedup_segments"].build(spark, str(tmp_path)).collect()
     }
     assert rows == {boiler: 3}
+
+
+def test_segments_clean_strips_boilerplate_keeps_tail(spark, tmp_path):
+    """q_segments_clean (r9): shared boilerplate windows are removed,
+    unique windows and ragged tails survive in order, one output row
+    per input doc (all-boilerplate docs come back empty, short docs
+    pass through normalized)."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    boiler = "please subscribe to our newsletter for updates terms of service"
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1 + " tail words", "en"),
+            (2, boiler, "en"),
+            (3, boiler + " unrelated closing", "en"),
+            (4, "Short  DOC", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in REGISTRY["q_segments_clean"].build(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (uniq1 + " tail words", 1)
+    assert out[2] == ("", 1)  # all boilerplate, row survives as empty
+    assert out[3] == ("unrelated closing", 1)
+    assert out[4] == ("short doc", 0)  # normalized pass-through

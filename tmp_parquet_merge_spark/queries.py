@@ -1598,6 +1598,9 @@ _CHANGED_THIS_ROUND = frozenset(
         #    boilerplate blacklist, oracle-backed); no evidence yet,
         #    pinned into the window explicitly
         "q_dedup_segments",
+        #  * q_segments_clean — NEW in r9 (the blacklist APPLIED:
+        #    boilerplate-stripped rewrite of every doc, oracle-backed)
+        "q_segments_clean",
     }
 )
 

@@ -238,6 +238,137 @@ def q_dedup_segments(spark, sf_dir):
     )
 
 
+@query(
+    "q_segments_clean",
+    oracle=f"""
+        WITH {_W},
+        seg AS (
+            SELECT doc_id, i,
+                   array_to_string(ws[i*10+1 : i*10+10], ' ') AS segment
+            FROM w, UNNEST(range(CAST(len(ws) // 10 AS BIGINT))) AS t(i)
+        ),
+        bl AS (
+            SELECT segment FROM (
+                SELECT segment, COUNT(DISTINCT doc_id) AS df
+                FROM seg GROUP BY 1
+            ) WHERE df >= 2
+        ),
+        tails AS (
+            SELECT doc_id, CAST(len(ws) // 10 AS BIGINT) AS i,
+                   array_to_string(ws[(len(ws) // 10)*10+1 : len(ws)], ' ')
+                       AS segment
+            FROM w WHERE len(ws) > (len(ws) // 10)*10
+        ),
+        kept AS (
+            SELECT doc_id, i, segment FROM seg
+            WHERE segment NOT IN (SELECT segment FROM bl)
+            UNION ALL
+            SELECT doc_id, i, segment FROM tails
+        ),
+        dropped AS (
+            SELECT doc_id, COUNT(*) AS n_dropped FROM seg
+            WHERE segment IN (SELECT segment FROM bl) GROUP BY 1
+        )
+        SELECT w.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               COALESCE(d.n_dropped, 0) AS n_dropped
+        FROM w
+        LEFT JOIN (
+            SELECT doc_id, string_agg(segment, ' ' ORDER BY i) AS clean_text
+            FROM kept GROUP BY 1
+        ) k USING (doc_id)
+        LEFT JOIN dropped d USING (doc_id)
+    """,
+)
+def q_segments_clean(spark, sf_dir):
+    """The action half of q_dedup_segments: REWRITE every document
+    with its cross-document repeated 10-word windows removed (the
+    C4/RefinedWeb boilerplate-strip step), keeping window order and
+    the ragged tail, plus the per-doc count of dropped windows.  Docs
+    under 10 words pass through as their normalized text; a doc that
+    was ALL boilerplate comes back as the empty string (the curation
+    filter downstream drops it), never silently disappears — the
+    output has exactly one row per input document.
+
+    Plan shape: the (doc, window-index, segment) relation derives once
+    (localCheckpoint) and feeds the blacklist agg, the keep anti-join,
+    and the dropped-count semi-join; reassembly is one hash-agg per
+    doc over array_sort(collect_list(struct(i, segment))) — the
+    order-safe spelling (collect_list alone has no ordering
+    contract).  Shuffles carry bounded ≤10-word segments keyed by
+    segment or doc_id; nothing is quadratic and no full text rides
+    more than one shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id"), dedup.words("text").alias("ws"))
+    n_full = (F.size("ws") / F.lit(10)).cast("int")
+    seg = (
+        d.filter(n_full > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("i") * 10 + 1, 10)
+            ).alias("segment"),
+        )
+    ).localCheckpoint(eager=False)
+    bl = (
+        seg.groupBy("segment")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("segment")
+    )
+    tails = (
+        d.select("doc_id", n_full.alias("i"), "ws")
+        .filter(F.size("ws") > F.col("i") * 10)
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ws"),
+                    F.col("i") * 10 + 1,
+                    F.size("ws") - F.col("i") * 10,
+                ),
+            ).alias("segment"),
+        )
+    )
+    kept = (
+        seg.join(bl, "segment", "left_anti")
+        .select("doc_id", "i", "segment")
+        .unionByName(tails)
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    dropped = (
+        seg.join(bl, "segment", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        d.select("doc_id")
+        .join(clean, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
 # Shared by the blocked query and its LSH-fed twin (which tests pin
 # row-for-row equal on the bundled corpora — every small-edit pair
 # both shares its 2-word prefix and sits far above the LSH S-curve

@@ -50,6 +50,7 @@ HEADLINE = [
     "q_join_inner",
     "q_join_multiway",
     "q_join_asof",
+    "q_join_asof_tolerance",
     "q_window_rank",
     "q_window_running",
     "q_topk_orders",

@@ -297,3 +297,47 @@ def test_key_skew_profile_names_top_share_by_n(spark):
     df = spark.createDataFrame([(i % 3,) for i in range(30)], "k: long")
     assert "top10_share" in key_skew_profile(df, "k", "lbl").columns
     assert "top5_share" in key_skew_profile(df, "k", "lbl", top_n=5).columns
+
+
+def test_join_asof_tolerance_gates_stale_matches(spark, sf_dir):
+    """q_join_asof_tolerance (r9) == plain backward as-of (view before
+    purchase, per user) with matches staler than 1 hour nulled out —
+    exact, because under backward as-of any candidate other than the
+    carried one is older still.  Both branches must fire on the
+    bundled events."""
+    import datetime
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("__rt"),
+    )
+    base = {
+        r.event_id: (r.view_id, r.view_ts, r.ts)
+        for r in asof_join(
+            p, v, on="user_id", left_time="ts", right_time="__rt",
+            right_values=["view_id", "view_ts"],
+        ).select("event_id", "view_id", "view_ts", "ts").collect()
+    }
+    tol = {
+        r.event_id: (r.view_id, r.view_ts)
+        for r in REGISTRY["q_join_asof_tolerance"].build(spark, sf_dir).collect()
+    }
+    assert set(base) == set(tol)
+    gated = kept = 0
+    for eid, (vid, vts, ts) in base.items():
+        if vts is not None and ts <= vts + datetime.timedelta(hours=1):
+            assert tol[eid] == (vid, vts), eid
+            kept += 1
+        else:
+            assert tol[eid] == (None, None), eid
+            gated += 1
+    assert kept and gated  # both behaviors exercised on the bundled data

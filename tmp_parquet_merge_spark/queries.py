@@ -1601,6 +1601,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #  * q_segments_clean — NEW in r9 (the blacklist APPLIED:
         #    boilerplate-stripped rewrite of every doc, oracle-backed)
         "q_segments_clean",
+        #  * q_join_asof_tolerance — NEW in r9 (pandas merge_asof
+        #    tolerance semantics over the union-merge plan,
+        #    oracle-backed)
+        "q_join_asof_tolerance",
     }
 )
 

@@ -817,6 +817,70 @@ def q_join_asof_forward(spark, sf_dir):
 
 
 @query(
+    "q_join_asof_tolerance",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts AS view_ts, event_id AS view_id
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        a AS (
+            SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts
+            FROM p
+            ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND v.view_ts <= p.ts
+        )
+        SELECT event_id, user_id,
+               CASE WHEN ts <= view_ts + INTERVAL 1 HOUR
+                    THEN view_id END AS view_id,
+               CASE WHEN ts <= view_ts + INTERVAL 1 HOUR
+                    THEN view_ts END AS view_ts
+        FROM a
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """Bounded-staleness as-of join (pandas ``merge_asof(tolerance=)``
+    semantics, r9): each purchase matches the same user's most recent
+    prior view ONLY if it is at most 1 hour stale; older views come
+    back NULL — last-touch attribution with a freshness window.  EXACT
+    under backward as-of, not an approximation: if the latest
+    at-or-before view is outside the tolerance, every other candidate
+    is older still, so post-gating the single carried match IS the
+    tolerance semantics.  Same union-merge plan as q_join_asof — one
+    shuffle of |L|+|R| rows on the key, the gate is a post-window
+    projection; no inequality join, no per-key explosion."""
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("__rt"),
+    )
+    within = F.col("ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+    return asof_join(
+        p,
+        v,
+        on="user_id",
+        left_time="ts",
+        right_time="__rt",
+        right_values=["view_id", "view_ts"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("view_id")).alias("view_id"),
+        F.when(within, F.col("view_ts")).alias("view_ts"),
+    )
+
+
+@query(
     "q_salted_join",
     oracle="""
         SELECT o.o_orderkey, o.o_totalprice, c.c_name

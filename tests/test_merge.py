@@ -430,3 +430,31 @@ def test_column_stats_query_canonicalizes_signed_zero(spark):
     # and the columns that triggered r8's failure are present + zero-min
     mins = {r.column_name: r.min_num for r in rows}
     assert mins["l_discount"] == 0.0 and str(mins["l_discount"])[0] != "-"
+
+
+def test_schema_widening_read_and_mergeschema_rejection(spark, tmp_path):
+    """read_parquet_widened (r9): int32+int64 generations widen to
+    bigint losslessly (values beyond int32 range survive); plain
+    mergeSchema is PINNED to reject the same pair (if a Spark upgrade
+    starts widening natively, this probe flags the redundancy); a
+    string-vs-int conflict raises loudly instead of coercing."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tmp_parquet_merge_spark.sources import parquet_io
+
+    g1, g2, g3 = (str(tmp_path / n) for n in ("g1", "g2", "g3"))
+    spark.range(3).select(F.col("id").cast("int").alias("id")).write.parquet(g1)
+    spark.range(3).select(
+        (F.col("id") + 4294967296).alias("id")
+    ).write.parquet(g2)
+    out = parquet_io.read_parquet_widened(spark, g1, g2)
+    assert dict(out.dtypes)["id"] == "bigint"
+    vals = sorted(r.id for r in out.collect())
+    assert vals == [0, 1, 2, 4294967296, 4294967297, 4294967298]
+    # the native path must still be broken for this to earn its keep
+    with pytest.raises(Exception, match="[Ff]ailed to merge"):
+        spark.read.option("mergeSchema", "true").parquet(g1, g2).schema
+    # non-widenable conflict: fail loudly, never coerce
+    spark.range(3).select(F.col("id").cast("string").alias("id")).write.parquet(g3)
+    with pytest.raises(ValueError, match="cannot widen"):
+        parquet_io.read_parquet_widened(spark, g1, g3)

@@ -340,6 +340,56 @@ def q_merge_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "q_schema_widening",
+    # Closed-form fixture generations: gen1 carries INT32 ids with a
+    # FLOAT measure, gen2 INT64 ids (beyond int32 range, proving the
+    # widening is value-preserving) with a DOUBLE measure and an added
+    # column.  The widened read must union them as BIGINT/DOUBLE with
+    # gen1's missing column NULL-filled.
+    oracle="""
+        WITH v(id) AS (VALUES (1), (2), (3), (4), (5))
+        SELECT CAST(id AS BIGINT) AS id,
+               CAST(CAST(id AS FLOAT) / 2 AS DOUBLE) AS measure,
+               CAST(NULL AS BIGINT) AS extra
+        FROM v
+        UNION ALL
+        SELECT CAST(id AS BIGINT) + 4294967296,
+               CAST(id AS DOUBLE) / 2,
+               CAST(id * 10 AS BIGINT)
+        FROM v
+    """,
+)
+def q_schema_widening(spark, sf_dir):
+    """Type-widening schema evolution (r9): a writer upgraded a column
+    from INT32 to INT64 (and FLOAT to DOUBLE) across file generations —
+    the lake evolution step Spark's ``mergeSchema`` REJECTS outright
+    (StructType.merge throws ``Failed to merge fields`` on width
+    conflicts; probed and pinned in tests/test_merge.py).  The engine's
+    ``read_parquet_widened`` resolves widths up the value-preserving
+    lattice (integral widths, float→double) from one footer probe per
+    generation, casts, and unions by name with missing columns
+    NULL-filled; non-widenable conflicts (string vs int) raise loudly.
+    gen2's ids exceed int32 range, so a lossy spelling could not
+    hash-match.  Data reads stay distributed; only schemas ride the
+    driver."""
+    base = tempfile.mkdtemp(prefix="tpms_widen_")
+    f1, f2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    v = fixtures.int_str_df(spark).select(F.col("int").alias("id"))
+    g1 = v.select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id").cast("float") / 2).alias("measure"),
+    )
+    g2 = v.select(
+        (F.col("id").cast("bigint") + F.lit(4294967296)).alias("id"),
+        (F.col("id").cast("double") / 2).alias("measure"),
+        (F.col("id") * 10).cast("bigint").alias("extra"),
+    )
+    parquet_io.write_parquet(g1, f1)
+    parquet_io.write_parquet(g2, f2)
+    return parquet_io.read_parquet_widened(spark, f1, f2)
+
+
+@query(
     "q_merge_incremental",
     # Oracle (r8): fixture-closed-form invariants — the scatter is BY
     # CONSTRUCTION 4 right-sized + 48 small files holding exactly the
@@ -1605,6 +1655,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #    tolerance semantics over the union-merge plan,
         #    oracle-backed)
         "q_join_asof_tolerance",
+        #  * q_schema_widening — NEW in r9 (int32→int64 / float→double
+        #    generation widening that mergeSchema rejects,
+        #    oracle-backed)
+        "q_schema_widening",
     }
 )
 

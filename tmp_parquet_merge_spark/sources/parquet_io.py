@@ -102,6 +102,70 @@ def read_parquet(
     return df
 
 
+# Safe primitive widenings only: integral widths and float -> double.
+# Anything else (string vs int, decimal scale changes, ...) is a real
+# schema conflict and must fail loudly, not be papered over with casts.
+_WIDEN_ORDER: dict[str, int] = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_WIDEN_FLOAT: dict[str, int] = {"float": 0, "double": 1}
+
+
+def _widen_type(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        return a if _WIDEN_ORDER[a] >= _WIDEN_ORDER[b] else b
+    if a in _WIDEN_FLOAT and b in _WIDEN_FLOAT:
+        return a if _WIDEN_FLOAT[a] >= _WIDEN_FLOAT[b] else b
+    raise ValueError(
+        f"cannot widen parquet column types {a!r} and {b!r}: only "
+        "integral-width and float->double widenings are value-preserving; "
+        "this is a schema conflict, fix the writers or read the "
+        "generations separately"
+    )
+
+
+def read_parquet_widened(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read file generations whose schemas differ by value-preserving
+    primitive WIDTH (int32 vs int64, float vs double) — the evolution
+    step Spark's ``mergeSchema`` rejects outright
+    (``Failed to merge fields``: StructType.merge does not widen).
+
+    Per-path schemas come from one footer probe each (O(generations)
+    driver work, never a data read); the widened schema is the
+    column-union with :func:`_widen_type` resolving width conflicts;
+    each generation is then cast and unioned by name (missing columns
+    NULL-filled, mergeSchema semantics).  The casts are value-preserving
+    by construction, so the read is lossless; a non-widenable conflict
+    raises rather than silently coercing.  Data reads stay fully
+    distributed — only schemas ride the driver."""
+    if not paths:
+        raise ValueError("read_parquet_widened needs at least one path")
+    frames = [spark.read.parquet(p) for p in paths]
+    widened: dict[str, str] = {}
+    order: list[str] = []
+    for df in frames:
+        for name, dtype in df.dtypes:
+            if name not in widened:
+                widened[name] = dtype
+                order.append(name)
+            else:
+                widened[name] = _widen_type(widened[name], dtype)
+    out = []
+    for df in frames:
+        have = dict(df.dtypes)
+        cols = [
+            (
+                F.col(c).cast(widened[c]) if c in have else F.lit(None).cast(widened[c])
+            ).alias(c)
+            for c in order
+        ]
+        out.append(df.select(*cols))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -16,21 +16,28 @@ import json; a=json.load(open("/tmp/p32.json")); b=json.load(open("/tmp/p5.json"
 print([k for k in a if a[k]!=b[k]])
 PY
 
-Round-9 audit: 193/193 hash-identical, zero errors (recorded in
-SCALE.md)."""
+Round-9 audits (both recorded in SCALE.md): parallelism —
+local[32]:32 vs local[5]:7, all queries hash-identical, zero errors;
+session timezone — UTC vs America/New_York at equal parallelism,
+all queries hash-identical (the TIMESTAMP_NTZ discipline means no
+output depends on the session zone)."""
 import sys, os, json, hashlib, math
 sys.path.insert(0, "/root/repo")
 import pandas as pd
 
-mode = sys.argv[1]   # e.g. "local[32]:32" or "local[5]:7"
-master, sp = mode.split(":")
+mode = sys.argv[1]   # "master:shuffle_partitions[:session_tz]", e.g.
+                     # "local[32]:32", "local[5]:7", or
+                     # "local[16]:16:America/New_York" (r9 tz audit)
+parts = mode.split(":")
+master, sp = parts[0], parts[1]
+tz = parts[2] if len(parts) > 2 else "UTC"
 out_path = sys.argv[2]
 
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(master)
     .config("spark.sql.shuffle.partitions", sp)
     .config("spark.ui.enabled","false")
-    .config("spark.sql.session.timeZone","UTC")
+    .config("spark.sql.session.timeZone", tz)
     .config("spark.sql.legacy.parquet.nanosAsLong","true")
     .config("spark.driver.memory","8g")
     .appName(f"ppar-{sp}").getOrCreate())

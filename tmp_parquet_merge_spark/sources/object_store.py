@@ -1,0 +1,302 @@
+"""Object-store (S3) key-value footer stamping — the s3a analog of
+:func:`parquet_io.attach_kv_metadata`.
+
+The reference dumps footer key-value metadata
+(`/root/reference/cpp/tools/parquet/parquet_reader.cc:46-47`); our
+engine stamps it.  On a local/shared FS the stamp is a POSIX append
+(parquet_io.attach_kv_metadata).  Object stores have no append — the
+r7 adjudication (SURVEY §7) kept a loud refusal rather than dress an
+O(data) rewrite up as a stamp.  This module implements the adjudicated
+O(footer) design instead, using the S3 API's server-side primitives:
+
+1. ranged GET of the object tail (footer + length + magic only);
+2. rebuild the footer locally with the merged key-value metadata —
+   byte-for-byte the same rebuild the local stamp performs;
+3. recompose the object with a multipart upload whose data parts are
+   ``UploadPartCopy`` ranges of the ORIGINAL object (server-side copy:
+   no byte of data crosses the wire) and whose final part is the new
+   footer;
+4. ``CompleteMultipartUpload`` swaps the object atomically.
+
+Client-side traffic is O(footer) regardless of object size.  Like the
+local stamp, the old footer is left in place as dead bytes (readers
+resolve the footer from the trailing length+magic), which keeps the
+copy ranges trivially right: parts cover [0, size) of the original.
+
+Atomicity is STRONGER than the local path: S3 readers see the old or
+the new object, never a torn tail, and ``CopySourceIfMatch`` pins the
+source ETag so a concurrent rewrite aborts the stamp instead of
+splicing two generations.
+
+Objects smaller than the 5 MiB multipart part-minimum use a plain
+read-modify-put (O(size), but size < 5 MiB by definition).
+
+boto3 is imported lazily; without it the functions raise ImportError
+with the install hint, and everything else in the package is
+unaffected.  Tested against moto's in-process S3 (tests/
+test_object_store.py) — both the multipart and the small-object path,
+plus the ETag-conflict abort.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+# S3 multipart constraints: every part except the last must be at
+# least 5 MiB; UploadPartCopy ranges may be at most 5 GiB.
+_MIN_PART = 5 * 1024 * 1024
+_MAX_PART = 5 * 1024 * 1024 * 1024
+# footer window for the ranged tail GET; parquet footers are
+# KBs-to-MBs, never data-sized (same bound as the local recover_tail)
+_TAIL_WINDOW = 32 * 1024 * 1024
+
+
+def _s3_client():
+    try:
+        import boto3
+    except ImportError as exc:  # pragma: no cover - boto3 is bundled here
+        raise ImportError(
+            "object-store kv stamping needs boto3 (pip install boto3); "
+            "for local/shared-FS paths use parquet_io.attach_kv_metadata"
+        ) from exc
+    return boto3.client("s3")
+
+
+def _parse_s3_path(path: str) -> tuple[str, str]:
+    for scheme in ("s3://", "s3a://", "s3n://"):
+        if path.startswith(scheme):
+            rest = path[len(scheme):]
+            bucket, _, key = rest.partition("/")
+            if not bucket or not key:
+                raise ValueError(f"malformed S3 path: {path!r}")
+            return bucket, key
+    raise ValueError(
+        f"not an S3 path: {path!r} (expected s3:// / s3a:// / s3n://)"
+    )
+
+
+class _TailFile:
+    """File-like view of a whole object backed by only its tail bytes.
+
+    pyarrow's footer parse seeks from the end and reads the footer; it
+    never touches data pages.  Reads that land before the fetched
+    window raise loudly (footer wider than the window) instead of
+    returning wrong bytes."""
+
+    def __init__(self, size: int, tail: bytes):
+        self._size = size
+        self._base = size - len(tail)
+        self._tail = tail
+        self._pos = size
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self._pos
+        elif whence == 2:
+            pos += self._size
+        self._pos = pos
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        if self._pos < self._base:
+            raise ValueError(
+                "parquet footer exceeds the "
+                f"{_TAIL_WINDOW}-byte tail window (read at {self._pos}, "
+                f"window starts {self._base}); raise _TAIL_WINDOW"
+            )
+        off = self._pos - self._base
+        out = self._tail[off : off + n]
+        self._pos += len(out)
+        return out
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def flush(self) -> None:  # pragma: no cover - pyarrow may call it
+        pass
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def _rebuild_footer(tail_file, kv_bytes: dict[bytes, bytes]) -> bytes:
+    """Parse the footer from a file-like and rebuild it with merged
+    key-value metadata — the same rebuild (and the same INT96 and
+    mixed-timestamp rules) as the local attach_kv_metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(tail_file)
+    md = pf.metadata
+    merged = dict(md.metadata or {})
+    merged.update(kv_bytes)
+    schema = pf.schema_arrow.with_metadata(merged)
+    phys = [md.schema.column(c).physical_type for c in range(md.num_columns)]
+    has_int96 = "INT96" in phys
+    n_ts_arrow = sum(pa.types.is_timestamp(f.type) for f in pf.schema_arrow)
+    if has_int96 and n_ts_arrow > phys.count("INT96"):
+        raise ValueError(
+            "object-store stamp: file mixes INT96 and non-INT96 "
+            "timestamp columns; the rebuilt footer cannot match both "
+            "(pyarrow's int96 flag is writer-global)"
+        )
+    fd, tmp = tempfile.mkstemp(suffix="._md")
+    os.close(fd)
+    try:
+        pq.write_metadata(
+            schema,
+            tmp,
+            metadata_collector=[md],
+            use_deprecated_int96_timestamps=has_int96,
+        )
+        blob = open(tmp, "rb").read()
+    finally:
+        os.unlink(tmp)
+    # blob = PAR1 + footer + len + PAR1; the head magic already exists
+    # at offset 0 of the object, so only blob[4:] is appended.
+    return blob[4:]
+
+
+def stamp_kv_s3(
+    path: str,
+    kv: dict[str, str],
+    *,
+    client=None,
+    part_size: int = 512 * 1024 * 1024,
+    max_workers: int = 16,
+) -> int:
+    """Stamp key-value footer metadata onto `.parquet` objects under an
+    S3 path (single object or prefix), O(footer) client traffic per
+    object.  Returns the number of objects stamped.
+
+    Per object: ranged-GET the tail, rebuild the footer with the merged
+    kv (identical rules to the local stamp), then recompose via
+    multipart upload — ``UploadPartCopy`` ranges of the original object
+    (server-side, ``CopySourceIfMatch`` pinned to the original ETag so
+    concurrent rewrites abort rather than splice) plus the new footer
+    as the final uploaded part.  ``CompleteMultipartUpload`` swaps
+    atomically: readers see the old or the new object, never a torn
+    tail.  Objects under the 5 MiB part minimum fall back to
+    read-modify-put.  Objects are stamped concurrently on a bounded
+    thread pool (network-bound, O(footer) each)."""
+    if not (1 <= len(kv)):
+        raise ValueError("stamp_kv_s3: empty kv mapping")
+    if not (_MIN_PART <= part_size <= _MAX_PART):
+        raise ValueError(
+            f"part_size must be within [{_MIN_PART}, {_MAX_PART}]"
+        )
+    s3 = client if client is not None else _s3_client()
+    bucket, key = _parse_s3_path(path)
+    kv_bytes = {k.encode("utf8"): v.encode("utf8") for k, v in kv.items()}
+
+    if key.endswith(".parquet"):
+        try:
+            s3.head_object(Bucket=bucket, Key=key)
+            keys = [key]
+        except Exception:
+            keys = []
+    else:
+        keys = []
+    if not keys:
+        prefix = key if key.endswith("/") else key + "/"
+        paginator = s3.get_paginator("list_objects_v2")
+        keys = [
+            o["Key"]
+            for page in paginator.paginate(Bucket=bucket, Prefix=prefix)
+            for o in page.get("Contents", [])
+            if o["Key"].endswith(".parquet")
+        ]
+        if not keys and key.endswith(".parquet"):
+            raise FileNotFoundError(f"no such object or prefix: {path}")
+    if not keys:
+        return 0
+
+    def stamp_one(k: str) -> None:
+        head = s3.head_object(Bucket=bucket, Key=k)
+        size, etag = head["ContentLength"], head["ETag"]
+        win = min(size, _TAIL_WINDOW)
+        tail = s3.get_object(
+            Bucket=bucket, Key=k, Range=f"bytes={size - win}-{size - 1}"
+        )["Body"].read()
+        footer = _rebuild_footer(_TailFile(size, tail), kv_bytes)
+
+        if size < _MIN_PART:
+            # small object: O(size) read-modify-put IS the cheap path
+            body = (
+                tail
+                if win == size
+                else s3.get_object(Bucket=bucket, Key=k)["Body"].read()
+            )
+            s3.put_object(Bucket=bucket, Key=k, Body=body + footer)
+            return
+
+        mpu = s3.create_multipart_upload(Bucket=bucket, Key=k)["UploadId"]
+        try:
+            parts = []
+            part_no = 1
+            # server-side copies of the ORIGINAL bytes [0, size).  The
+            # footer part follows every copy part, so every copy part
+            # must clear the 5 MiB non-last-part minimum: a trailing
+            # remainder under the minimum merges into the previous
+            # chunk (bounded by part_size + 5 MiB << the 5 GiB copy
+            # ceiling).
+            bounds = list(range(0, size, part_size)) + [size]
+            if len(bounds) > 2 and bounds[-1] - bounds[-2] < _MIN_PART:
+                del bounds[-2]
+            for lo, end in zip(bounds, bounds[1:]):
+                hi = end - 1
+                r = s3.upload_part_copy(
+                    Bucket=bucket,
+                    Key=k,
+                    UploadId=mpu,
+                    PartNumber=part_no,
+                    CopySource={"Bucket": bucket, "Key": k},
+                    CopySourceRange=f"bytes={lo}-{hi}",
+                    CopySourceIfMatch=etag,
+                )
+                parts.append(
+                    {"PartNumber": part_no, "ETag": r["CopyPartResult"]["ETag"]}
+                )
+                part_no += 1
+            r = s3.upload_part(
+                Bucket=bucket,
+                Key=k,
+                UploadId=mpu,
+                PartNumber=part_no,
+                Body=io.BytesIO(footer),
+            )
+            parts.append({"PartNumber": part_no, "ETag": r["ETag"]})
+            s3.complete_multipart_upload(
+                Bucket=bucket,
+                Key=k,
+                UploadId=mpu,
+                MultipartUpload={"Parts": parts},
+            )
+        except BaseException:
+            s3.abort_multipart_upload(Bucket=bucket, Key=k, UploadId=mpu)
+            raise
+
+    if len(keys) == 1:
+        stamp_one(keys[0])
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(stamp_one, keys))
+    return len(keys)

@@ -551,11 +551,19 @@ def attach_kv_metadata(
     stamping is a maintenance operation — run it like the reference's
     tools, without concurrent readers of the same files, or stamp
     before publishing the path."""
+    if path.startswith(("s3://", "s3a://", "s3n://")):
+        # no POSIX append on S3 — delegate to the O(footer) multipart
+        # server-side-copy stamp (sources/object_store.py, r9): ranged
+        # tail GET + UploadPartCopy recompose + atomic complete.
+        from tmp_parquet_merge_spark.sources.object_store import stamp_kv_s3
+
+        return stamp_kv_s3(path, kv)
     if _has_remote_scheme(path):
         raise ValueError(
-            f"attach_kv_metadata: {path} is not a local/shared-FS path; "
-            "footer appends are not supported on object stores "
-            "(write the data first, stamp where a POSIX append exists)"
+            f"attach_kv_metadata: {path} is not a local/shared-FS or S3 "
+            "path; footer appends are not supported on this object "
+            "store (write the data first, stamp where a POSIX append "
+            "or a server-side multipart copy exists)"
         )
     files = _expand_parquet_paths(spark, path)
     if not files:

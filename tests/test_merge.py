@@ -443,14 +443,20 @@ def test_schema_widening_read_and_mergeschema_rejection(spark, tmp_path):
     from tmp_parquet_merge_spark.sources import parquet_io
 
     g1, g2, g3 = (str(tmp_path / n) for n in ("g1", "g2", "g3"))
-    spark.range(3).select(F.col("id").cast("int").alias("id")).write.parquet(g1)
     spark.range(3).select(
-        (F.col("id") + 4294967296).alias("id")
+        F.col("id").cast("int").alias("id"),
+        (F.col("id").cast("double") / 4).cast("float").alias("m"),
+    ).write.parquet(g1)
+    spark.range(3).select(
+        (F.col("id") + 4294967296).alias("id"),
+        (F.col("id").cast("double") / 4).alias("m"),
     ).write.parquet(g2)
     out = parquet_io.read_parquet_widened(spark, g1, g2)
-    assert dict(out.dtypes)["id"] == "bigint"
+    assert dict(out.dtypes) == {"id": "bigint", "m": "double"}
     vals = sorted(r.id for r in out.collect())
     assert vals == [0, 1, 2, 4294967296, 4294967297, 4294967298]
+    # float->double widening is value-preserving for float-exact values
+    assert sorted(r.m for r in out.collect()) == [0.0, 0.0, 0.25, 0.25, 0.5, 0.5]
     # the native path must still be broken for this to earn its keep
     with pytest.raises(Exception, match="[Ff]ailed to merge"):
         spark.read.option("mergeSchema", "true").parquet(g1, g2).schema

@@ -162,3 +162,27 @@ def test_spark_and_duckdb_read_the_stamped_object(s3, tmp_path, spark):
         .fetchall()
     )
     assert (b"engine", b"ok") in [(bytes(k), bytes(v)) for k, v in kv]
+
+
+def test_stamp_preserves_object_level_metadata(s3):
+    """The recomposed object must carry the original's ContentType and
+    x-amz-meta-* tags (both paths); dropping them — or re-encrypting
+    under the bucket default — would make the 'stamp' a data change."""
+    small = _parquet_bytes(60)
+    big = _parquet_bytes(64, payload=12 * 1024 * 1024)
+    for key, blob, ps in (
+        ("m/small.parquet", small, 512 * 1024 * 1024),
+        ("m/big.parquet", big, 5 * 1024 * 1024),
+    ):
+        s3.put_object(
+            Bucket="lake",
+            Key=key,
+            Body=blob,
+            ContentType="application/vnd.apache.parquet",
+            Metadata={"team": "curation"},
+        )
+        stamp_kv_s3(f"s3a://lake/{key}", {"k": "v"}, client=s3, part_size=ps)
+        head = s3.head_object(Bucket="lake", Key=key)
+        assert head["ContentType"] == "application/vnd.apache.parquet"
+        assert head["Metadata"] == {"team": "curation"}
+        _roundtrip_checks(s3, key, {"k": "v"}, blob)

@@ -377,7 +377,11 @@ def q_schema_widening(spark, sf_dir):
     v = fixtures.int_str_df(spark).select(F.col("int").alias("id"))
     g1 = v.select(
         F.col("id").cast("int").alias("id"),
-        (F.col("id").cast("float") / 2).alias("measure"),
+        # the trailing cast matters: Spark's Divide promotes float/int
+        # to double, so without it gen1 would silently write DOUBLE and
+        # the float→double widening this query exists to exercise
+        # would be dead coverage
+        (F.col("id").cast("float") / 2).cast("float").alias("measure"),
     )
     g2 = v.select(
         (F.col("id").cast("bigint") + F.lit(4294967296)).alias("id"),
@@ -1630,10 +1634,14 @@ _CHANGED_THIS_ROUND = frozenset(
         #  * q_column_stats — min_num/max_num canonicalize IEEE signed
         #    zero (+0.0); footer -0.0 hashed apart from the oracle's 0.0
         "q_column_stats",
-        #  * q_dedup_simhash — the jaccard stamp left-joins shingle
-        #    sizes so empty-shingle collisions keep their pairs
-        #    (output contract change: pairs that were dropped now
-        #    appear with jaccard 0.0)
+        #  * q_dedup_simhash — the jaccard stamp's size joins went
+        #    inner → left (defensive hardening: on the CODEGEN shingle
+        #    path every signed doc has a sizes row — shingle_rows keeps
+        #    pos==0 unconditionally — so bundled output is identical,
+        #    but the stamp must stay row-preserving under any future
+        #    shingle spelling; zero-denominator guard pinned in tests).
+        #    Re-queued under evidence-certifies-the-code: the joins in
+        #    the plan changed even though no bundled row did.
         "q_dedup_simhash",
         #  * q_ann_ivf — n_probe 4 → 6 (measured recall 0.90/0.90/0.96
         #    across the bundled tiers, floor ≥0.85 pinned): different
@@ -1673,11 +1681,12 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-9 window plan: the 3 changed queries first (the two r8 driver
-# failures, fixed, plus the simhash stamp contract change — all must
-# re-queue under the evidence-certifies-the-code rule), then the stale
-# cohort oldest round first: the 24 r4-evidence queries, then the r5
-# cohort fills the remaining 23 of the 50-slot window.  r5 entries
+# Round-9 window plan: the 9 changed queries first (two fixed r8
+# driver failures, the simhash stamp hardening, the ivf/pq knob bumps,
+# and the four brand-new queries — all re-queue under the
+# evidence-certifies-the-code rule), then the stale cohort oldest
+# round first: the 24 r4-evidence queries, then the r5 cohort fills
+# the remaining 17 of the 50-slot window (9+24+17).  r5 entries
 # displaced past slot 50 rotate in round 10.
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)

@@ -140,7 +140,13 @@ class _TailFile:
 def _rebuild_footer(tail_file, kv_bytes: dict[bytes, bytes]) -> bytes:
     """Parse the footer from a file-like and rebuild it with merged
     key-value metadata — the same rebuild (and the same INT96 and
-    mixed-timestamp rules) as the local attach_kv_metadata."""
+    mixed-timestamp rules) as the local attach_kv_metadata.
+
+    SYNC NOTE: parquet_io.attach_kv_metadata's executor closure
+    carries a deliberately self-contained copy of this rebuild (it
+    must ship to executors without the package importable); any change
+    to the kv-merge, INT96 flag, or mixed-timestamp refusal here must
+    land there too, and vice versa — both sites carry this note."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -199,9 +205,12 @@ def stamp_kv_s3(
     thread pool (network-bound, O(footer) each)."""
     if not (1 <= len(kv)):
         raise ValueError("stamp_kv_s3: empty kv mapping")
-    if not (_MIN_PART <= part_size <= _MAX_PART):
+    # the trailing-remainder merge can grow the last copy part by up to
+    # _MIN_PART, so cap part_size at _MAX_PART - _MIN_PART to keep every
+    # part under the 5 GiB UploadPartCopy ceiling by construction
+    if not (_MIN_PART <= part_size <= _MAX_PART - _MIN_PART):
         raise ValueError(
-            f"part_size must be within [{_MIN_PART}, {_MAX_PART}]"
+            f"part_size must be within [{_MIN_PART}, {_MAX_PART - _MIN_PART}]"
         )
     s3 = client if client is not None else _s3_client()
     bucket, key = _parse_s3_path(path)
@@ -211,7 +220,13 @@ def stamp_kv_s3(
         try:
             s3.head_object(Bucket=bucket, Key=key)
             keys = [key]
-        except Exception:
+        except Exception as exc:
+            # only a genuine 404 means "try prefix listing"; swallowing
+            # AccessDenied/throttling here would report a successful
+            # no-op stamp on real errors
+            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
+            if code not in ("404", "NoSuchKey", "NotFound"):
+                raise
             keys = []
     else:
         keys = []
@@ -232,6 +247,22 @@ def stamp_kv_s3(
     def stamp_one(k: str) -> None:
         head = s3.head_object(Bucket=bucket, Key=k)
         size, etag = head["ContentLength"], head["ETag"]
+        # the recomposed object must carry the original's object-level
+        # metadata — a "footer-only stamp" that silently drops the
+        # ContentType, x-amz-meta-* tags, SSE settings, or storage
+        # class (or re-encrypts under the bucket default) is a data
+        # change, not a stamp
+        carry = {}
+        if head.get("ContentType"):
+            carry["ContentType"] = head["ContentType"]
+        if head.get("Metadata"):
+            carry["Metadata"] = head["Metadata"]
+        if head.get("ServerSideEncryption"):
+            carry["ServerSideEncryption"] = head["ServerSideEncryption"]
+        if head.get("SSEKMSKeyId"):
+            carry["SSEKMSKeyId"] = head["SSEKMSKeyId"]
+        if head.get("StorageClass"):
+            carry["StorageClass"] = head["StorageClass"]
         win = min(size, _TAIL_WINDOW)
         tail = s3.get_object(
             Bucket=bucket, Key=k, Range=f"bytes={size - win}-{size - 1}"
@@ -239,16 +270,29 @@ def stamp_kv_s3(
         footer = _rebuild_footer(_TailFile(size, tail), kv_bytes)
 
         if size < _MIN_PART:
-            # small object: O(size) read-modify-put IS the cheap path
-            body = (
-                tail
-                if win == size
-                else s3.get_object(Bucket=bucket, Key=k)["Body"].read()
+            # small object: O(size) read-modify-put IS the cheap path;
+            # size < 5 MiB < _TAIL_WINDOW so the ranged GET above was
+            # already the whole object.  IfMatch pins the generation
+            # the tail was read from (the small-path analog of the
+            # multipart CopySourceIfMatch) so a concurrent rewrite
+            # fails the stamp instead of being clobbered.
+            assert win == size
+            s3.put_object(
+                Bucket=bucket,
+                Key=k,
+                Body=tail + footer,
+                IfMatch=etag.strip('"'),
+                **carry,
             )
-            s3.put_object(Bucket=bucket, Key=k, Body=body + footer)
             return
 
-        mpu = s3.create_multipart_upload(Bucket=bucket, Key=k)["UploadId"]
+        # UploadPartCopy caps: ≤5 GiB per part and ≤10,000 parts per
+        # upload — auto-scale the chunk up for huge objects (S3 objects
+        # are ≤5 TiB, so the scaled chunk stays far under the ceiling)
+        eff_part = max(part_size, -(-size // 9_999))
+        mpu = s3.create_multipart_upload(Bucket=bucket, Key=k, **carry)[
+            "UploadId"
+        ]
         try:
             parts = []
             part_no = 1
@@ -258,7 +302,7 @@ def stamp_kv_s3(
             # remainder under the minimum merges into the previous
             # chunk (bounded by part_size + 5 MiB << the 5 GiB copy
             # ceiling).
-            bounds = list(range(0, size, part_size)) + [size]
+            bounds = list(range(0, size, eff_part)) + [size]
             if len(bounds) > 2 and bounds[-1] - bounds[-2] < _MIN_PART:
                 del bounds[-2]
             for lo, end in zip(bounds, bounds[1:]):

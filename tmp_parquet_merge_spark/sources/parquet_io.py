@@ -533,10 +533,11 @@ def attach_kv_metadata(
     at 100 TB would be absurd; this costs one footer read + append per
     file, executor-parallel via mapInPandas.
 
-    Values are stored UTF-8.  Local/shared-FS paths only (appends are
-    not supported on object stores) — matching the reference's local
-    ``arrow::io::FileOutputStream`` scope.  Returns the number of
-    files stamped.
+    Values are stored UTF-8.  Local/shared-FS paths append in place;
+    s3:///s3a:///s3n:// paths route to the O(footer) multipart
+    server-side-copy stamp (sources/object_store.py::stamp_kv_s3, r9);
+    other remote schemes refuse loudly.  Returns the number of files
+    stamped.
 
     Crash safety (r6 advisor): the append is journal-free but
     recoverable — each stamp records the pre-append length, fsyncs the
@@ -682,6 +683,10 @@ def attach_kv_metadata(
                 merged = dict(md.metadata or {})
                 merged.update(kv_bytes)
                 schema = pf.schema_arrow.with_metadata(merged)
+                # SYNC NOTE: object_store._rebuild_footer carries the
+                # driver-side twin of this kv-merge + INT96 +
+                # mixed-timestamp rebuild; changes here must land
+                # there too (both sites carry this note).
                 # the rebuilt footer must declare the SAME physical
                 # types as the existing row groups (AppendRowGroups
                 # requires equal schemas): a file whose timestamps are

@@ -129,6 +129,7 @@ HEADLINE = [
     # norms, returned-item + large-volume TPC-H, z-score anomaly flag,
     # SCD2 interval build, binaryFile ingestion
     "q_bm25",
+    "q_rank_fusion",
     "q_interleave_sources",
     "q_vector_norm",
     "q_sql_tpch_q10",

@@ -1187,3 +1187,31 @@ def test_segments_clean_strips_boilerplate_keeps_tail(spark, tmp_path):
     assert out[2] == ("", 1)  # all boilerplate, row survives as empty
     assert out[3] == ("unrelated closing", 1)
     assert out[4] == ("short doc", 0)  # normalized pass-through
+
+
+def test_rank_fusion_semantics(spark, sf_dir):
+    """q_rank_fusion (r9): rrf_score equals the recomputed
+    Σ 1/(60+rank) for every row, docs on both lists outrank
+    equal-ranked single-list docs, and the fused ranking is the
+    rrf-desc/doc-id order."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_rank_fusion"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = 0.0
+        if r.bm25_rank is not None:
+            want += 1.0 / (60 + r.bm25_rank)
+        if r.cos_rank is not None:
+            want += 1.0 / (60 + r.cos_rank)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9, r
+        assert r.bm25_rank is not None or r.cos_rank is not None
+    ordered = sorted(rows, key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.fused_rank for r in ordered] == list(range(1, len(rows) + 1))
+    both = [r for r in rows if r.bm25_rank and r.cos_rank]
+    if both:
+        best_single = min(
+            r.rrf_score for r in rows if not (r.bm25_rank and r.cos_rank)
+        )
+        # a doc on both lists beats any doc holding a single last place
+        assert max(r.rrf_score for r in both) > best_single

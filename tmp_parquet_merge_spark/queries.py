@@ -1667,6 +1667,9 @@ _CHANGED_THIS_ROUND = frozenset(
         #    generation widening that mergeSchema rejects,
         #    oracle-backed)
         "q_schema_widening",
+        #  * q_rank_fusion — NEW in r9 (hybrid BM25 + embedding-cosine
+        #    retrieval fused by reciprocal rank, oracle-backed)
+        "q_rank_fusion",
     }
 )
 

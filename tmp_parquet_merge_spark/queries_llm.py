@@ -1689,10 +1689,11 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
-        WITH {_W},
+# BM25 top-20 as a reusable CTE block (same fixed 3-term query):
+# q_bm25's oracle SELECTs from it directly; q_rank_fusion's oracle
+# fuses its ranks with the cosine ranks.
+_BM25_TOP = f"""
+        {_W},
         tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
         tf AS (
@@ -1719,6 +1720,13 @@ def q_frame_sample(spark, sf_dir):
             FROM s GROUP BY 1
         ),
         top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH {_BM25_TOP}
         SELECT doc_id, score,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
                    AS rank
@@ -1741,6 +1749,93 @@ def q_bm25(spark, sf_dir):
         k1=1.2,
         b=0.75,
         k=20,
+    )
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+        WITH {_BM25_TOP},
+        bm AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS bm25_rank
+            FROM top
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        c AS (
+            SELECT e.vec_id AS doc_id,
+                   round({_cos("e.embedding", "q.qe")}, 6) AS sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        ct AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                        AS INT) AS cos_rank
+            FROM (SELECT * FROM c ORDER BY sim DESC, doc_id LIMIT 20)
+        ),
+        f AS (
+            SELECT COALESCE(bm.doc_id, ct.doc_id) AS doc_id,
+                   bm25_rank, cos_rank
+            FROM bm FULL OUTER JOIN ct ON bm.doc_id = ct.doc_id
+        )
+        SELECT doc_id,
+               round(COALESCE(1.0 / (60 + bm25_rank), 0)
+                     + COALESCE(1.0 / (60 + cos_rank), 0), 6) AS rrf_score,
+               bm25_rank, cos_rank,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY COALESCE(1.0 / (60 + bm25_rank), 0)
+                            + COALESCE(1.0 / (60 + cos_rank), 0) DESC,
+                            doc_id) AS INT) AS fused_rank
+        FROM f
+    """,
+)
+def q_rank_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (r9): the BM25
+    top-20 (q_bm25's exact list) fused with the embedding-cosine
+    top-20 for document 0's vector (doc_id ≡ vec_id in the bundled
+    corpus) by the standard RRF score Σ 1/(60 + rank) — the
+    rank-space combiner that needs no score normalization between a
+    lexical and a vector retriever.  Each side is an existing
+    scale-proven plan (bm25_topk's broadcast-stats top-k;
+    brute_force_topk's one-pass matmul — swap in ann_topk for the
+    uncapped corpus); the fusion itself touches ≤ 40 rows, so the
+    full-outer join and final rank are driver-trivial at any corpus
+    size.  The RRF sum has exactly two addends, so engine float
+    parity is exact."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    bm = text.bm25_topk(
+        docs, "text", "doc_id", ("merge", "scan", "window"),
+        k1=1.2, b=0.75, k=20,
+    ).select("doc_id", F.col("rank").alias("bm25_rank"))
+    cos = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    )
+    # ≤ 20 rows: the unpartitioned rank windows below are bounded by
+    # k, never by corpus size
+    cos_r = cos.select(
+        F.col("n_vec").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), F.asc("n_vec")))
+        .alias("cos_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0))
+    return (
+        bm.join(cos_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
+            F.row_number()
+            .over(Window.orderBy(rrf.desc(), F.asc("doc_id")))
+            .alias("fused_rank"),
+        )
     )
 
 

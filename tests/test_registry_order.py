@@ -44,8 +44,8 @@ def test_sort_keys_are_monotonic():
 
 
 # The oldest evidence round being drained this round: the r9 window
-# spends its 9 changed slots (fixes + knob bumps + 4 new queries),
-# then the 24-query r4 cohort, then 17 r5 fills — bump as older
+# spends its 10 changed slots (fixes + knob bumps + 5 new queries),
+# then the 24-query r4 cohort, then 16 r5 fills — bump as older
 # cohorts drain away.
 DRAIN_FRONTIER = 5
 

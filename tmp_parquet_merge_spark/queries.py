@@ -1684,12 +1684,12 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-9 window plan: the 9 changed queries first (two fixed r8
+# Round-9 window plan: the 10 changed queries first (two fixed r8
 # driver failures, the simhash stamp hardening, the ivf/pq knob bumps,
-# and the four brand-new queries — all re-queue under the
+# and the five brand-new queries — all re-queue under the
 # evidence-certifies-the-code rule), then the stale cohort oldest
 # round first: the 24 r4-evidence queries, then the r5 cohort fills
-# the remaining 17 of the 50-slot window (9+24+17).  r5 entries
+# the remaining 16 of the 50-slot window (10+24+16).  r5 entries
 # displaced past slot 50 rotate in round 10.
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)

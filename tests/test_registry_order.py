@@ -43,34 +43,39 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r9 window
-# spends its 10 changed slots (fixes + knob bumps + 5 new queries),
-# then the 24-query r4 cohort, then 16 r5 fills — bump as older
-# cohorts drain away.
+# The oldest evidence round being drained this round: the r10 window
+# spends its changed slots, then the 24-query r5 hash cohort, then the
+# stale rows-only cohort (rows evidence refreshes on a tighter leash —
+# it is the weaker evidence kind), then ~21 r6 fills — bump the
+# frontiers as older cohorts drain away.
 DRAIN_FRONTIER = 5
+DRAIN_FRONTIER_ROWS = 8
+
+
+def _stale(n, q):
+    frontier = DRAIN_FRONTIER if q.oracle is not None else DRAIN_FRONTIER_ROWS
+    return _EVIDENCE_ROUND.get(n, 0) <= frontier
 
 
 def test_named_evidence_debts_lead():
     # the window is PINNED to the evidence-freshness tail — every
     # pinned entry is either changed this round (must re-queue) or
-    # carries stale (round ≤ frontier) driver evidence being drained
-    # oldest-first.
+    # carries stale (round ≤ its kind's frontier) driver evidence
+    # being drained oldest-first.
     assert tuple(REGISTRY)[: len(_DRIVER_FIRST)] == _DRIVER_FIRST
     for n in _DRIVER_FIRST:
-        stale = _EVIDENCE_ROUND.get(n, 0) <= DRAIN_FRONTIER
-        assert n in _CHANGED_THIS_ROUND or stale, (
+        assert n in _CHANGED_THIS_ROUND or _stale(n, REGISTRY[n]), (
             f"{n} has fresh evidence (r{_EVIDENCE_ROUND.get(n)}) and is "
             "unchanged — drop it from _DRIVER_FIRST"
         )
-    # and the frontier is tight: no UNCHANGED query with evidence
-    # older than the frontier is left outside the pinned prefix
+    # and the frontiers are tight: no UNCHANGED query with evidence
+    # at or below its kind's frontier is left outside the pinned prefix
     for n, q in REGISTRY.items():
         if n in _DRIVER_FIRST or n in _CHANGED_THIS_ROUND:
             continue
-        r = _EVIDENCE_ROUND.get(n, 0)
-        assert r > DRAIN_FRONTIER or r == 0, (
-            f"{n} (evidence r{r}) is staler than the drain frontier but "
-            "not pinned in _DRIVER_FIRST"
+        assert not _stale(n, q) or _EVIDENCE_ROUND.get(n, 0) == 0, (
+            f"{n} (evidence r{_EVIDENCE_ROUND.get(n)}) is staler than "
+            "the drain frontier but not pinned in _DRIVER_FIRST"
         )
 
 

@@ -1399,49 +1399,7 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    4: (
-        "q_sql_tpch_q11",
-        "q_sql_tpch_q12",
-        "q_sql_tpch_q13",
-        "q_sql_tpch_q14",
-        "q_sql_tpch_q15",
-        "q_sql_tpch_q16",
-        "q_sql_tpch_q17",
-        "q_sql_tpch_q18",
-        "q_sql_tpch_q19",
-        "q_sql_tpch_q2",
-        "q_sql_tpch_q20",
-        "q_sql_tpch_q21",
-        "q_sql_tpch_q22",
-        "q_sql_tpch_q4",
-        "q_sql_tpch_q5",
-        "q_sql_tpch_q7",
-        "q_sql_tpch_q8",
-        "q_sql_tpch_q9",
-        "q_stream_dedup",
-        "q_time_weighted_avg",
-        "q_transition_matrix",
-        "q_window_range_frame",
-        "q_window_sliding",
-        "q_window_topk",
-    ),
     5: (
-        "q_agg_basic",
-        "q_agg_distinct",
-        "q_agg_rollup",
-        "q_attribution",
-        "q_binary_ingest",
-        "q_contamination",
-        "q_dedup_containment",
-        "q_dedup_ngram",
-        "q_dq_audit",
-        "q_embedding_quantize",
-        "q_except_all",
-        "q_filter_nulls",
-        "q_filter_pushdown",
-        "q_intersect_all",
-        "q_islands",
-        "q_join_anti",
         "q_join_inner",
         "q_join_multiway",
         "q_join_nullsafe",
@@ -1592,8 +1550,56 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_running",
         "q_window_tumbling",
     ),
+    9: (
+        "q_agg_basic",
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_ann_lsh",
+        "q_attribution",
+        "q_binary_ingest",
+        "q_column_stats",
+        "q_contamination",
+        "q_dedup_containment",
+        "q_dedup_ngram",
+        "q_dedup_segments",
+        "q_dq_audit",
+        "q_embedding_quantize",
+        "q_except_all",
+        "q_filter_nulls",
+        "q_filter_pushdown",
+        "q_intersect_all",
+        "q_islands",
+        "q_join_anti",
+        "q_join_asof_tolerance",
+        "q_rank_fusion",
+        "q_schema_widening",
+        "q_segments_clean",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q18",
+        "q_sql_tpch_q19",
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q5",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_stream_dedup",
+        "q_time_weighted_avg",
+        "q_transition_matrix",
+        "q_window_range_frame",
+        "q_window_sliding",
+        "q_window_topk",
+    ),
 }
-
 _ROWS_SEEN_BY_ROUND = {
     7: (
         "q_dedup_semantic",
@@ -1601,11 +1607,13 @@ _ROWS_SEEN_BY_ROUND = {
     ),
     8: (
         "q_agg_sketch",
+        "q_dedup_embedding_lsh",
+        "q_hll_rollup",
+    ),
+    9: (
         "q_ann_ivf",
         "q_ann_pq",
-        "q_dedup_embedding_lsh",
         "q_dedup_simhash",
-        "q_hll_rollup",
     ),
 }
 
@@ -1618,58 +1626,15 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 9) and therefore re-queued regardless
-# of past evidence.  (The r8 change set is folded above: 9 of its 11
-# members re-evidenced in CORRECTNESS_r08 — the two that FAILED there,
-# q_ann_lsh (numpy-frame crash) and q_column_stats (signed-zero hash
-# mismatch), were fixed this round and re-queue below.)
+# Changed in THIS round (round 10) and therefore re-queued regardless
+# of past evidence.  (The full r9 change set — the two r8
+# driver-failure fixes, the simhash stamp hardening, the ivf/pq knob
+# bumps, and the five new queries — re-evidenced green in
+# CORRECTNESS_r09 and is folded into the tables above.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # r9 driver-failure fixes — never driver-evidenced under the
-        # current code, must lead the window:
-        #  * q_ann_lsh — query frame now built from plain Python
-        #    floats (the non-Arrow createDataFrame fallback rejected
-        #    numpy.float64 in array<double> on the r8 driver)
-        "q_ann_lsh",
-        #  * q_column_stats — min_num/max_num canonicalize IEEE signed
-        #    zero (+0.0); footer -0.0 hashed apart from the oracle's 0.0
-        "q_column_stats",
-        #  * q_dedup_simhash — the jaccard stamp's size joins went
-        #    inner → left (defensive hardening: on the CODEGEN shingle
-        #    path every signed doc has a sizes row — shingle_rows keeps
-        #    pos==0 unconditionally — so bundled output is identical,
-        #    but the stamp must stay row-preserving under any future
-        #    shingle spelling; zero-denominator guard pinned in tests).
-        #    Re-queued under evidence-certifies-the-code: the joins in
-        #    the plan changed even though no bundled row did.
-        "q_dedup_simhash",
-        #  * q_ann_ivf — n_probe 4 → 6 (measured recall 0.90/0.90/0.96
-        #    across the bundled tiers, floor ≥0.85 pinned): different
-        #    candidate set + recall values, so r8 rows evidence no
-        #    longer certifies the output
-        "q_ann_ivf",
-        #  * q_ann_pq — codebooks 4×16 → 8×256 + 10× re-rank (recall
-        #    0.34→0.96 at sf0.1, floor ≥0.9 pinned): same
-        #    evidence-certifies-the-code rule
-        "q_ann_pq",
-        #  * q_dedup_segments — NEW in r9 (C4-style repeated-segment
-        #    boilerplate blacklist, oracle-backed); no evidence yet,
-        #    pinned into the window explicitly
-        "q_dedup_segments",
-        #  * q_segments_clean — NEW in r9 (the blacklist APPLIED:
-        #    boilerplate-stripped rewrite of every doc, oracle-backed)
-        "q_segments_clean",
-        #  * q_join_asof_tolerance — NEW in r9 (pandas merge_asof
-        #    tolerance semantics over the union-merge plan,
-        #    oracle-backed)
-        "q_join_asof_tolerance",
-        #  * q_schema_widening — NEW in r9 (int32→int64 / float→double
-        #    generation widening that mergeSchema rejects,
-        #    oracle-backed)
-        "q_schema_widening",
-        #  * q_rank_fusion — NEW in r9 (hybrid BM25 + embedding-cosine
-        #    retrieval fused by reciprocal rank, oracle-backed)
-        "q_rank_fusion",
+        # (populated as round-10 work lands; empty set means the whole
+        # window drains the evidence-freshness tail below)
     }
 )
 
@@ -1684,25 +1649,32 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-9 window plan: the 10 changed queries first (two fixed r8
-# driver failures, the simhash stamp hardening, the ivf/pq knob bumps,
-# and the five brand-new queries — all re-queue under the
-# evidence-certifies-the-code rule), then the stale cohort oldest
-# round first: the 24 r4-evidence queries, then the r5 cohort fills
-# the remaining 16 of the 50-slot window (10+24+16).  r5 entries
-# displaced past slot 50 rotate in round 10.
+# Round-10 window plan (r9 verdict "Next round" #1): the engine has no
+# implementation gaps left, so the risk surface IS evidence staleness —
+# the window drains the oldest cohorts.  Changed queries (if any) lead,
+# then the 24-query r5 hash cohort (the oldest hash evidence at HEAD),
+# then the stale rows-only cohort (rows evidence is the weaker kind, so
+# it refreshes on a tighter leash: everything at or below
+# _ROWS_DRAIN_FRONTIER = r8 re-queues — q_dedup_semantic/q_kmeans (r7),
+# q_agg_sketch/q_dedup_embedding_lsh/q_hll_rollup (r8)).  The remaining
+# ~20 slots fill with the r6 hash cohort via the default tier-2
+# oldest-first sort; r6 entries displaced past slot 50 rotate in
+# round 11.
+_HASH_DRAIN_FRONTIER = 5
+_ROWS_DRAIN_FRONTIER = 8
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(
     n
-    # hash table before rows table WITHIN each round: when the change
-    # set displaces part of a round's cohort past slot 50, the
-    # displaced tail should be the weaker-evidence rows-only entries,
-    # not hash-comparable ones (mirrors the tier-2-before-tier-3
-    # policy of the default sort)
-    for r in (4, 5)
-    for table in (_HASH_GREEN_BY_ROUND, _ROWS_SEEN_BY_ROUND)
-    for n in table.get(r, ())
+    for r in sorted(_HASH_GREEN_BY_ROUND)
+    if r <= _HASH_DRAIN_FRONTIER
+    for n in _HASH_GREEN_BY_ROUND[r]
+    if n not in _CHANGED_THIS_ROUND
+) + tuple(
+    n
+    for r in sorted(_ROWS_SEEN_BY_ROUND)
+    if r <= _ROWS_DRAIN_FRONTIER
+    for n in _ROWS_SEEN_BY_ROUND[r]
     if n not in _CHANGED_THIS_ROUND
 )
 

@@ -226,6 +226,11 @@ HEADLINE = [
     # compaction: write phase = scatter 64 small files + merge_files
     # compact; read phase = distributed footer scan of the output
     "q_merge_compaction",
+    # round-10 additions: type-widening generation read (r9 verdict #2:
+    # the only registered sweep-eligible query without a floor — its
+    # build() writes a 10-row fixture pair, so the measured phase is
+    # the footer-probe + cast-union read plan)
+    "q_schema_widening",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -231,6 +231,9 @@ HEADLINE = [
     # build() writes a 10-row fixture pair, so the measured phase is
     # the footer-probe + cast-union read plan)
     "q_schema_widening",
+    # sliding-gram repeated-substring spans (the Lee-et-al.-2022
+    # suffix-array analog; ~10x q_dedup_segments' gram rows by design)
+    "q_dedup_substring",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

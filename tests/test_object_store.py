@@ -186,3 +186,135 @@ def test_stamp_preserves_object_level_metadata(s3):
         assert head["ContentType"] == "application/vnd.apache.parquet"
         assert head["Metadata"] == {"team": "curation"}
         _roundtrip_checks(s3, key, {"k": "v"}, blob)
+
+
+class _Recorder:
+    """Delegating client wrapper that records (method, kwargs) of every
+    call — moto accepts but does not ENFORCE IfMatch on
+    CompleteMultipartUpload, so the conditional-write tests pin the
+    request shape the real S3 API would enforce."""
+
+    def __init__(self, client):
+        self._c = client
+        self.calls = []
+
+    def __getattr__(self, name):
+        attr = getattr(self._c, name)
+        if not callable(attr):
+            return attr
+
+        def wrap(*a, **kw):
+            self.calls.append((name, kw))
+            return attr(*a, **kw)
+
+        return wrap
+
+    def kwargs(self, method):
+        return [kw for n, kw in self.calls if n == method]
+
+
+def test_stamp_carries_object_tags(s3):
+    """r9 advisor item: object tags (TagSet) must survive the stamp on
+    BOTH paths — the recompose previously re-created the object with
+    an empty tag set despite the metadata-carry contract."""
+    small = _parquet_bytes(60)
+    big = _parquet_bytes(64, payload=12 * 1024 * 1024)
+    for key, blob, ps in (
+        ("g/small.parquet", small, 512 * 1024 * 1024),
+        ("g/big.parquet", big, 5 * 1024 * 1024),
+    ):
+        s3.put_object(
+            Bucket="lake", Key=key, Body=blob, Tagging="team=data&tier=gold"
+        )
+        stamp_kv_s3(f"s3a://lake/{key}", {"k": "v"}, client=s3, part_size=ps)
+        tags = {
+            t["Key"]: t["Value"]
+            for t in s3.get_object_tagging(Bucket="lake", Key=key)["TagSet"]
+        }
+        assert tags == {"team": "data", "tier": "gold"}, key
+        _roundtrip_checks(s3, key, {"k": "v"}, blob)
+
+
+def test_complete_multipart_is_conditional(s3):
+    """r9 advisor item (lost-update window): the final
+    CompleteMultipartUpload must carry IfMatch pinned to the ETag the
+    tail was read from, so an object rewritten after the last
+    UploadPartCopy fails the stamp instead of being clobbered with
+    old-data+new-footer.  moto doesn't enforce the condition, so this
+    pins the request shape."""
+    big = _parquet_bytes(64, payload=12 * 1024 * 1024)
+    s3.put_object(Bucket="lake", Key="c/p.parquet", Body=big)
+    etag = s3.head_object(Bucket="lake", Key="c/p.parquet")["ETag"].strip('"')
+    rec = _Recorder(s3)
+    stamp_kv_s3(
+        "s3a://lake/c/p.parquet",
+        {"k": "v"},
+        client=rec,
+        part_size=5 * 1024 * 1024,
+    )
+    completes = rec.kwargs("complete_multipart_upload")
+    assert len(completes) == 1
+    assert completes[0]["IfMatch"] == etag
+    _roundtrip_checks(s3, "c/p.parquet", {"k": "v"}, big)
+
+
+def test_versioned_bucket_stamp_pins_generation_end_to_end():
+    """r9 verdict #7: under bucket versioning, the tail GET, the tag
+    fetch, and EVERY copy part must name the explicit VersionId that
+    was headed — a concurrent PUT between the tail GET and the copy
+    then cannot interleave (the copies read the pinned version, and
+    the conditional complete rejects the swap).  The stamp writes a
+    NEW version; the pre-stamp version stays byte-identical (the
+    object-lock story: old versions are never deleted)."""
+    with mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="vlake")
+        client.put_bucket_versioning(
+            Bucket="vlake", VersioningConfiguration={"Status": "Enabled"}
+        )
+        blob = _parquet_bytes(64, payload=12 * 1024 * 1024)
+        client.put_object(
+            Bucket="vlake", Key="t/p.parquet", Body=blob, Tagging="a=b"
+        )
+        head = client.head_object(Bucket="vlake", Key="t/p.parquet")
+        vid, etag = head["VersionId"], head["ETag"].strip('"')
+        rec = _Recorder(client)
+        n = stamp_kv_s3(
+            "s3://vlake/t/p.parquet",
+            {"round": "10"},
+            client=rec,
+            part_size=5 * 1024 * 1024,
+        )
+        assert n == 1
+        copies = rec.kwargs("upload_part_copy")
+        assert copies
+        assert all(kw["CopySource"]["VersionId"] == vid for kw in copies)
+        assert all(kw["CopySourceIfMatch"] == head["ETag"] for kw in copies)
+        gets = rec.kwargs("get_object")
+        assert gets and all(kw["VersionId"] == vid for kw in gets)
+        tag_gets = rec.kwargs("get_object_tagging")
+        assert tag_gets and all(kw["VersionId"] == vid for kw in tag_gets)
+        completes = rec.kwargs("complete_multipart_upload")
+        assert len(completes) == 1 and completes[0]["IfMatch"] == etag
+        # stamped head version is new; stamped bytes carry the kv; tags
+        # carried; the pre-stamp version is untouched
+        import io as _io
+
+        got = client.get_object(Bucket="vlake", Key="t/p.parquet")
+        assert got.get("VersionId") != vid
+        data = got["Body"].read()
+        md = pq.read_metadata(_io.BytesIO(data))
+        meta = {k.decode(): v.decode() for k, v in (md.metadata or {}).items()}
+        assert meta["round"] == "10"
+        assert data[: len(blob)] == blob
+        tags = {
+            t["Key"]: t["Value"]
+            for t in client.get_object_tagging(
+                Bucket="vlake", Key="t/p.parquet"
+            )["TagSet"]
+        }
+        assert tags == {"a": "b"}
+        old = client.get_object(
+            Bucket="vlake", Key="t/p.parquet", VersionId=vid
+        )["Body"].read()
+        assert old == blob

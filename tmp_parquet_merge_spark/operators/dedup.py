@@ -139,6 +139,125 @@ def prefix_dedup(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    min_len: int = 20,
+) -> DataFrame:
+    """Cross-document repeated-substring spans at ARBITRARY word
+    boundaries — the Spark-native approximation of exact substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove substrings ≥ 50 BPE tokens that
+    repeat in the corpus, found with a suffix array).  A distributed
+    suffix array is impractical; the standard relational approximation
+    is: emit every SLIDING ``k``-word gram with its position, mark
+    positions whose gram occurs in ≥ 2 distinct documents, and report
+    each maximal run of consecutive marked positions spanning
+    ≥ ``min_len`` words.  Unlike :func:`q_dedup_segments`'s aligned
+    stride-``k`` windows, sliding grams catch repeats at any offset —
+    the sub-document duplication aligned windows miss when the shared
+    stretch starts mid-window.
+
+    Returns one row per document that has ≥ 1 qualifying span:
+    ``(id, n_words, dup_spans, dup_words, frac_dup)`` where
+    ``dup_words`` is the UNION word-cover of qualifying positions
+    (adjacent spans may overlap in cover; the lag-capped sum
+    ``Σ min(iₜ − iₜ₋₁, k)`` computes the union exactly) and
+    ``frac_dup = dup_words / n_words`` rounded to 6 places.
+
+    Scale shape (100 TB): gram rows are O(total words), each carrying
+    a ≤ ``k``-word string; the only corpus-wide shuffle is the
+    doc-frequency hash-agg keyed by gram (at open scale swap the key
+    to ``xxhash64(gram)`` digests and the wire cost drops to 8 bytes a
+    row — the q_dedup_exact digest discipline; the string spelling
+    here keeps the DuckDB oracle exact).  The run/cover windows
+    partition by document id, so their sort extent is bounded by
+    document length; nothing is quadratic in corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    n = F.size("ws")
+    grams = (
+        d.filter(n >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n - k).cast("long"))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), (F.col("i") + 1).cast("int"), k)
+            ).alias("gram"),
+        )
+        # two consumers (the doc-frequency agg and the semi-join back);
+        # checkpoint so the explode+slice projection runs once
+        .localCheckpoint(eager=False)
+    )
+    shared = (
+        grams.select("gram", "_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    qual = grams.join(shared, "gram", "left_semi").select("_id", "i")
+    by_pos = Window.partitionBy("_id").orderBy("i")
+    run = Window.partitionBy("_id", "isl")
+    spans = (
+        qual.withColumn("isl", F.col("i") - F.row_number().over(by_pos))
+        .withColumn(
+            "span", F.max("i").over(run) - F.min("i").over(run) + F.lit(k)
+        )
+        .filter(F.col("span") >= min_len)
+    )
+    cov = (
+        spans.withColumn("prev", F.lag("i").over(by_pos))
+        .withColumn("prev_isl", F.lag("isl").over(by_pos))
+        .select(
+            "_id",
+            # a new span starts at the first qualifying position and at
+            # every island change (spelled with lag, not countDistinct:
+            # a distinct-agg would Expand-double the rows for no gain)
+            F.when(
+                F.col("prev_isl").isNull()
+                | (F.col("prev_isl") != F.col("isl")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("new_span"),
+            F.when(F.col("prev").isNull(), F.lit(k).cast("long"))
+            .otherwise(F.least(F.col("i") - F.col("prev"), F.lit(k).cast("long")))
+            .alias("c"),
+        )
+    )
+    per = cov.groupBy("_id").agg(
+        F.sum("new_span").cast("long").alias("dup_spans"),
+        F.sum("c").cast("long").alias("dup_words"),
+    )
+    nw = d.select("_id", F.size("ws").cast("long").alias("n_words"))
+    return (
+        per.join(nw, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "dup_spans",
+            "dup_words",
+            F.round(F.col("dup_words") / F.col("n_words"), 6).alias(
+                "frac_dup"
+            ),
+        )
+    )
+
+
 def editdist_pairs(
     df: DataFrame,
     text_col: str,

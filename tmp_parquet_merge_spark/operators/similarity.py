@@ -268,6 +268,8 @@ def embedding_dedup_pairs_lsh(
     nbits: int | None = None,
     bands: int | None = None,
     round_to: int = 6,
+    target_recall: float = 0.95,
+    max_bands: int | None = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates —
     the 100 TB path: bucket-join on signature bands (shuffle is
@@ -280,11 +282,29 @@ def embedding_dedup_pairs_lsh(
     ``nbits``/``bands`` default to corpus-adaptive sizing
     (:func:`_auto_lsh_params`, one count() over the ids): band
     selectivity tracks log2(n) so expected random-pair collisions —
-    and therefore verify cost — stay O(n) as the corpus grows, while
-    the band count holds ~90% recall at cosine 0.9.  Pass both
-    explicitly to pin a fixed index layout instead."""
+    and therefore verify cost — stay O(n·bands) as the corpus grows,
+    while the band count is sized to hold ``target_recall`` AT THE
+    OPERATING ``threshold`` (r10 — the r8 sizing targeted recall at
+    cosine 0.9 regardless of the query's threshold, which measured
+    pair_recall 0.38/0.44 at the 0.4 boundary: only 4 bands, each
+    nearly blind to a 66° angle).  Sizing at the operating point
+    measures 0.97/0.97/0.95 on the bundled tiers (the per-band
+    collision p1 = 1-acos(t)/π shrinks with t, so low thresholds need
+    MANY bands — ``max_bands`` caps the cost and the clamp warns with
+    the achieved-recall estimate).  The honest scale law, recorded in
+    SCALE.md: at fixed recall and cosine 0.4 the band count grows
+    ~n^0.66, so a capped index DECAYS in recall as the corpus grows —
+    near-threshold pair mining at loose cosine is SemDeDup territory
+    (q_dedup_semantic) or a higher-threshold rerun, not an LSH win.
+    Pass ``nbits``/``bands`` explicitly to pin a fixed layout
+    instead."""
     if nbits is None or bands is None:
-        rows_per_band, n_bands = _auto_lsh_params(df.count())
+        rows_per_band, n_bands = _auto_lsh_params(
+            df.count(),
+            high_sim=threshold,
+            target_recall=target_recall,
+            max_bands=max_bands,
+        )
         nbits = rows_per_band * n_bands
         bands = n_bands
     # the normalized frame feeds the signature stage AND the verify

@@ -1633,8 +1633,17 @@ _EVIDENCE_ROUND = {
 # CORRECTNESS_r09 and is folded into the tables above.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        # (populated as round-10 work lands; empty set means the whole
-        # window drains the evidence-freshness tail below)
+        #  * q_dedup_substring — NEW in r10 (sliding-gram repeated-
+        #    substring spans, the Lee et al. 2022 suffix-array analog;
+        #    oracle-backed, parity probed at sf0.001/0.01/0.1); no
+        #    driver evidence yet, leads the window
+        "q_dedup_substring",
+        #  * q_dedup_embedding_lsh — r10 recall graduation: bands now
+        #    sized at the operating threshold (0.4) with a 64-band
+        #    cost cap — pair_recall 0.38/0.44 → 0.97/0.97/0.94 across
+        #    the bundled tiers; different candidate set + stamp value,
+        #    so r8 rows evidence no longer certifies the output
+        "q_dedup_embedding_lsh",
     }
 )
 

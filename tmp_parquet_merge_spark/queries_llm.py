@@ -369,6 +369,86 @@ def q_segments_clean(spark, sf_dir):
     )
 
 
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+        WITH {_W},
+        g AS (
+            SELECT doc_id, i - 1 AS i,
+                   array_to_string(ws[i : i + 9], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+            WHERE len(ws) >= 10
+        ),
+        shared AS (
+            SELECT gram FROM (
+                SELECT gram, COUNT(DISTINCT doc_id) AS df
+                FROM g GROUP BY 1
+            ) WHERE df >= 2
+        ),
+        q AS (
+            SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS isl
+            FROM g WHERE gram IN (SELECT gram FROM shared)
+        ),
+        s AS (
+            SELECT doc_id, i, isl,
+                   MAX(i) OVER (PARTITION BY doc_id, isl)
+                     - MIN(i) OVER (PARTITION BY doc_id, isl) + 10 AS span
+            FROM q
+        ),
+        c AS (
+            SELECT doc_id, i, isl,
+                   LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+                   LAG(isl) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS prev_isl
+            FROM s WHERE span >= 20
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN prev_isl IS NULL OR prev_isl <> isl
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+                   CAST(SUM(CASE WHEN prev IS NULL THEN 10
+                                 ELSE LEAST(i - prev, 10) END) AS BIGINT)
+                       AS dup_words
+            FROM c GROUP BY 1
+        )
+        SELECT p.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+               p.dup_spans, p.dup_words,
+               round(CAST(p.dup_words AS DOUBLE) / len(w.ws), 6) AS frac_dup
+        FROM per p JOIN w USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring dedup at arbitrary word boundaries — the
+    relational approximation of the suffix-array method of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better":
+    remove corpus-repeated substrings ≥ 50 BPE tokens), the one
+    well-known dedup family the engine lacked.  Every SLIDING 10-word
+    gram (stride 1 — q_dedup_segments' aligned stride-10 windows miss
+    repeats that start mid-window) is marked if it occurs in ≥ 2
+    distinct documents; maximal runs of consecutive marked positions
+    spanning ≥ 20 words are the cross-document repeated substrings.
+    Per affected doc: span count, union word-cover of qualifying
+    positions (the lag-capped sum Σ min(iₜ−iₜ₋₁, k) — exact even when
+    adjacent spans' k-word covers overlap), and the duplicated
+    fraction a curation pass thresholds on.
+
+    Plan shape: codegen split/sequence-explode/slice emits O(total
+    words) gram rows (localCheckpoint'd once for its two consumers);
+    one corpus-wide hash-agg keyed by the ≤10-word gram (the oracle-
+    exact spelling — at open scale key by xxhash64(gram) digests, the
+    q_dedup_exact discipline, and 8 bytes ride the wire instead);
+    run/cover windows partition by doc_id so sort extent is bounded by
+    document length.  Nothing is quadratic in corpus size — the
+    all-pairs structure a literal suffix array would need never
+    materializes.  North-star dedup mandate (BASELINE.json); extends
+    queries_llm.py's segment machinery (q_dedup_segments)."""
+    return dedup.substring_dup_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=10, min_len=20
+    )
+
+
 # Shared by the blocked query and its LSH-fed twin (which tests pin
 # row-for-row equal on the bundled corpora — every small-edit pair
 # both shares its 2-word prefix and sits far above the LSH S-curve
@@ -617,9 +697,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup pairs at 100 TB shape: SRP-LSH bucket
     candidates (shuffle = O(vectors × bands) int keys, never a
     cartesian), exact cosine ≥ 0.4 on candidates only.  Banding is
-    corpus-adaptive (similarity._auto_lsh_params): bits per band grow
-    with log2(n) so expected random-pair collisions — the verify cost
-    — stay O(n); a fixed layout measured 25x slower on 5x the vectors
+    corpus-adaptive (similarity._auto_lsh_params) and — r10 — sized at
+    the OPERATING threshold: the r8 sizing targeted recall at cosine
+    0.9 and measured pair_recall 0.38/0.44 at the 0.4 boundary (4
+    bands, each nearly blind to a 66° angle); sizing the S-curve knee
+    at 0.4 with a 64-band cost cap measures 0.9697/0.9661/0.9355
+    across the bundled tiers (floor ≥0.9 pinned; decay law vs corpus
+    size recorded in SCALE.md — at loose cosine the capped index
+    decays as n grows, the SemDeDup handoff regime).  Bits per band
+    grow with log2(n) so expected random-pair collisions — the verify
+    cost — stay O(n·bands); a fixed layout measured 25x slower on 5x the vectors
     in the r6 scale sweep.  Rows-only: recall < 1 by the LSH S-curve,
     so the output is a strict subset of the exact twin
     q_dedup_embedding — but every row now carries the MEASURED

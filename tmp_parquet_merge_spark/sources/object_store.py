@@ -24,9 +24,27 @@ resolve the footer from the trailing length+magic), which keeps the
 copy ranges trivially right: parts cover [0, size) of the original.
 
 Atomicity is STRONGER than the local path: S3 readers see the old or
-the new object, never a torn tail, and ``CopySourceIfMatch`` pins the
-source ETag so a concurrent rewrite aborts the stamp instead of
-splicing two generations.
+the new object, never a torn tail.  Concurrent-writer safety is
+end-to-end (r10, closing the r9 advisor's lost-update window): the
+tail GET, every ``UploadPartCopy``, and the final
+``CompleteMultipartUpload`` are all pinned to the generation the
+stamp read — ``CopySourceIfMatch`` on each copy part, ``IfMatch`` on
+the complete (the public S3 conditional-writes API, GA Nov 2024), and
+on versioned buckets additionally an explicit ``VersionId`` on the
+tail GET and every copy source, so a concurrent PUT landing anywhere
+between the tail read and the complete fails the stamp with a
+``PreconditionFailed`` instead of being clobbered with
+old-data+new-footer (or splicing two generations).  Callers retry the
+whole stamp_one.  Object tags (``TagSet``) are carried like the rest
+of the object-level metadata; non-default ACLs are OUT OF SCOPE (the
+recomposed object takes the bucket-policy default — carrying ACLs
+would require s3:GetObjectAcl/PutObjectAcl grants the stamp
+deliberately does not demand).  Object-lock notes: on a versioned
+bucket the stamp writes a NEW version and lock retention/legal-hold
+keeps protecting the old versions (the stamp never deletes them);
+MFA-delete likewise gates deletes, not writes, so stamping proceeds —
+the refusal surface is S3's own ``AccessDenied`` if bucket policy
+forbids the overwrite.
 
 Objects smaller than the 5 MiB multipart part-minimum use a plain
 read-modify-put (O(size), but size < 5 MiB by definition).
@@ -247,11 +265,19 @@ def stamp_kv_s3(
     def stamp_one(k: str) -> None:
         head = s3.head_object(Bucket=bucket, Key=k)
         size, etag = head["ContentLength"], head["ETag"]
+        # on a versioned bucket, pin EVERYTHING downstream (tail GET,
+        # tag fetch, copy sources) to the exact version just headed —
+        # a concurrent PUT between the head and any later call then
+        # cannot interleave its bytes into the recompose
+        vid = head.get("VersionId")
+        ver = {"VersionId": vid} if vid else {}
         # the recomposed object must carry the original's object-level
         # metadata — a "footer-only stamp" that silently drops the
-        # ContentType, x-amz-meta-* tags, SSE settings, or storage
-        # class (or re-encrypts under the bucket default) is a data
-        # change, not a stamp
+        # ContentType, x-amz-meta-* tags, object tags (TagSet), SSE
+        # settings, or storage class (or re-encrypts under the bucket
+        # default) is a data change, not a stamp.  Non-default ACLs
+        # are the documented exception (module docstring): carrying
+        # them would demand GetObjectAcl/PutObjectAcl grants.
         carry = {}
         if head.get("ContentType"):
             carry["ContentType"] = head["ContentType"]
@@ -263,9 +289,21 @@ def stamp_kv_s3(
             carry["SSEKMSKeyId"] = head["SSEKMSKeyId"]
         if head.get("StorageClass"):
             carry["StorageClass"] = head["StorageClass"]
+        tag_set = s3.get_object_tagging(Bucket=bucket, Key=k, **ver).get(
+            "TagSet", []
+        )
+        if tag_set:
+            from urllib.parse import urlencode
+
+            carry["Tagging"] = urlencode(
+                {t["Key"]: t["Value"] for t in tag_set}
+            )
         win = min(size, _TAIL_WINDOW)
         tail = s3.get_object(
-            Bucket=bucket, Key=k, Range=f"bytes={size - win}-{size - 1}"
+            Bucket=bucket,
+            Key=k,
+            Range=f"bytes={size - win}-{size - 1}",
+            **ver,
         )["Body"].read()
         footer = _rebuild_footer(_TailFile(size, tail), kv_bytes)
 
@@ -312,7 +350,7 @@ def stamp_kv_s3(
                     Key=k,
                     UploadId=mpu,
                     PartNumber=part_no,
-                    CopySource={"Bucket": bucket, "Key": k},
+                    CopySource={"Bucket": bucket, "Key": k, **ver},
                     CopySourceRange=f"bytes={lo}-{hi}",
                     CopySourceIfMatch=etag,
                 )
@@ -328,11 +366,17 @@ def stamp_kv_s3(
                 Body=io.BytesIO(footer),
             )
             parts.append({"PartNumber": part_no, "ETag": r["ETag"]})
+            # conditional complete (S3 conditional writes): the swap
+            # itself verifies the live object is still the generation
+            # the stamp read — without this, an object rewritten after
+            # the last UploadPartCopy would be silently clobbered with
+            # old-data+new-footer (the r9 advisor's lost-update window)
             s3.complete_multipart_upload(
                 Bucket=bucket,
                 Key=k,
                 UploadId=mpu,
                 MultipartUpload={"Parts": parts},
+                IfMatch=etag.strip('"'),
             )
         except BaseException:
             s3.abort_multipart_upload(Bucket=bucket, Key=k, UploadId=mpu)

@@ -234,6 +234,8 @@ HEADLINE = [
     # sliding-gram repeated-substring spans (the Lee-et-al.-2022
     # suffix-array analog; ~10x q_dedup_segments' gram rows by design)
     "q_dedup_substring",
+    # the APPLY half: repeated-substring word cover removed per doc
+    "q_substring_clean",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1246,6 +1246,36 @@ def test_dedup_substring_spans_and_union_cover(spark, tmp_path):
             cover,
         ), r
         assert abs(r.frac_dup - round(cover / n_words, 6)) < 1e-9, r
+    # the ACTION half on the same fixture: covered words removed in
+    # order, one row per input doc, unaffected docs pass through
+    cleaned = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in REGISTRY["q_substring_clean"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(cleaned) == {1, 2, 3, 4, 8, 9, 10}
+    texts = {
+        r.doc_id: r.text.split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    # doc 1: S (words 0..24) removed, its 10 unique tail words survive
+    assert cleaned[1] == (" ".join(texts[1][25:]), 25)
+    # doc 2: the 3 + 2 unique words around S survive, order kept
+    assert cleaned[2] == (
+        " ".join(texts[2][:3] + texts[2][28:]),
+        25,
+    )
+    # docs 3/4: the 12-word chunk is under min_len — pass-through
+    assert cleaned[3] == (" ".join(texts[3]), 0)
+    assert cleaned[4] == (" ".join(texts[4]), 0)
+    # doc 8: union cover words 0..32 removed, w34..w40 survive
+    assert cleaned[8] == (" ".join(texts[8][33:]), 33)
+    assert cleaned[9] == (" ".join(texts[9][20:]), 20)
+    assert cleaned[10] == (
+        " ".join(texts[10][:10] + texts[10][30:]),
+        20,
+    )
 
 
 def test_rank_fusion_semantics(spark, sf_dir):

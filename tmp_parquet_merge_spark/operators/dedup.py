@@ -139,6 +139,60 @@ def prefix_dedup(
     )
 
 
+def _substring_qual_runs(
+    d: DataFrame, *, k: int, min_len: int
+) -> DataFrame:
+    """Shared pipeline of :func:`substring_dup_spans` /
+    :func:`substring_clean`: from a ``(_id, ws)`` words relation, the
+    qualifying marked-run positions ``(_id, i, isl)`` — every sliding
+    ``k``-gram start position whose gram occurs in ≥ 2 distinct docs,
+    restricted to maximal consecutive runs spanning ≥ ``min_len``
+    words.  One gram-keyed hash-agg (broadcast semi-join back) plus
+    doc-partitioned windows; see the callers' docstrings for the
+    scale contract."""
+    from pyspark.sql import Window
+
+    n = F.size("ws")
+    grams = (
+        d.filter(n >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n - k).cast("long"))
+            ).alias("i"),
+            "ws",
+        )
+        .select(
+            "_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), (F.col("i") + 1).cast("int"), k)
+            ).alias("gram"),
+        )
+        # two consumers (the doc-frequency agg and the semi-join back);
+        # checkpoint so the explode+slice projection runs once
+        .localCheckpoint(eager=False)
+    )
+    shared = (
+        grams.select("gram", "_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    qual = grams.join(shared, "gram", "left_semi").select("_id", "i")
+    by_pos = Window.partitionBy("_id").orderBy("i")
+    run = Window.partitionBy("_id", "isl")
+    return (
+        qual.withColumn("isl", F.col("i") - F.row_number().over(by_pos))
+        .withColumn(
+            "span", F.max("i").over(run) - F.min("i").over(run) + F.lit(k)
+        )
+        .filter(F.col("span") >= min_len)
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     text_col: str,
@@ -177,48 +231,11 @@ def substring_dup_spans(
     partition by document id, so their sort extent is bounded by
     document length; nothing is quadratic in corpus size.
     """
+    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    spans = _substring_qual_runs(d, k=k, min_len=min_len)
     from pyspark.sql import Window
 
-    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
-    n = F.size("ws")
-    grams = (
-        d.filter(n >= k)
-        .select(
-            "_id",
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), (n - k).cast("long"))
-            ).alias("i"),
-            "ws",
-        )
-        .select(
-            "_id",
-            "i",
-            F.concat_ws(
-                " ", F.slice(F.col("ws"), (F.col("i") + 1).cast("int"), k)
-            ).alias("gram"),
-        )
-        # two consumers (the doc-frequency agg and the semi-join back);
-        # checkpoint so the explode+slice projection runs once
-        .localCheckpoint(eager=False)
-    )
-    shared = (
-        grams.select("gram", "_id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram")
-    )
-    qual = grams.join(shared, "gram", "left_semi").select("_id", "i")
     by_pos = Window.partitionBy("_id").orderBy("i")
-    run = Window.partitionBy("_id", "isl")
-    spans = (
-        qual.withColumn("isl", F.col("i") - F.row_number().over(by_pos))
-        .withColumn(
-            "span", F.max("i").over(run) - F.min("i").over(run) + F.lit(k)
-        )
-        .filter(F.col("span") >= min_len)
-    )
     cov = (
         spans.withColumn("prev", F.lag("i").over(by_pos))
         .withColumn("prev_isl", F.lag("isl").over(by_pos))
@@ -253,6 +270,74 @@ def substring_dup_spans(
             "dup_words",
             F.round(F.col("dup_words") / F.col("n_words"), 6).alias(
                 "frac_dup"
+            ),
+        )
+    )
+
+
+def substring_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 10,
+    min_len: int = 20,
+) -> DataFrame:
+    """The ACTION half of :func:`substring_dup_spans` — rewrite every
+    document with its qualifying cross-document repeated-substring
+    word cover REMOVED (the removal step of Lee et al. 2022), keeping
+    the surviving words in order.  Exactly one output row per input
+    document: unaffected docs (including docs under ``k`` words) pass
+    through as their normalized text; a doc that was entirely repeated
+    text comes back as the empty string, never silently disappears.
+    Returns ``(id, clean_text, n_dropped)`` where ``n_dropped`` is the
+    number of removed word positions (== substring_dup_spans'
+    ``dup_words`` for affected docs, 0 otherwise).
+
+    Scale shape: on top of the shared marked-run pipeline this adds a
+    position-explode of the qualifying spans (bounded by total words),
+    a posexplode of the words relation (O(total words) rows, one word
+    each — never whole documents), a doc+position anti-join, and the
+    order-safe ``array_sort(collect_list(struct(pos, word)))``
+    reassembly hash-agg (bare collect_list has no ordering contract).
+    All shuffles are keyed by (doc id) or (doc id, position); nothing
+    is quadratic in corpus size."""
+    d = df.select(
+        F.col(id_col).alias("_id"), words(text_col).alias("ws")
+    ).localCheckpoint(eager=False)
+    spans = _substring_qual_runs(d, k=k, min_len=min_len)
+    covered = (
+        spans.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    wordrows = d.select("_id", F.posexplode("ws").alias("w", "word"))
+    kept = wordrows.join(covered, ["_id", "w"], "left_anti")
+    clean = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    dropped = covered.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        d.select("_id")
+        .join(clean, "_id", "left")
+        .join(dropped, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias(
+                "n_dropped"
             ),
         )
     )

@@ -1638,6 +1638,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #    oracle-backed, parity probed at sf0.001/0.01/0.1); no
         #    driver evidence yet, leads the window
         "q_dedup_substring",
+        #  * q_substring_clean — NEW in r10 (the APPLY half: repeated-
+        #    substring word cover removed per doc, one row per input
+        #    doc; oracle-backed, parity probed at sf0.001/0.01/0.1)
+        "q_substring_clean",
         #  * q_dedup_embedding_lsh — r10 recall graduation: bands now
         #    sized at the operating threshold (0.4) with a 64-band
         #    cost cap — pair_recall 0.38/0.44 → 0.97/0.97/0.94 across

@@ -449,6 +449,89 @@ def q_dedup_substring(spark, sf_dir):
     )
 
 
+@query(
+    "q_substring_clean",
+    oracle=f"""
+        WITH {_W},
+        g AS (
+            SELECT doc_id, i - 1 AS i,
+                   array_to_string(ws[i : i + 9], ' ') AS gram
+            FROM w, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+            WHERE len(ws) >= 10
+        ),
+        shared AS (
+            SELECT gram FROM (
+                SELECT gram, COUNT(DISTINCT doc_id) AS df
+                FROM g GROUP BY 1
+            ) WHERE df >= 2
+        ),
+        q AS (
+            SELECT doc_id, i,
+                   i - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS isl
+            FROM g WHERE gram IN (SELECT gram FROM shared)
+        ),
+        s AS (
+            SELECT doc_id, i,
+                   MAX(i) OVER (PARTITION BY doc_id, isl)
+                     - MIN(i) OVER (PARTITION BY doc_id, isl) + 10 AS span
+            FROM q
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, t2.w
+            FROM s, UNNEST(generate_series(s.i, s.i + 9)) AS t2(w)
+            WHERE s.span >= 20
+        ),
+        words_r AS (
+            SELECT doc_id, i - 1 AS w, ws[i] AS word
+            FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+        ),
+        kept AS (
+            SELECT r.doc_id, r.w, r.word FROM words_r r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cov c
+                WHERE c.doc_id = r.doc_id AND c.w = r.w
+            )
+        ),
+        clean AS (
+            SELECT doc_id,
+                   string_agg(word, ' ' ORDER BY w) AS clean_text
+            FROM kept GROUP BY 1
+        ),
+        nd AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+            FROM cov GROUP BY 1
+        )
+        SELECT w.doc_id,
+               COALESCE(clean.clean_text, '') AS clean_text,
+               CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped
+        FROM w
+        LEFT JOIN clean USING (doc_id)
+        LEFT JOIN nd USING (doc_id)
+    """,
+)
+def q_substring_clean(spark, sf_dir):
+    """The action half of q_dedup_substring — the removal step of Lee
+    et al. 2022: REWRITE every document with its qualifying repeated-
+    substring word cover removed, surviving words kept in order, plus
+    the per-doc removed-word count.  Exactly one output row per input
+    document (unaffected and sub-10-word docs pass through as
+    normalized text; an all-repeated doc comes back empty, never
+    silently disappears — the q_segments_clean contract at arbitrary
+    boundaries).
+
+    Plan shape: the shared marked-run pipeline (one gram-keyed
+    hash-agg, broadcast semi-join, doc-partitioned windows) plus a
+    qualifying-span position explode, a words posexplode (O(total
+    words) single-word rows — whole documents never ride a shuffle),
+    a (doc, position) anti-join, and one order-safe
+    array_sort(collect_list(struct)) reassembly agg per doc.  Nothing
+    quadratic; shuffles are keyed by doc id or (doc id, position)."""
+    return dedup.substring_clean(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=10, min_len=20
+    )
+
+
 # Shared by the blocked query and its LSH-fed twin (which tests pin
 # row-for-row equal on the bundled corpora — every small-edit pair
 # both shares its 2-word prefix and sits far above the LSH S-curve

@@ -433,8 +433,21 @@ def main() -> None:
         # 2x), with a 1 s absolute floor so sub-second queries don't
         # flag on scheduler jitter; real-FS write phases get a 2 s
         # floor — their cost rides the page-cache/writeback state, so
-        # ±1-2 s swings are I/O weather, not plans
-        floor = 2.0 if name.endswith("__write") else 1.0
+        # ±1-2 s swings are I/O weather, not plans.  The READ phase of
+        # a COMPACTION query gets the same 2 s floor (r10): it footer-
+        # sweeps the ~50 small files its own build wrote seconds
+        # earlier, so its cost rides the identical writeback/page-cache
+        # state — r9/r10 measured q_merge_incremental's code-identical
+        # read phase anywhere in 0.43–2.2 s across epochs while the
+        # sweep median moved only 1.3–1.6x.  The PRUNED-read layout
+        # queries (partition_pruning/dpp/zorder/bucketed) deliberately
+        # keep the tight 1 s floor: their sub-100 ms reads ARE the
+        # pruning evidence, and a 2 s buffer would hide losing it.
+        io_coupled = name.endswith("__write") or name in (
+            "q_merge_incremental",
+            "q_merge_compaction",
+        )
+        floor = 2.0 if io_coupled else 1.0
         return max(1.5 * exp, exp + floor)
 
     # Box-speed normalization (r7): the watchlist floors are all-time

@@ -486,6 +486,27 @@ def test_auto_lsh_params_small_corpus_unchanged():
         assert bands <= 32  # never clamped, so identical to r6 output
 
 
+def test_embedding_lsh_sizing_targets_operating_threshold():
+    """r10 recall graduation guard: embedding_dedup_pairs_lsh must size
+    its auto-banding at the OPERATING threshold — the r8 sizing
+    targeted cosine 0.9 regardless of the query's threshold and
+    measured pair_recall 0.38/0.44 at the 0.4 boundary (4 bands).
+    Analytic pin (pure function, no data): the (bits, bands) the
+    default knobs produce at the bundled corpus sizes must hold ≥ 0.9
+    expected recall at cosine 0.4 under the S-curve formula, and the
+    64-band cap must actually bind at sf0.1 scale."""
+    import math
+
+    p1 = 1 - math.acos(0.4) / math.pi
+    for n, expect_bands in ((500, 29), (2_000, 64)):
+        bits, bands = similarity._auto_lsh_params(
+            n, high_sim=0.4, target_recall=0.95, max_bands=64
+        )
+        assert bands == expect_bands, (n, bits, bands)
+        achieved = 1 - (1 - p1**bits) ** bands
+        assert achieved >= 0.9, (n, bits, bands, achieved)
+
+
 def test_prefix_dedup_catches_truncation(spark):
     # doc 2 is doc 1 truncated mid-way: full-text exact dedup misses
     # it, prefix dedup groups them

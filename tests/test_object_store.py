@@ -318,3 +318,36 @@ def test_versioned_bucket_stamp_pins_generation_end_to_end():
             Bucket="vlake", Key="t/p.parquet", VersionId=vid
         )["Body"].read()
         assert old == blob
+
+
+def test_tag_fetch_denied_degrades_to_tagless_stamp(s3):
+    """Tag carry must not grow the stamp's minimal permission surface:
+    a client without s3:GetObjectTagging gets a loud warning and a
+    tag-less stamp, not a failure (r10 review finding)."""
+    import warnings
+
+    from botocore.exceptions import ClientError
+
+    blob = _parquet_bytes(60)
+    s3.put_object(Bucket="lake", Key="d/p.parquet", Body=blob)
+
+    class _Denied(_Recorder):
+        def __getattr__(self, name):
+            if name == "get_object_tagging":
+                def deny(*a, **kw):
+                    raise ClientError(
+                        {"Error": {"Code": "AccessDenied",
+                                   "Message": "nope"}},
+                        "GetObjectTagging",
+                    )
+                return deny
+            return super().__getattr__(name)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        n = stamp_kv_s3(
+            "s3a://lake/d/p.parquet", {"k": "v"}, client=_Denied(s3)
+        )
+    assert n == 1
+    assert any("GetObjectTagging denied" in str(x.message) for x in w)
+    _roundtrip_checks(s3, "d/p.parquet", {"k": "v"}, blob)

@@ -13,7 +13,9 @@ from tmp_parquet_merge_spark.queries import (
     _CHANGED_THIS_ROUND,
     _DRIVER_FIRST,
     _EVIDENCE_ROUND,
+    _HASH_DRAIN_FRONTIER,
     _HASH_GREEN,
+    _ROWS_DRAIN_FRONTIER,
     _ROWS_SEEN,
     _driver_tier,
     _sort_key,
@@ -46,10 +48,12 @@ def test_sort_keys_are_monotonic():
 # The oldest evidence round being drained this round: the r10 window
 # spends its changed slots, then the 24-query r5 hash cohort, then the
 # stale rows-only cohort (rows evidence refreshes on a tighter leash —
-# it is the weaker evidence kind), then ~21 r6 fills — bump the
-# frontiers as older cohorts drain away.
-DRAIN_FRONTIER = 5
-DRAIN_FRONTIER_ROWS = 8
+# it is the weaker evidence kind), then ~21 r6 fills.  The frontier
+# VALUES live in queries.py (they drive _DRIVER_FIRST itself) — the
+# test imports them so a round's frontier bump is a one-site edit and
+# this file keeps asserting only the tightness property.
+DRAIN_FRONTIER = _HASH_DRAIN_FRONTIER
+DRAIN_FRONTIER_ROWS = _ROWS_DRAIN_FRONTIER
 
 
 def _stale(n, q):

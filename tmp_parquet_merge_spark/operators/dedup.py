@@ -231,7 +231,9 @@ def substring_dup_spans(
     partition by document id, so their sort extent is bounded by
     document length; nothing is quadratic in corpus size.
     """
-    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    d = df.select(
+        F.col(id_col).alias("_id"), words(text_col).alias("ws")
+    ).localCheckpoint(eager=False)  # two consumers: grams source + nw
     spans = _substring_qual_runs(d, k=k, min_len=min_len)
     from pyspark.sql import Window
 
@@ -314,6 +316,10 @@ def substring_clean(
             ).alias("w"),
         )
         .distinct()
+        # two consumers (the kept anti-join and the dropped-count agg):
+        # without this the whole marked-run pipeline — the corpus-wide
+        # gram doc-frequency agg included — would execute twice
+        .localCheckpoint(eager=False)
     )
     wordrows = d.select("_id", F.posexplode("ws").alias("w", "word"))
     kept = wordrows.join(covered, ["_id", "w"], "left_anti")

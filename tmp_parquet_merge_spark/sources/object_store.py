@@ -36,7 +36,11 @@ between the tail read and the complete fails the stamp with a
 ``PreconditionFailed`` instead of being clobbered with
 old-data+new-footer (or splicing two generations).  Callers retry the
 whole stamp_one.  Object tags (``TagSet``) are carried like the rest
-of the object-level metadata; non-default ACLs are OUT OF SCOPE (the
+of the object-level metadata — the carry needs
+``s3:GetObjectTagging`` (+ ``PutObjectTagging`` when tags exist); a
+caller without that grant gets a loud warning and a tag-less stamp
+rather than a failure, so the tag feature never grows the minimal
+permission surface retroactively.  Non-default ACLs are OUT OF SCOPE (the
 recomposed object takes the bucket-policy default — carrying ACLs
 would require s3:GetObjectAcl/PutObjectAcl grants the stamp
 deliberately does not demand).  Object-lock notes: on a versioned
@@ -289,9 +293,32 @@ def stamp_kv_s3(
             carry["SSEKMSKeyId"] = head["SSEKMSKeyId"]
         if head.get("StorageClass"):
             carry["StorageClass"] = head["StorageClass"]
-        tag_set = s3.get_object_tagging(Bucket=bucket, Key=k, **ver).get(
-            "TagSet", []
-        )
+        # Tag carry must not GROW the stamp's permission surface for
+        # callers that never use tags: a role granting only
+        # GetObject/PutObject (no s3:GetObjectTagging) stamped fine
+        # before tags were carried, so an AccessDenied on the tag
+        # fetch degrades to a loud no-tags-carried warning instead of
+        # failing the stamp.  (If the object HAS tags the caller can't
+        # read, they are lost — the warning says so; grant the tagging
+        # actions to carry them.)
+        try:
+            tag_set = s3.get_object_tagging(
+                Bucket=bucket, Key=k, **ver
+            ).get("TagSet", [])
+        except Exception as exc:
+            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
+            if code not in ("AccessDenied", "403"):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"stamp_kv_s3: s3:GetObjectTagging denied on {k}; "
+                "object tags (if any) will NOT be carried through the "
+                "stamp — grant GetObjectTagging/PutObjectTagging to "
+                "preserve them",
+                stacklevel=2,
+            )
+            tag_set = []
         if tag_set:
             from urllib.parse import urlencode
 

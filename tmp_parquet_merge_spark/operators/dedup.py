@@ -140,7 +140,7 @@ def prefix_dedup(
 
 
 def _substring_qual_runs(
-    d: DataFrame, *, k: int, min_len: int
+    d: DataFrame, *, k: int, min_len: int, digest_grams: bool = False
 ) -> DataFrame:
     """Shared pipeline of :func:`substring_dup_spans` /
     :func:`substring_clean`: from a ``(_id, ws)`` words relation, the
@@ -149,7 +149,15 @@ def _substring_qual_runs(
     restricted to maximal consecutive runs spanning ≥ ``min_len``
     words.  One gram-keyed hash-agg (broadcast semi-join back) plus
     doc-partitioned windows; see the callers' docstrings for the
-    scale contract."""
+    scale contract.
+
+    ``digest_grams=True`` is the open-scale wire spelling: the
+    doc-frequency agg and semi-join key on ``xxhash64(gram)`` (8
+    bytes) instead of the ≤``k``-word string — identical output
+    barring a 64-bit digest collision between two grams that each
+    appear in a single distinct doc (~n²/2⁶⁵; tests pin equality on
+    the bundled corpora).  The registered queries keep the string
+    spelling so the DuckDB oracle stays exact."""
     from pyspark.sql import Window
 
     n = F.size("ws")
@@ -173,6 +181,10 @@ def _substring_qual_runs(
         # checkpoint so the explode+slice projection runs once
         .localCheckpoint(eager=False)
     )
+    if digest_grams:
+        grams = grams.select(
+            "_id", "i", F.xxhash64("gram").alias("gram")
+        )
     shared = (
         grams.select("gram", "_id")
         .distinct()
@@ -200,6 +212,7 @@ def substring_dup_spans(
     *,
     k: int = 10,
     min_len: int = 20,
+    digest_grams: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-substring spans at ARBITRARY word
     boundaries — the Spark-native approximation of exact substring
@@ -234,7 +247,9 @@ def substring_dup_spans(
     d = df.select(
         F.col(id_col).alias("_id"), words(text_col).alias("ws")
     ).localCheckpoint(eager=False)  # two consumers: grams source + nw
-    spans = _substring_qual_runs(d, k=k, min_len=min_len)
+    spans = _substring_qual_runs(
+        d, k=k, min_len=min_len, digest_grams=digest_grams
+    )
     from pyspark.sql import Window
 
     by_pos = Window.partitionBy("_id").orderBy("i")
@@ -284,6 +299,7 @@ def substring_clean(
     *,
     k: int = 10,
     min_len: int = 20,
+    digest_grams: bool = False,
 ) -> DataFrame:
     """The ACTION half of :func:`substring_dup_spans` — rewrite every
     document with its qualifying cross-document repeated-substring
@@ -307,7 +323,9 @@ def substring_clean(
     d = df.select(
         F.col(id_col).alias("_id"), words(text_col).alias("ws")
     ).localCheckpoint(eager=False)
-    spans = _substring_qual_runs(d, k=k, min_len=min_len)
+    spans = _substring_qual_runs(
+        d, k=k, min_len=min_len, digest_grams=digest_grams
+    )
     covered = (
         spans.select(
             "_id",

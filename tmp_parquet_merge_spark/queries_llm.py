@@ -437,8 +437,9 @@ def q_dedup_substring(spark, sf_dir):
     Plan shape: codegen split/sequence-explode/slice emits O(total
     words) gram rows (localCheckpoint'd once for its two consumers);
     one corpus-wide hash-agg keyed by the ≤10-word gram (the oracle-
-    exact spelling — at open scale key by xxhash64(gram) digests, the
-    q_dedup_exact discipline, and 8 bytes ride the wire instead);
+    exact spelling — at open scale pass digest_grams=True and the agg
+    keys on xxhash64(gram), the q_dedup_exact discipline, 8 bytes on
+    the wire instead; output equality pinned in tests);
     run/cover windows partition by doc_id so sort extent is bounded by
     document length.  Nothing is quadratic in corpus size — the
     all-pairs structure a literal suffix array would need never

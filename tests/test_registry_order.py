@@ -49,9 +49,17 @@ def test_sort_keys_are_monotonic():
 # spends its changed slots, then the 24-query r5 hash cohort, then the
 # stale rows-only cohort (rows evidence refreshes on a tighter leash —
 # it is the weaker evidence kind), then ~21 r6 fills.  The frontier
-# VALUES live in queries.py (they drive _DRIVER_FIRST itself) — the
-# test imports them so a round's frontier bump is a one-site edit and
-# this file keeps asserting only the tightness property.
+# VALUES live in queries.py (they drive _DRIVER_FIRST itself); the
+# tightness assertions below use the imported values so they can't
+# drift, and the ROUND PIN here keeps the test non-tautological —
+# _DRIVER_FIRST is generated from the same constants, so without this
+# pin any fat-fingered frontier (0 pins nothing; 9 pins ~150 queries
+# and blows the 50-slot window) would self-consistently "pass".  Bump
+# the pin deliberately each round alongside queries.py.
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (5, 8), (
+    "frontier changed in queries.py — re-pin here after reviewing the "
+    "window plan"
+)
 DRAIN_FRONTIER = _HASH_DRAIN_FRONTIER
 DRAIN_FRONTIER_ROWS = _ROWS_DRAIN_FRONTIER
 
@@ -59,6 +67,12 @@ DRAIN_FRONTIER_ROWS = _ROWS_DRAIN_FRONTIER
 def _stale(n, q):
     frontier = DRAIN_FRONTIER if q.oracle is not None else DRAIN_FRONTIER_ROWS
     return _EVIDENCE_ROUND.get(n, 0) <= frontier
+
+
+def test_pinned_prefix_fits_the_window():
+    # the pinned prefix IS the freshness drain — if it outgrows the
+    # 50-slot window, the tail of the pin silently never runs
+    assert len(_DRIVER_FIRST) <= DRIVER_WINDOW, len(_DRIVER_FIRST)
 
 
 def test_named_evidence_debts_lead():

@@ -151,16 +151,28 @@ def _substring_qual_runs(
     doc-partitioned windows; see the callers' docstrings for the
     scale contract.
 
-    ``digest_grams=True`` is the open-scale wire spelling: the
-    doc-frequency agg and semi-join key on ``xxhash64(gram)`` (8
-    bytes) instead of the ≤``k``-word string — identical output
-    barring a 64-bit digest collision between two grams that each
-    appear in a single distinct doc (~n²/2⁶⁵; tests pin equality on
-    the bundled corpora).  The registered queries keep the string
-    spelling so the DuckDB oracle stays exact."""
+    ``digest_grams=True`` is the open-scale storage-and-wire spelling:
+    the gram column itself is ``xxhash64(gram)`` — hashed BEFORE the
+    checkpoint, so the materialized gram relation AND the doc-frequency
+    shuffle both carry 8 bytes per row instead of the ≤``k``-word
+    string.  Output is identical barring a 64-bit digest collision
+    that lands a non-shared gram's digest in the shared set (either
+    two singleton grams colliding, ~n²/2⁶⁵, or a singleton colliding
+    with one of the s shared digests, ~n·s/2⁶⁴ — both vanishing;
+    tests pin equality on the bundled corpora).  The registered
+    queries keep the string spelling so the DuckDB oracle stays
+    exact.
+
+    Returns ``(grams, spans)``: the lazily-checkpointed gram relation
+    ``(_id, i, gram)`` — from which callers derive per-doc word counts
+    as ``max(i) + k`` without re-scanning or pinning the corpus — and
+    the qualifying-run rows ``(_id, i, isl, span)``."""
     from pyspark.sql import Window
 
     n = F.size("ws")
+    gram_str = F.concat_ws(
+        " ", F.slice(F.col("ws"), (F.col("i") + 1).cast("int"), k)
+    )
     grams = (
         d.filter(n >= k)
         .select(
@@ -173,18 +185,16 @@ def _substring_qual_runs(
         .select(
             "_id",
             "i",
-            F.concat_ws(
-                " ", F.slice(F.col("ws"), (F.col("i") + 1).cast("int"), k)
-            ).alias("gram"),
+            (F.xxhash64(gram_str) if digest_grams else gram_str).alias(
+                "gram"
+            ),
         )
-        # two consumers (the doc-frequency agg and the semi-join back);
-        # checkpoint so the explode+slice projection runs once
+        # multiple consumers (the doc-frequency agg, the semi-join
+        # back, and the callers' n_words derivation); checkpoint so
+        # the explode+slice projection runs once — in digest mode the
+        # materialized rows carry the 8-byte hash, never the string
         .localCheckpoint(eager=False)
     )
-    if digest_grams:
-        grams = grams.select(
-            "_id", "i", F.xxhash64("gram").alias("gram")
-        )
     shared = (
         grams.select("gram", "_id")
         .distinct()
@@ -196,13 +206,14 @@ def _substring_qual_runs(
     qual = grams.join(shared, "gram", "left_semi").select("_id", "i")
     by_pos = Window.partitionBy("_id").orderBy("i")
     run = Window.partitionBy("_id", "isl")
-    return (
+    spans = (
         qual.withColumn("isl", F.col("i") - F.row_number().over(by_pos))
         .withColumn(
             "span", F.max("i").over(run) - F.min("i").over(run) + F.lit(k)
         )
         .filter(F.col("span") >= min_len)
     )
+    return grams, spans
 
 
 def substring_dup_spans(
@@ -237,17 +248,18 @@ def substring_dup_spans(
 
     Scale shape (100 TB): gram rows are O(total words), each carrying
     a ≤ ``k``-word string; the only corpus-wide shuffle is the
-    doc-frequency hash-agg keyed by gram (at open scale swap the key
-    to ``xxhash64(gram)`` digests and the wire cost drops to 8 bytes a
-    row — the q_dedup_exact digest discipline; the string spelling
-    here keeps the DuckDB oracle exact).  The run/cover windows
+    doc-frequency hash-agg keyed by gram (at open scale pass
+    ``digest_grams=True`` and both the materialized gram relation and
+    the shuffle carry 8-byte ``xxhash64`` keys — the q_dedup_exact
+    digest discipline; the registered string spelling keeps the DuckDB
+    oracle exact).  Per-doc word counts derive from the gram relation
+    (``max(i) + k``), so the corpus is scanned once and nothing but
+    the gram relation is materialized.  The run/cover windows
     partition by document id, so their sort extent is bounded by
     document length; nothing is quadratic in corpus size.
     """
-    d = df.select(
-        F.col(id_col).alias("_id"), words(text_col).alias("ws")
-    ).localCheckpoint(eager=False)  # two consumers: grams source + nw
-    spans = _substring_qual_runs(
+    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    grams, spans = _substring_qual_runs(
         d, k=k, min_len=min_len, digest_grams=digest_grams
     )
     from pyspark.sql import Window
@@ -277,7 +289,13 @@ def substring_dup_spans(
         F.sum("new_span").cast("long").alias("dup_spans"),
         F.sum("c").cast("long").alias("dup_words"),
     )
-    nw = d.select("_id", F.size("ws").cast("long").alias("n_words"))
+    # n_words from the already-checkpointed gram relation (gram
+    # positions span 0..n-k, so n = max(i) + k): no second corpus scan
+    # and no corpus-array checkpoint just to count words — every doc
+    # with a qualifying span has grams by construction
+    nw = grams.groupBy("_id").agg(
+        (F.max("i") + F.lit(k)).cast("long").alias("n_words")
+    )
     return (
         per.join(nw, "_id")
         .select(
@@ -320,10 +338,15 @@ def substring_clean(
     reassembly hash-agg (bare collect_list has no ordering contract).
     All shuffles are keyed by (doc id) or (doc id, position); nothing
     is quadratic in corpus size."""
-    d = df.select(
-        F.col(id_col).alias("_id"), words(text_col).alias("ws")
-    ).localCheckpoint(eager=False)
-    spans = _substring_qual_runs(
+    # d is read twice (grams source inside _substring_qual_runs and
+    # the wordrows posexplode below) but deliberately NOT checkpointed:
+    # a checkpoint would pin O(corpus) split-word arrays on executor
+    # storage and replace the column-pruned parquet scan with an
+    # ExistingRDD scan — at open scale two pruned scans are cheaper
+    # than materializing the corpus (the grams relation, which digest
+    # mode shrinks to 8-byte keys, is the only materialized state)
+    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    _, spans = _substring_qual_runs(
         d, k=k, min_len=min_len, digest_grams=digest_grams
     )
     covered = (

@@ -87,6 +87,13 @@ def _s3_client():
     return boto3.client("s3")
 
 
+def _error_code(exc: Exception) -> str | None:
+    """botocore error-code extraction, shared by every ClientError
+    branch (the 404-vs-listing fallback and the tag-fetch degradation)
+    so the response-shape parsing lives in one place."""
+    return getattr(exc, "response", {}).get("Error", {}).get("Code")
+
+
 def _parse_s3_path(path: str) -> tuple[str, str]:
     for scheme in ("s3://", "s3a://", "s3n://"):
         if path.startswith(scheme):
@@ -246,8 +253,7 @@ def stamp_kv_s3(
             # only a genuine 404 means "try prefix listing"; swallowing
             # AccessDenied/throttling here would report a successful
             # no-op stamp on real errors
-            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
-            if code not in ("404", "NoSuchKey", "NotFound"):
+            if _error_code(exc) not in ("404", "NoSuchKey", "NotFound"):
                 raise
             keys = []
     else:
@@ -306,8 +312,7 @@ def stamp_kv_s3(
                 Bucket=bucket, Key=k, **ver
             ).get("TagSet", [])
         except Exception as exc:
-            code = getattr(exc, "response", {}).get("Error", {}).get("Code")
-            if code not in ("AccessDenied", "403"):
+            if _error_code(exc) not in ("AccessDenied", "403"):
                 raise
             import warnings
 

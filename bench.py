@@ -236,6 +236,9 @@ HEADLINE = [
     "q_dedup_substring",
     # the APPLY half: repeated-substring word cover removed per doc
     "q_substring_clean",
+    # round-11 addition: perceptual blockhash near-dup over media
+    # payloads (pigeonhole-exact banded candidates, bit_count verify)
+    "q_media_neardup",
 ]
 
 # queries whose build() performs an eager layout write; bench reports
@@ -419,12 +422,17 @@ def main() -> None:
     # context (GC/JIT pressure on a shared box), and this recheck
     # separates that noise from a real plan regression automatically.
     regressions: dict[str, dict] = {}
+    # Scale mode (tools/scale_sweep.py): the sweep runs on a K-fold
+    # replica where EVERY query legitimately exceeds its sf0.1 floor —
+    # comparing against the watchlist would flag ~the whole registry
+    # and double the run with pointless isolation re-runs.
+    scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE") == "1"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_watchlist.json")
         ) as f:
-            expected = json.load(f)
+            expected = {} if scale_mode else json.load(f)
     except (OSError, ValueError):
         expected = {}
 
@@ -587,10 +595,11 @@ def main() -> None:
     print(json.dumps(detail), file=sys.stderr)
     if full_sweep:
         try:
-            with open(
+            detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or (
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_detail.json"), "w"
-            ) as f:
+                             "bench_detail.json")
+            )
+            with open(detail_path, "w") as f:
                 json.dump(detail, f, indent=1, sort_keys=True)
         except OSError:
             pass
@@ -598,7 +607,11 @@ def main() -> None:
     # (r5 verdict #2): min() keeps the watchlist monotone — a real
     # regression can never RAISE its own threshold, while new queries
     # and genuinely faster plans tighten it.
-    if full_sweep and os.environ.get("SPARK_GRAFT_NO_WATCHLIST_UPDATE") != "1":
+    if (
+        full_sweep
+        and not scale_mode  # K-fold times must never become floors
+        and os.environ.get("SPARK_GRAFT_NO_WATCHLIST_UPDATE") != "1"
+    ):
         merged = dict(expected)
         for n, s in timings.items():
             merged[n] = round(min(s, merged.get(n, s)), 3)

@@ -360,24 +360,26 @@ def test_ann_pq_query_emits_consistent_recall_metadata(spark, sf_dir):
     assert sum(claimed.values()) / len(claimed) >= 0.9
 
 
-def test_dedup_embedding_lsh_query_emits_pair_recall(spark, sf_dir):
-    """q_dedup_embedding_lsh's pair_recall column: LSH output is a
-    verified subset of the exact twin, so |lsh|/|exact| is the true
-    recall — the column must equal it and clear the S-curve floor the
-    subset test below pins."""
+def test_dedup_embedding_lsh_query_equals_exact_twin(spark, sf_dir):
+    """r11 oracle graduation (r10 verdict #2): the registered
+    q_dedup_embedding_lsh — Hamming-1 multi-probe over-fetch at
+    target_recall 1-1e-5, then the SAME exact-cosine filter — must be
+    row-identical to the uncapped exact twin on the bundled corpora
+    (66/66 sf0.001, 59/59 sf0.01, 920/920 sf0.1; deterministic
+    planes, so equality is a corpus property, not a flake)."""
     from tmp_parquet_merge_spark.queries import REGISTRY
 
-    rows = REGISTRY["q_dedup_embedding_lsh"].build(spark, sf_dir).collect()
+    got = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in REGISTRY["q_dedup_embedding_lsh"].build(spark, sf_dir).collect()
+    }
     emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
-    n_exact = similarity.embedding_dedup_pairs(emb, threshold=0.4).count()
-    assert rows
-    claimed = {r.pair_recall for r in rows}
-    assert len(claimed) == 1  # one global measurement, stamped per row
-    assert abs(claimed.pop() - len(rows) / n_exact) < 1e-3
-    # r10: bands sized at the OPERATING threshold (0.4), not cosine
-    # 0.9 — measured 0.9697 (sf0.001) / 0.9661 (sf0.01) / 0.9355
-    # (sf0.1); deterministic planes, so the floor is tight
-    assert len(rows) / n_exact >= 0.9
+    exact = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    assert got == exact
+    assert got  # non-degenerate: the corpus has near-dup pairs
 
 
 def test_dedup_simhash_query_jaccard_couples_with_hamming(spark, sf_dir):
@@ -505,6 +507,33 @@ def test_embedding_lsh_sizing_targets_operating_threshold():
         assert bands == expect_bands, (n, bits, bands)
         achieved = 1 - (1 - p1**bits) ** bands
         assert achieved >= 0.9, (n, bits, bands, achieved)
+
+
+def test_auto_lsh_params_multiprobe_covers_bundled_tiers():
+    """r11 graduation guard: with Hamming-1 multi-probe the sizing at
+    the registered knobs (threshold 0.4, target_recall 1-1e-5, 64-band
+    cap) must (a) fit under the cap at every bundled corpus size and
+    (b) leave per-pair miss probability ≤ 1e-4 at the 0.4 boundary —
+    the analytic S-curve pin behind the exact-twin equality the query
+    test asserts.  Probing must also never SHRINK per-band collision
+    (p_eff ≥ p_plain, strictly greater at any real sizing)."""
+    import math
+
+    p1 = 1 - math.acos(0.4) / math.pi
+    for n in (500, 2_000):
+        bits, bands = similarity._auto_lsh_params(
+            n,
+            high_sim=0.4,
+            target_recall=0.99999,
+            max_bands=64,
+            probe_flips=1,
+        )
+        assert bands <= 64, (n, bits, bands)
+        p_plain = p1**bits
+        p_eff = p_plain + bits * p1 ** (bits - 1) * (1 - p1)
+        assert p_eff > p_plain
+        miss = (1 - p_eff) ** bands
+        assert miss <= 1e-4, (n, bits, bands, miss)
 
 
 def test_prefix_dedup_catches_truncation(spark):
@@ -1343,3 +1372,69 @@ def test_substring_digest_spelling_matches_string_spelling(spark, sf_dir):
             ).collect()
         }
         assert s == h, fn.__name__
+
+
+def test_media_neardup_finds_byte_near_payloads(spark):
+    """Blockhash near-dup (r11): two payloads differing in a few bytes
+    land within the Hamming radius; an unrelated payload does not.
+    Identical payloads must be Hamming 0."""
+    base = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+    tweaked = bytearray(base)
+    tweaked[100:104] = b"XYZQ"  # a localized edit
+    df = spark.createDataFrame(
+        [
+            (1, bytes(base)),
+            (2, bytes(tweaked)),
+            (3, bytes(base)),  # exact copy of 1
+            (4, ("completely different content % & # !! " * 53).encode()),
+        ],
+        "media_id: long, payload: binary",
+    )
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.media_neardup_pairs(
+            df, radius=10, bands=11
+        ).collect()
+    }
+    assert got[(1, 3)] == 0
+    assert (1, 2) in got and got[(1, 2)] <= 10
+    assert got[(1, 2)] == got[(2, 3)]
+    assert not any(4 in p for p in got)
+
+
+def test_media_neardup_pigeonhole_guard():
+    """bands ≤ radius would break the exact-candidate guarantee — the
+    operator must refuse rather than silently lose pairs."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.media_neardup_pairs(None, radius=11, bands=11)
+
+
+def test_media_neardup_signature_matches_reference(spark):
+    """The Spark blockhash signature must equal an independent pure-
+    Python spelling bit for bit — the property the closed-form DuckDB
+    oracle rides on (any drift shows up here, not as a driver hash
+    mismatch)."""
+    payloads = [
+        (1, b""),
+        (2, b"a"),
+        (3, ("variety text 123 \xc3\xa9 " * 7).encode("latin-1")),
+        (4, bytes(range(256)) * 3),
+    ]
+    df = spark.createDataFrame(payloads, "media_id: long, payload: binary")
+    got = {
+        r.media_id: (r.lo, r.hi)
+        for r in multimodal.blockhash_signatures(df).collect()
+    }
+    for mid, payload in payloads:
+        ph = payload.hex().upper()
+        H = len(ph)
+        m = [
+            sum(1 for c in ph[H * b // 64 : H * (b + 1) // 64] if c > "7")
+            for b in range(64)
+        ]
+        bits = [1 if m[b] > m[(b + 1) % 64] else 0 for b in range(64)]
+        lo = sum(bits[i] << i for i in range(32))
+        hi = sum(bits[i + 32] << i for i in range(32))
+        assert got[mid] == (lo, hi), mid

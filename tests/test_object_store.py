@@ -289,7 +289,9 @@ def test_versioned_bucket_stamp_pins_generation_end_to_end():
         copies = rec.kwargs("upload_part_copy")
         assert copies
         assert all(kw["CopySource"]["VersionId"] == vid for kw in copies)
-        assert all(kw["CopySourceIfMatch"] == head["ETag"] for kw in copies)
+        # one ETag spelling everywhere (r10 advisor): bare, matching
+        # the IfMatch params below
+        assert all(kw["CopySourceIfMatch"] == etag for kw in copies)
         gets = rec.kwargs("get_object")
         assert gets and all(kw["VersionId"] == vid for kw in gets)
         tag_gets = rec.kwargs("get_object_tagging")
@@ -351,3 +353,72 @@ def test_tag_fetch_denied_degrades_to_tagless_stamp(s3):
     assert n == 1
     assert any("GetObjectTagging denied" in str(x.message) for x in w)
     _roundtrip_checks(s3, "d/p.parquet", {"k": "v"}, blob)
+
+
+def test_concurrent_rewrite_fails_stamp_and_aborts_mpu(s3):
+    """r10 verdict #6 — the ADVERSARIAL path of the conditional
+    complete: a rewrite landing between the last uploaded part and
+    CompleteMultipartUpload must surface PreconditionFailed and abort
+    the MPU, leaving the rewritten object intact (never clobbered
+    with old-data+new-footer).  moto accepts-and-ignores IfMatch, so
+    this harness ENFORCES real S3 conditional-write semantics in a
+    wrapper: complete compares the live ETag against the IfMatch
+    param, and the 'concurrent' writer fires right after the footer
+    part upload."""
+    from botocore.exceptions import ClientError
+
+    big = _parquet_bytes(64, payload=12 * 1024 * 1024)
+    rewrite = _parquet_bytes(32, payload=6 * 1024 * 1024)
+    s3.put_object(Bucket="lake", Key="adv/p.parquet", Body=big)
+
+    class _Adversary(_Recorder):
+        def __getattr__(self, name):
+            inner = super().__getattr__(name)
+            if name == "upload_part":
+                def wrapped_part(*a, **kw):
+                    r = inner(*a, **kw)
+                    # the concurrent rewrite: lands AFTER every part
+                    # of the stamp's MPU, BEFORE the complete
+                    self._c.put_object(
+                        Bucket="lake", Key="adv/p.parquet", Body=rewrite
+                    )
+                    return r
+                return wrapped_part
+            if name == "complete_multipart_upload":
+                def wrapped_complete(*a, **kw):
+                    live = self._c.head_object(
+                        Bucket=kw["Bucket"], Key=kw["Key"]
+                    )["ETag"].strip('"')
+                    if kw.get("IfMatch", live).strip('"') != live:
+                        raise ClientError(
+                            {
+                                "Error": {
+                                    "Code": "PreconditionFailed",
+                                    "Message": "At least one of the "
+                                    "pre-conditions you specified did "
+                                    "not hold",
+                                }
+                            },
+                            "CompleteMultipartUpload",
+                        )
+                    return inner(*a, **kw)
+                return wrapped_complete
+            return inner
+
+    adv = _Adversary(s3)
+    with pytest.raises(ClientError) as exc:
+        stamp_kv_s3(
+            "s3a://lake/adv/p.parquet",
+            {"k": "v"},
+            client=adv,
+            part_size=5 * 1024 * 1024,
+        )
+    assert exc.value.response["Error"]["Code"] == "PreconditionFailed"
+    # the failed stamp must clean up its MPU (no orphaned uploads
+    # accruing storage) ...
+    assert adv.kwargs("abort_multipart_upload"), "MPU not aborted"
+    ups = s3.list_multipart_uploads(Bucket="lake").get("Uploads", [])
+    assert not ups, ups
+    # ... and the concurrent writer's object is untouched
+    got = s3.get_object(Bucket="lake", Key="adv/p.parquet")["Body"].read()
+    assert got == rewrite

@@ -92,13 +92,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 def test_embedding_lsh_dedup_avoids_cartesian(spark, sf_dir):
     # the scale twin of q_dedup_embedding: candidates come from a
-    # bucket equi-join on (band, key), never an all-pairs product.
-    # The OPERATOR must have no nested-loop join at all; the REGISTERED
-    # query may carry exactly one BroadcastNestedLoopJoin — the 1-row
-    # pair_recall stamp (r8 quality metadata), a broadcast of a single
-    # aggregated row, not a pair generator.
-    from pyspark.sql import functions as F
-
+    # bucket equi-join on (band, key), never an all-pairs product —
+    # and since the r11 oracle graduation dropped the 1-row
+    # pair_recall stamp (the only sanctioned nested-loop), NEITHER the
+    # operator NOR the registered query may contain any nested-loop
+    # join at all.
     from tmp_parquet_merge_spark.operators import similarity
 
     emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
@@ -108,18 +106,9 @@ def test_embedding_lsh_dedup_avoids_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in op_tree
     assert "BroadcastNestedLoopJoin" not in op_tree
 
-    # the registered query's ONE extra join (the 1-row pair_recall
-    # stamp onto the rows) is a 1-row-aggregate broadcast by
-    # construction; the unbounded pair generator stays equi-join
-    # (checked above).  plan_tree lists each physical operator exactly
-    # once, so count nested-loop TREE LINES and cap at the stamp's 1 —
-    # a reintroduced all-pairs generator adds a second node and fails.
     q_tree = plan_tree(build("q_dedup_embedding_lsh", spark, sf_dir))
     assert "CartesianProduct" not in q_tree
-    bnlj_lines = [
-        ln for ln in q_tree.splitlines() if "BroadcastNestedLoopJoin" in ln
-    ]
-    assert len(bnlj_lines) == 1, q_tree  # exactly the pair_recall stamp
+    assert "BroadcastNestedLoopJoin" not in q_tree, q_tree
 
 
 def test_tpch_q6_filters_all_pushed(spark, sf_dir):
@@ -214,6 +203,16 @@ def test_media_metadata_prunes_payload(spark, sf_dir):
     assert scan, "no parquet scan in plan"
     assert all("payload" not in ln for ln in scan), scan
     assert any("meta" in ln for ln in scan), scan
+
+
+def test_media_neardup_avoids_cartesian(spark, sf_dir):
+    # perceptual near-dup (r11): candidates must come from the banded
+    # equi-join on (band, bval) — the pigeonhole-exact generator —
+    # never a pairwise product, and the Hamming verify joins packed
+    # longs back by id (equi-joins throughout)
+    q_tree = plan_tree(build("q_media_neardup", spark, sf_dir))
+    assert "CartesianProduct" not in q_tree
+    assert "BroadcastNestedLoopJoin" not in q_tree, q_tree
 
 
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):

@@ -45,10 +45,10 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r10 window
-# spends its changed slots, then the 24-query r5 hash cohort, then the
-# stale rows-only cohort (rows evidence refreshes on a tighter leash —
-# it is the weaker evidence kind), then ~21 r6 fills.  The frontier
+# The oldest evidence round being drained this round: the r11 window
+# spends its changed slots (the embedding-LSH oracle graduation +
+# q_media_neardup), then the pinned 15-query r6 hash cohort, then ~33
+# r7 fills via the default tier-2 oldest-first sort.  The frontier
 # VALUES live in queries.py (they drive _DRIVER_FIRST itself); the
 # tightness assertions below use the imported values so they can't
 # drift, and the ROUND PIN here keeps the test non-tautological —
@@ -56,7 +56,7 @@ def test_sort_keys_are_monotonic():
 # pin any fat-fingered frontier (0 pins nothing; 9 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (5, 8), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (6, 6), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )

@@ -210,6 +210,7 @@ def _auto_lsh_params(
     target_recall: float = 0.9,
     min_bits: int = 4,
     max_bands: int | None = None,
+    probe_flips: int = 0,
 ) -> tuple[int, int]:
     """(bits_per_band, bands) sized to the corpus count.
 
@@ -233,11 +234,21 @@ def _auto_lsh_params(
     with the achieved figure rather than failing silently.  Recall at
     LOWER thresholds decays with n — the standard LSH tradeoff; lower
     ``high_sim`` to spend more bands if the operating threshold is
-    loose."""
+    loose.
+
+    ``probe_flips=1`` sizes for Hamming-1 multi-probe querying (Lv et
+    al. 2007, the over-fetch knob): the probe side also checks every
+    band key with one bit flipped, so a pair colliding at band Hamming
+    distance ≤ 1 is a candidate — per-band collision rises from p^b to
+    p^b + b·p^(b-1)·(1-p) WITHOUT more bands; the cost is (b+1)× probe
+    keys and (1+b)·2^-b random collisions per band."""
     import math
 
     b = max(min_bits, math.ceil(math.log2(max(n, 2))) - min_bits)
-    p_band = (1 - math.acos(high_sim) / math.pi) ** b
+    p1 = 1 - math.acos(high_sim) / math.pi
+    p_band = p1**b
+    if probe_flips:
+        p_band = p_band + b * (p1 ** (b - 1)) * (1 - p1)
     if p_band >= 1.0:
         return b, 1
     bands = max(
@@ -270,6 +281,7 @@ def embedding_dedup_pairs_lsh(
     round_to: int = 6,
     target_recall: float = 0.95,
     max_bands: int | None = 64,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates —
     the 100 TB path: bucket-join on signature bands (shuffle is
@@ -297,13 +309,28 @@ def embedding_dedup_pairs_lsh(
     near-threshold pair mining at loose cosine is SemDeDup territory
     (q_dedup_semantic) or a higher-threshold rerun, not an LSH win.
     Pass ``nbits``/``bands`` explicitly to pin a fixed layout
-    instead."""
+    instead.
+
+    ``probe_flips=1`` (r11) turns on Hamming-1 multi-probe over-fetch
+    (Lv et al. 2007): the probe side also emits every band key with
+    one bit flipped, multiplying per-band pair recall by
+    ~(1 + b·(1-p)/p) for free band-count-wise.  With
+    ``target_recall`` pushed to 1-1e-5 this makes the emitted pair
+    set equal to the exact twin's on the bundled corpora (the q_ann_lsh
+    r8 graduation protocol applied to the pair problem — candidates
+    over-fetched, then the SAME exact cosine filter, so output ⊆ exact
+    always and = exact when candidate coverage is total).  The honest
+    open-scale law stands: per-pair miss probability is fixed by
+    (bands, bits), so at 1000× the corpus the guarantee is again
+    statistical, and at loose thresholds the capped index decays as
+    documented above."""
     if nbits is None or bands is None:
         rows_per_band, n_bands = _auto_lsh_params(
             df.count(),
             high_sim=threshold,
             target_recall=target_recall,
             max_bands=max_bands,
+            probe_flips=probe_flips,
         )
         nbits = rows_per_band * n_bands
         bands = n_bands
@@ -315,8 +342,9 @@ def embedding_dedup_pairs_lsh(
     ).localCheckpoint(eager=False)
     cand = lsh_bucket_candidates(
         normed, normed, id_col=id_col, vec_col=vec_col,
-        dim=dim, nbits=nbits, bands=bands,
-    ).filter(F.col("q_vec") < F.col("n_vec"))
+        dim=dim, nbits=nbits, bands=bands, probe_flips=probe_flips,
+        ordered=True,
+    )
     sa = normed.select(F.col(id_col).alias("q_vec"), F.col(vec_col).alias("emb_a"))
     sb = normed.select(F.col(id_col).alias("n_vec"), F.col(vec_col).alias("emb_b"))
     return (
@@ -391,6 +419,29 @@ def srp_signature_udf(planes: list[list[float]]):
     return _sig
 
 
+def srp_band_keys_udf(planes: list[list[float]], bands: int):
+    """Arrow-vectorized per-band SRP bucket keys: each band's
+    ``rows = nbits/bands`` sign bits packed little-endian into one
+    long (one batch matmul + one packing matmul).  Integer keys make
+    Hamming-1 multi-probe pure XOR arithmetic downstream — the probe
+    side never carries or re-hashes bit arrays."""
+    P = np.array(planes, dtype=np.float64).T  # (dim, nbits)
+    nbits = P.shape[1]
+    rows = nbits // bands
+    if rows > 62:
+        raise ValueError(f"rows per band {rows} overflows a long key")
+    W = (1 << np.arange(rows, dtype=np.int64))  # little-endian packing
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        B = (X @ P > 0).astype(np.int64)[:, : rows * bands]
+        K = B.reshape(len(X), bands, rows) @ W  # (n, bands) longs
+        return pd.Series(list(K))
+
+    return _keys
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
     queries: DataFrame,
@@ -400,6 +451,8 @@ def lsh_bucket_candidates(
     dim: int = 64,
     nbits: int = 16,
     bands: int = 4,
+    probe_flips: int = 0,
+    ordered: bool = False,
 ) -> DataFrame:
     """ANN candidate ID pairs: equal signature band ⇒ candidate.
 
@@ -412,32 +465,60 @@ def lsh_bucket_candidates(
     dominant cost at corpus scale and measurably so even at sf0.1.)
     Shuffle volume is O((corpus+queries) × bands) int keys plus
     O(candidates) int pairs.
-    """
-    planes = _hyperplanes(dim, nbits)
+
+    ``probe_flips=1`` enables Hamming-1 multi-probe (Lv et al. 2007):
+    the QUERY side emits, per band, the original key plus the
+    ``rows``-per-band one-bit-flip variants — a pair whose band
+    signatures differ by ≤ 1 bit becomes a candidate.  The index side
+    is unchanged (each corpus vector still indexed once per band), so
+    the key volume is O(queries × bands × rows) — linear with a
+    log2(n) factor, never pairwise.
+
+    ``ordered=True`` (self-join pair mining) keeps only q_vec < n_vec
+    — applied INSIDE the bucket join, before the distinct, so the
+    dedup shuffle carries half the rows (symmetric probing finds every
+    pair in both directions; mining callers only want one)."""
+    keys_udf = srp_band_keys_udf(_hyperplanes(dim, nbits), bands)
     rows = nbits // bands
-    sig_udf = srp_signature_udf(planes)
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = sig_udf(F.col(vec_col))
-        return df.select(
+    def banded(df: DataFrame, role: str, flips: int = 0) -> DataFrame:
+        # band key = the band's bits packed little-endian into a long
+        # (rows ≤ 62), so a one-bit flip is key XOR (1 << bit) — pure
+        # int arithmetic, no array slicing/hash on the exploded rows
+        base = df.select(
             F.col(id_col).alias(f"{role}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.hash(F.slice(sig, b * rows + 1, rows)).alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(f"{role}_vec", "bk.band", "bk.key")
+            F.posexplode(keys_udf(F.col(vec_col))).alias("band", "key0"),
+        )
+        if not flips:
+            return base.select(
+                f"{role}_vec", "band", F.col("key0").alias("key")
+            )
+        # j = 0 keeps the original key; j = 1..rows flips bit j-1 —
+        # the flip position exploded as data so the plan stays O(1)
+        # expressions regardless of rows×bands
+        return base.select(
+            f"{role}_vec",
+            "band",
+            F.explode(F.sequence(F.lit(0), F.lit(rows))).alias("j"),
+            "key0",
+        ).select(
+            f"{role}_vec",
+            "band",
+            F.expr(
+                "CASE WHEN j = 0 THEN key0 "
+                "ELSE key0 ^ shiftleft(CAST(1 AS BIGINT), j - 1) END"
+            ).alias("key"),
+        )
 
-    c, q = banded(corpus, "n"), banded(queries, "q")
+    c, q = banded(corpus, "n"), banded(queries, "q", probe_flips)
+    keep = (
+        F.col("q_vec") < F.col("n_vec")
+        if ordered
+        else F.col("n_vec") != F.col("q_vec")
+    )
     return (
         c.join(q, ["band", "key"])
-        .filter(F.col("n_vec") != F.col("q_vec"))
+        .filter(keep)
         .select("q_vec", "n_vec")
         .distinct()
     )

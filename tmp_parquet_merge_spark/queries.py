@@ -1399,65 +1399,20 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    5: (
-        "q_join_inner",
-        "q_join_multiway",
-        "q_join_nullsafe",
-        "q_join_range",
-        "q_join_semi",
-        "q_lateral_topn",
-        "q_orc_roundtrip",
-        "q_percentiles",
-        "q_project_one",
-        "q_project_subset",
-        "q_scan_count",
-        "q_scan_full",
-        "q_set_except",
-        "q_set_intersect",
-        "q_skew_diagnose",
-        "q_sort_global",
-        "q_to_json",
-        "q_topk_orders",
-        "q_udf_arrow",
-        "q_variant_extract",
-        "q_window_distinct",
-        "q_window_lag",
-        "q_window_rank",
-        "q_winsorize",
-    ),
     6: (
-        "q_agg_cube",
-        "q_agg_stats",
         "q_bucketed_join",
         "q_copurchase",
-        "q_corpus_mix",
-        "q_dedup_exact",
-        "q_doc_fingerprint",
         "q_dpp_join",
-        "q_histogram",
         "q_incremental_agg",
         "q_join_outer",
-        "q_knn_classify",
-        "q_lang_id",
-        "q_lang_id_eval",
         "q_partition_pruning",
-        "q_profile",
         "q_recursive_cte",
-        "q_redact",
-        "q_repetition",
-        "q_sample_stratified",
-        "q_scalar_array",
         "q_scalar_conditional",
-        "q_scalar_date",
         "q_scalar_math",
         "q_scalar_regex",
-        "q_scalar_string",
-        "q_split_assign",
         "q_sql_scalar_subquery",
         "q_sql_tpch_q3",
         "q_table_diff",
-        "q_tfidf",
-        "q_topk_similarity",
         "q_triangle_count",
         "q_zorder_layout",
     ),
@@ -1599,24 +1554,68 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_sliding",
         "q_window_topk",
     ),
+    10: (
+        "q_agg_cube",
+        "q_agg_stats",
+        "q_corpus_mix",
+        "q_dedup_exact",
+        "q_dedup_substring",
+        "q_doc_fingerprint",
+        "q_histogram",
+        "q_join_inner",
+        "q_join_multiway",
+        "q_join_nullsafe",
+        "q_join_range",
+        "q_join_semi",
+        "q_knn_classify",
+        "q_lang_id",
+        "q_lang_id_eval",
+        "q_lateral_topn",
+        "q_orc_roundtrip",
+        "q_percentiles",
+        "q_profile",
+        "q_project_one",
+        "q_project_subset",
+        "q_redact",
+        "q_repetition",
+        "q_sample_stratified",
+        "q_scalar_array",
+        "q_scalar_date",
+        "q_scalar_string",
+        "q_scan_count",
+        "q_scan_full",
+        "q_set_except",
+        "q_set_intersect",
+        "q_skew_diagnose",
+        "q_sort_global",
+        "q_split_assign",
+        "q_substring_clean",
+        "q_tfidf",
+        "q_to_json",
+        "q_topk_orders",
+        "q_topk_similarity",
+        "q_udf_arrow",
+        "q_variant_extract",
+        "q_window_distinct",
+        "q_window_lag",
+        "q_window_rank",
+        "q_winsorize",
+    ),
 }
 _ROWS_SEEN_BY_ROUND = {
-    7: (
-        "q_dedup_semantic",
-        "q_kmeans",
-    ),
-    8: (
-        "q_agg_sketch",
-        "q_dedup_embedding_lsh",
-        "q_hll_rollup",
-    ),
     9: (
         "q_ann_ivf",
         "q_ann_pq",
         "q_dedup_simhash",
     ),
+    10: (
+        "q_agg_sketch",
+        "q_dedup_embedding_lsh",
+        "q_dedup_semantic",
+        "q_hll_rollup",
+        "q_kmeans",
+    ),
 }
-
 _HASH_GREEN = frozenset(n for ns in _HASH_GREEN_BY_ROUND.values() for n in ns)
 _ROWS_SEEN = frozenset(n for ns in _ROWS_SEEN_BY_ROUND.values() for n in ns)
 _EVIDENCE_ROUND = {
@@ -1626,28 +1625,25 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 10) and therefore re-queued regardless
-# of past evidence.  (The full r9 change set — the two r8
-# driver-failure fixes, the simhash stamp hardening, the ivf/pq knob
-# bumps, and the five new queries — re-evidenced green in
-# CORRECTNESS_r09 and is folded into the tables above.)
+# Changed in THIS round (round 11) and therefore re-queued regardless
+# of past evidence.  (The full r10 change set — the substring pair and
+# the embedding-LSH recall graduation — re-evidenced green in
+# CORRECTNESS_r10 and is folded into the tables above.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_dedup_substring — NEW in r10 (sliding-gram repeated-
-        #    substring spans, the Lee et al. 2022 suffix-array analog;
-        #    oracle-backed, parity probed at sf0.001/0.01/0.1); no
-        #    driver evidence yet, leads the window
-        "q_dedup_substring",
-        #  * q_substring_clean — NEW in r10 (the APPLY half: repeated-
-        #    substring word cover removed per doc, one row per input
-        #    doc; oracle-backed, parity probed at sf0.001/0.01/0.1)
-        "q_substring_clean",
-        #  * q_dedup_embedding_lsh — r10 recall graduation: bands now
-        #    sized at the operating threshold (0.4) with a 64-band
-        #    cost cap — pair_recall 0.38/0.44 → 0.97/0.97/0.94 across
-        #    the bundled tiers; different candidate set + stamp value,
-        #    so r8 rows evidence no longer certifies the output
+        #  * q_dedup_embedding_lsh — r11 oracle graduation (r10 verdict
+        #    #2): the banded SRP index is now a candidate GENERATOR
+        #    with exact-cosine re-rank/filter, so the emitted pair set
+        #    is row-identical to the exact twin and carries its DuckDB
+        #    oracle; r10 rows evidence certifies a different (stamped)
+        #    output shape
         "q_dedup_embedding_lsh",
+        #  * q_media_neardup — NEW in r11 (r10 verdict #3): perceptual
+        #    near-dup over multimodal payloads — blockhash-style
+        #    signature on the synthesized frame bytes, banded collision
+        #    join, exact byte-distance verify; oracle-backed the
+        #    q_multimodal_features way (closed-form over hex(payload))
+        "q_media_neardup",
     }
 )
 
@@ -1662,19 +1658,18 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-10 window plan (r9 verdict "Next round" #1): the engine has no
-# implementation gaps left, so the risk surface IS evidence staleness —
-# the window drains the oldest cohorts.  Changed queries (if any) lead,
-# then the 24-query r5 hash cohort (the oldest hash evidence at HEAD),
-# then the stale rows-only cohort (rows evidence is the weaker kind, so
-# it refreshes on a tighter leash: everything at or below
-# _ROWS_DRAIN_FRONTIER = r8 re-queues — q_dedup_semantic/q_kmeans (r7),
-# q_agg_sketch/q_dedup_embedding_lsh/q_hll_rollup (r8)).  The remaining
-# ~20 slots fill with the r6 hash cohort via the default tier-2
-# oldest-first sort; r6 entries displaced past slot 50 rotate in
-# round 11.
-_HASH_DRAIN_FRONTIER = 5
-_ROWS_DRAIN_FRONTIER = 8
+# Round-11 window plan (r10 verdict "Next round" #1): zero
+# implementation gaps, so the risk surface IS evidence staleness — the
+# window drains the oldest cohorts.  Changed/new queries lead (the
+# embedding-LSH oracle graduation and q_media_neardup), then the
+# pinned 15-query r6 hash cohort; the remaining ~33 slots fill with
+# the 43-query r7 cohort via the default tier-2 oldest-first sort
+# (definition order within the round), and the displaced r7 tail
+# rotates into round 12.  Rows-only evidence is all ≥r9
+# (ann_ivf/ann_pq/simhash at r9, the rest at r10) — fresh enough to
+# wait a round, so no rows pin.
+_HASH_DRAIN_FRONTIER = 6
+_ROWS_DRAIN_FRONTIER = 6
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(

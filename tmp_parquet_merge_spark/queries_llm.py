@@ -59,11 +59,13 @@ _DOT = (
 # oracles are _uncapped() because their Spark builders scan the full
 # corpus) — so hash parity never hinges on corpus size.
 _PAIR_CAP = 20_000
-# Quality-metadata probe size: recall stamps (q_dedup_embedding_lsh)
-# measure against the exact twin on the lowest _RECALL_PROBE ids only,
-# so the exact side stays O(probe²) at any corpus scale.  Covers the
-# whole bundled corpora (500 vectors), so driver-visible values are
-# true global recall at the oracle tiers.
+# Quality-metadata probe size: recall stamps measure against the
+# exact twin on the lowest _RECALL_PROBE ids only, so the exact side
+# stays O(probe²) at any corpus scale.  Covers the whole bundled
+# corpora (500 vectors), so driver-visible values are true global
+# recall at the oracle tiers.  (q_dedup_embedding_lsh graduated off
+# its stamp in r11 — the multi-probe over-fetch makes it
+# oracle-backed; kept for any future approximate family member.)
 _RECALL_PROBE = 500
 _W_CAP = _W.replace("FROM documents", f"FROM documents WHERE doc_id < {_PAIR_CAP}")
 
@@ -776,66 +778,48 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-@query("q_dedup_embedding_lsh")
+@query(
+    "q_dedup_embedding_lsh",
+    oracle=f"""
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               round({_cos("x.embedding", "y.embedding")}, 6) AS sim
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE round({_cos("x.embedding", "y.embedding")}, 6) >= 0.4
+    """,
+)
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup pairs at 100 TB shape: SRP-LSH bucket
-    candidates (shuffle = O(vectors × bands) int keys, never a
+    candidates (shuffle = O(vectors × bands × bits) int keys, never a
     cartesian), exact cosine ≥ 0.4 on candidates only.  Banding is
-    corpus-adaptive (similarity._auto_lsh_params) and — r10 — sized at
-    the OPERATING threshold: the r8 sizing targeted recall at cosine
-    0.9 and measured pair_recall 0.38/0.44 at the 0.4 boundary (4
-    bands, each nearly blind to a 66° angle); sizing the S-curve knee
-    at 0.4 with a 64-band cost cap measures 0.9697/0.9661/0.9355
-    across the bundled tiers (floor ≥0.9 pinned; decay law vs corpus
-    size recorded in SCALE.md — at loose cosine the capped index
-    decays as n grows, the SemDeDup handoff regime).  Bits per band
-    grow with log2(n) so expected random-pair collisions — the verify
-    cost — stay O(n·bands); a fixed layout measured 25x slower on 5x the vectors
-    in the r6 scale sweep.  Rows-only: recall < 1 by the LSH S-curve,
-    so the output is a strict subset of the exact twin
-    q_dedup_embedding — but every row now carries the MEASURED
-    pair_recall vs that twin (r8): LSH pairs are verified with the
-    same exact cosine, so |lsh ∩ probe| / |exact ∩ probe| IS the
-    recall on the probe.  The measurement runs on a FIXED-SIZE probe
-    set (lowest 500 ids, _RECALL_PROBE) so the exact side is O(probe²)
-    regardless of corpus size — stamping recall must never
-    re-introduce the all-pairs cost the LSH path exists to avoid (the
-    first r8 spelling did, and measurably hung the 25× stress).  On
-    the bundled corpora the probe IS the whole corpus, so the stamped
-    value is the true global recall there.  Floor asserted in
-    tests/test_llm_ops.py."""
-    emb = t(spark, sf_dir, "embeddings")
-    lsh = similarity.embedding_dedup_pairs_lsh(
-        emb, threshold=0.4
-    ).localCheckpoint(eager=False)
-    # exact probe side: ≤ _RECALL_PROBE vectors — one driver-side numpy
-    # matmul (the _pull_queries bounded-artifact discipline), same
-    # unit-normalize + round-6 scoring as the distributed exact twin.
-    # The Spark spelling of this 125k-pair probe paid ~3 s of
-    # interpreted dot folds per run and was flagged as a REAL
-    # regression by the r8 bench watchlist (1.8 s → 4.8 s isolated).
-    import numpy as np
-
-    pdf = (
-        emb.filter(F.col("vec_id") < _RECALL_PROBE)
-        .select("vec_id", "embedding")
-        .toPandas()
+    corpus-adaptive (similarity._auto_lsh_params), sized at the
+    OPERATING threshold (r10), and — r11, the q_ann_lsh r8 protocol
+    applied to the pair problem — over-fetched with Hamming-1
+    multi-probe (Lv et al. 2007: the probe side also checks every band
+    key with one bit flipped, int-XOR arithmetic on packed band keys)
+    at target_recall 1-1e-5, so per-pair miss probability at the 0.4
+    boundary is ≤ 1e-5 and the emitted pair set is row-identical to
+    the exact twin q_dedup_embedding (uncapped) on the bundled
+    corpora: 66/66, 59/59, 920/920 at sf0.001/0.01/0.1, equality
+    pinned in tests/test_llm_ops.py.  ORACLE (r11 graduation, r10
+    verdict #2): the exact all-pairs SQL — candidates are verified
+    with the SAME exact cosine, so output ⊆ exact always, and the
+    over-fetch closes the gap measured at 0.93-0.97 by the r10 recall
+    stamps.  The honest open-scale law is unchanged (SCALE.md): the
+    64-band cap fixes per-pair miss probability at bundled n; at
+    1000× the corpus, bits track log2(n) and recall at loose cosine
+    decays — near-threshold pair mining at 0.4 on 100 TB is SemDeDup
+    territory (q_dedup_semantic) or a higher-threshold rerun.  The
+    bundled corpora sit in the saturation regime (threshold 0.4 is
+    the random-background 3σ tail: all 920 sf0.1 pairs lie in
+    [0.40, 0.61] with non-pairs 1e-4 below the cut), so candidates ≈
+    all pairs HERE while the banded shape stays sub-quadratic at real
+    near-dup thresholds — both regimes measured in SCALE.md."""
+    return similarity.embedding_dedup_pairs_lsh(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        probe_flips=1,
+        target_recall=0.99999,
     )
-    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    Xn = X / similarity._safe_norm(X)
-    S = np.round(Xn @ Xn.T, 6)
-    iu = np.triu_indices(len(X), k=1)
-    n_exact = int((S[iu] >= 0.4).sum())
-    # numerator stays lazy: both branches read the one localCheckpoint
-    # materialization, so no eager extra action runs
-    rec = lsh.filter(
-        (F.col("vec_a") < _RECALL_PROBE) & (F.col("vec_b") < _RECALL_PROBE)
-    ).agg(
-        F.round(F.count(F.lit(1)) / F.lit(max(n_exact, 1)), 4).alias(
-            "pair_recall"
-        )
-    )
-    return lsh.crossJoin(F.broadcast(rec))
 
 
 # ---------------------------------------------------------------------------
@@ -2333,6 +2317,63 @@ def q_media_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_dupes"),
             F.sum("n_bytes").alias("total_bytes"),
         )
+    )
+
+
+@query(
+    "q_media_neardup",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+                   length(hex(encode(text))) AS H
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT media_id, list_transform(range(64), b ->
+                length(regexp_replace(
+                    substring(ph, ((H*b)//64) + 1,
+                              ((H*(b+1))//64) - ((H*b)//64)),
+                    '[0-7]', '', 'g'))) AS mv
+            FROM s
+        ), bits AS (
+            SELECT media_id, list_transform(range(64), i ->
+                CASE WHEN mv[i+1] > mv[((i+1)%64)+1] THEN 1 ELSE 0 END
+            ) AS bv
+            FROM m
+        ), sig AS (
+            SELECT media_id,
+                CAST(list_sum(list_transform(range(32),
+                    i -> bv[i+1]  * (1::BIGINT << i))) AS BIGINT) AS lo,
+                CAST(list_sum(list_transform(range(32),
+                    i -> bv[i+33] * (1::BIGINT << i))) AS BIGINT) AS hi
+            FROM bits
+        )
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.lo, b.lo))
+              + bit_count(xor(a.hi, b.hi)) <= 10
+    """,
+)
+def q_media_neardup(spark, sf_dir):
+    """Perceptual near-dup over multimodal payloads (r10 verdict #3 —
+    the one dedup family q_media_dedup's exact sha2 missed): 64-bit
+    blockhash-gradient signature per payload (operators/multimodal.py
+    :func:`blockhash_signatures` — block scores over hex(payload),
+    dHash-style gradient bits; public technique: blockhash.io, Yang
+    et al. 2006, Krawetz dHash), banded band-equality candidate join,
+    exact Hamming verify ≤ 10.  With 11 bands the pigeonhole
+    principle makes the candidate join an EXACT generator for radius
+    10 — deterministic output, hence the closed-form DuckDB oracle
+    (the q_multimodal_features hex(payload) protocol).  Scale shape:
+    one payload scan → 2 longs + 11 ints per item; shuffles carry
+    only (band, key, id) ints and id pairs; verify is JVM bit_count
+    on packed longs.  Non-degenerate at every tier (1/2/198 pairs at
+    sf0.001/0.01/0.1).  On real images the hex-block score swaps for
+    a decoded block mean without touching the banding/verify
+    plumbing (the module's PIL-optional contract)."""
+    return multimodal.media_neardup_pairs(
+        multimodal.media_table(spark, sf_dir), radius=10, bands=11
     )
 
 

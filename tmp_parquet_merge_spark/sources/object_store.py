@@ -94,6 +94,50 @@ def _error_code(exc: Exception) -> str | None:
     return getattr(exc, "response", {}).get("Error", {}).get("Code")
 
 
+def _bare_etag(etag: str) -> str:
+    """One ETag spelling for every conditional parameter (r10 advisor:
+    CopySourceIfMatch got the quoted head_object ETag while the
+    IfMatch params got it stripped — AWS accepts both, but a strict
+    S3-compatible implementation could accept one and reject the
+    other, failing one path spuriously).  Canonical form here: bare
+    (no surrounding quotes)."""
+    return etag.strip('"')
+
+
+def _require_conditional_writes(s3) -> None:
+    """Fail LOUDLY when the SDK cannot even send the conditional-write
+    params the concurrency guarantee rests on (r10 advisor).  IfMatch
+    on PutObject/CompleteMultipartUpload is the S3 conditional-writes
+    API (GA Nov 2024; botocore >= 1.35.6x service models).  An older
+    botocore would raise ParamValidationError mid-stamp; probing the
+    service model up front turns that into one clear setup error.
+
+    KNOWN SCOPE LIMIT (documented, not probe-able without a write):
+    S3-compatible stores that ACCEPT and IGNORE If-Match (older MinIO/
+    Ceph/GCS-interop, moto) silently reopen the lost-update window —
+    the guarantee is only as strong as the backend's conditional-write
+    support.  Against such a backend, serialize stampers externally."""
+    try:
+        members = (
+            s3.meta.service_model.operation_model(
+                "CompleteMultipartUpload"
+            ).input_shape.members
+        )
+        put_members = s3.meta.service_model.operation_model(
+            "PutObject"
+        ).input_shape.members
+    except Exception:  # pragma: no cover - exotic/stub clients
+        return  # cannot introspect: let the call path speak
+    if "IfMatch" not in members or "IfMatch" not in put_members:
+        raise RuntimeError(
+            "stamp_kv_s3: this botocore's S3 model lacks IfMatch on "
+            "PutObject/CompleteMultipartUpload (S3 conditional writes, "
+            "GA Nov 2024 — needs botocore >= 1.35.65).  Refusing to "
+            "stamp without the concurrent-rewrite guard; upgrade "
+            "botocore or serialize stampers externally."
+        )
+
+
 def _parse_s3_path(path: str) -> tuple[str, str]:
     for scheme in ("s3://", "s3a://", "s3n://"):
         if path.startswith(scheme):
@@ -242,6 +286,7 @@ def stamp_kv_s3(
             f"part_size must be within [{_MIN_PART}, {_MAX_PART - _MIN_PART}]"
         )
     s3 = client if client is not None else _s3_client()
+    _require_conditional_writes(s3)
     bucket, key = _parse_s3_path(path)
     kv_bytes = {k.encode("utf8"): v.encode("utf8") for k, v in kv.items()}
 
@@ -351,7 +396,7 @@ def stamp_kv_s3(
                 Bucket=bucket,
                 Key=k,
                 Body=tail + footer,
-                IfMatch=etag.strip('"'),
+                IfMatch=_bare_etag(etag),
                 **carry,
             )
             return
@@ -384,7 +429,7 @@ def stamp_kv_s3(
                     PartNumber=part_no,
                     CopySource={"Bucket": bucket, "Key": k, **ver},
                     CopySourceRange=f"bytes={lo}-{hi}",
-                    CopySourceIfMatch=etag,
+                    CopySourceIfMatch=_bare_etag(etag),
                 )
                 parts.append(
                     {"PartNumber": part_no, "ETag": r["CopyPartResult"]["ETag"]}
@@ -408,7 +453,7 @@ def stamp_kv_s3(
                 Key=k,
                 UploadId=mpu,
                 MultipartUpload={"Parts": parts},
-                IfMatch=etag.strip('"'),
+                IfMatch=_bare_etag(etag),
             )
         except BaseException:
             s3.abort_multipart_upload(Bucket=bucket, Key=k, UploadId=mpu)

@@ -518,3 +518,28 @@ def test_iterative_loop_reuses_persisted_edge_partitioning(spark, nparts):
         edges.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_compaction_read_phase_is_distributed_footer_scan(spark, sf_dir):
+    """r10 advisor #3: the compaction queries' READ phases got a
+    looser (2 s) bench flag floor because their cost rides writeback/
+    page-cache weather — which means a genuine plan regression (e.g.
+    losing the executor-side footer scan to a driver loop) could ride
+    under the time buffer.  Pair the loose floor with a plan-shape
+    pin: the read phase must contain the MapInPandas footer-scan node
+    (metadata_stats' executor-side pyarrow reads) feeding an
+    aggregate — never a collected/driver-side spelling, which would
+    show an empty plan or a LocalTableScan of pre-computed rows."""
+    for name in ("q_merge_compaction", "q_merge_incremental"):
+        tree = plan_tree(build(name, spark, sf_dir))
+        assert "MapInPandas" in tree, (name, tree)
+        assert "HashAggregate" in tree or "SortAggregate" in tree, (
+            name,
+            tree,
+        )
+        # the footer relation is built from the file list, not from a
+        # driver-side collect of already-read footers
+        assert "LocalTableScan" in tree or "Scan ExistingRDD" in tree, (
+            name,
+            tree,
+        )

@@ -908,3 +908,132 @@ def ngram_containment_pairs(
     return cont.filter(
         (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
     )
+
+
+def _doc_segments(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, i, segment): every non-overlapping full n-word window of
+    the normalized text — the stride-n relation both halves of the
+    repeated-segment pair derive from.  One projection: split +
+    sequence-explode + slice, all codegen; no window function, no
+    per-doc shuffle."""
+    d = df.select(F.col(id_col), words(text_col).alias("ws"))
+    n_full = (F.size("ws") / F.lit(n)).cast("int")
+    return (
+        d.filter(n_full > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            id_col,
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("i") * n + 1, n)
+            ).alias("segment"),
+        )
+    )
+
+
+def segment_blacklist(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 10
+) -> DataFrame:
+    """Repeated-segment (boilerplate) detection — the C4/RefinedWeb
+    "remove lines repeated across documents" step at word-window
+    granularity: every non-overlapping full n-word window with the
+    number of DISTINCT documents containing it; windows spanning ≥ 2
+    docs are the boilerplate blacklist (headers, footers, license
+    blurbs — sub-document duplication doc-level dedup cannot see).
+
+    Segments are bounded (≤ n words) so shuffle rows are small and
+    the group count is corpus-vocabulary-bounded; at open scale,
+    group by xxhash64(segment) digests and keep min(segment) as the
+    representative to shrink shuffle bytes further (the exact-dedup
+    digest discipline)."""
+    return (
+        _doc_segments(df, text_col, id_col, n)
+        .select(id_col, "segment")
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+    )
+
+
+def segments_clean(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 10
+) -> DataFrame:
+    """The action half of :func:`segment_blacklist`: REWRITE every
+    document with its cross-document repeated n-word windows removed,
+    keeping window order and the ragged tail, plus the per-doc count
+    of dropped windows.  Docs under n words pass through as their
+    normalized text; an all-boilerplate doc comes back as the empty
+    string, never silently disappears — exactly one row per input
+    document.
+
+    Plan shape: the (doc, i, segment) relation derives once
+    (localCheckpoint) and feeds the blacklist agg, the keep anti-join,
+    and the dropped-count semi-join; reassembly is one hash-agg per
+    doc over array_sort(collect_list(struct(i, segment))) — the
+    order-safe spelling (collect_list alone has no ordering
+    contract).  Shuffles carry bounded ≤n-word segments keyed by
+    segment or id; nothing is quadratic and no full text rides more
+    than one shuffle."""
+    d = df.select(F.col(id_col), words(text_col).alias("ws"))
+    n_full = (F.size("ws") / F.lit(n)).cast("int")
+    seg = _doc_segments(df, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
+    bl = (
+        seg.groupBy("segment")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("segment")
+    )
+    tails = (
+        d.select(id_col, n_full.alias("i"), "ws")
+        .filter(F.size("ws") > F.col("i") * n)
+        .select(
+            id_col,
+            "i",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("ws"),
+                    F.col("i") * n + 1,
+                    F.size("ws") - F.col("i") * n,
+                ),
+            ).alias("segment"),
+        )
+    )
+    kept = (
+        seg.join(bl, "segment", "left_anti")
+        .select(id_col, "i", "segment")
+        .unionByName(tails)
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    dropped = (
+        seg.join(bl, "segment", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        d.select(id_col)
+        .join(clean, id_col, "left")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

@@ -1644,6 +1644,14 @@ _CHANGED_THIS_ROUND = frozenset(
         #    join, exact byte-distance verify; oracle-backed the
         #    q_multimodal_features way (closed-form over hex(payload))
         "q_media_neardup",
+        #  * q_dedup_segments / q_segments_clean — r11 refactor (r10
+        #    verdict #7): bodies extracted to operators/dedup.py with
+        #    the window width as a parameter so the hypothesis
+        #    property suite can pin them at small n; same plan and
+        #    output (local parity re-proven), re-queued per the
+        #    evidence-certifies-the-code-that-produced-it rule
+        "q_dedup_segments",
+        "q_segments_clean",
     }
 )
 

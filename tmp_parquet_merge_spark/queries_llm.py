@@ -214,29 +214,12 @@ def q_dedup_segments(spark, sf_dir):
     (≤ 10 words) so the shuffle rows are small and the group count is
     corpus-vocabulary-bounded; at open scale, group by xxhash64(segment)
     digests and keep min(segment) as the representative to shrink
-    shuffle bytes further (the q_dedup_exact digest discipline)."""
-    docs = t(spark, sf_dir, "documents")
-    d = docs.select(F.col("doc_id"), dedup.words("text").alias("ws"))
-    n_full = (F.size("ws") / F.lit(10)).cast("int")
-    seg = (
-        d.filter(F.size("ws") >= 10)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
-            "ws",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", F.slice(F.col("ws"), F.col("i") * 10 + 1, 10)
-            ).alias("segment"),
-        )
-        .distinct()
-    )
-    return (
-        seg.groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .filter(F.col("doc_freq") >= 2)
+    shuffle bytes further (the q_dedup_exact digest discipline).
+    r11: body extracted to operators/dedup.py::segment_blacklist (same
+    plan, window width now a parameter) so the hypothesis property
+    suite can pin it against a pure-Python reference at small n."""
+    return dedup.segment_blacklist(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=10
     )
 
 
@@ -299,75 +282,12 @@ def q_segments_clean(spark, sf_dir):
     order-safe spelling (collect_list alone has no ordering
     contract).  Shuffles carry bounded ≤10-word segments keyed by
     segment or doc_id; nothing is quadratic and no full text rides
-    more than one shuffle."""
-    docs = t(spark, sf_dir, "documents")
-    d = docs.select(F.col("doc_id"), dedup.words("text").alias("ws"))
-    n_full = (F.size("ws") / F.lit(10)).cast("int")
-    seg = (
-        d.filter(n_full > 0)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), n_full - 1)).alias("i"),
-            "ws",
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.concat_ws(
-                " ", F.slice(F.col("ws"), F.col("i") * 10 + 1, 10)
-            ).alias("segment"),
-        )
-    ).localCheckpoint(eager=False)
-    bl = (
-        seg.groupBy("segment")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("segment")
-    )
-    tails = (
-        d.select("doc_id", n_full.alias("i"), "ws")
-        .filter(F.size("ws") > F.col("i") * 10)
-        .select(
-            "doc_id",
-            "i",
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("ws"),
-                    F.col("i") * 10 + 1,
-                    F.size("ws") - F.col("i") * 10,
-                ),
-            ).alias("segment"),
-        )
-    )
-    kept = (
-        seg.join(bl, "segment", "left_anti")
-        .select("doc_id", "i", "segment")
-        .unionByName(tails)
-    )
-    clean = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "segment"))),
-                lambda s: s["segment"],
-            ),
-            " ",
-        ).alias("clean_text")
-    )
-    dropped = (
-        seg.join(bl, "segment", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
-    )
-    return (
-        d.select("doc_id")
-        .join(clean, "doc_id", "left")
-        .join(dropped, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        )
+    more than one shuffle.  r11: body extracted to
+    operators/dedup.py::segments_clean (same plan, window width now a
+    parameter) so the hypothesis property suite can pin it against a
+    pure-Python stride reference at small n."""
+    return dedup.segments_clean(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=10
     )
 
 

@@ -223,48 +223,57 @@ def blockhash_signatures(
     bands-1 share at least one equal band, so a band-equality join is
     an EXACT candidate generator for radius ≤ bands-1 — no S-curve,
     no recall bet (the same argument q_dedup_simhash relies on).
-    Everything is built-in expressions over the one payload scan; the
-    payload never survives past this projection."""
+
+    Computed as one Arrow-batched pandas UDF over the single payload
+    scan (the module's batch-the-codec pattern; per-payload work is
+    vectorized numpy nibble counting).  The first spelling was pure
+    built-in expressions — transform/aggregate over hex(payload) —
+    but higher-order functions run interpreted and CollapseProject
+    re-inlines the hex() into all 64 block expressions, which
+    measured 3.7 s at sf0.1 vs 0.8 s for this spelling (bit-identical,
+    equality test-pinned).  The SEMANTICS are unchanged and stay
+    closed-form over hex(payload) for the DuckDB oracle: score(b) =
+    count of hex chars ≥ '8' (i.e. nibbles ≥ 8) in hex positions
+    [⌊H·b/64⌋, ⌊H·(b+1)/64⌋).  The payload never survives past this
+    projection."""
     if n_blocks != 64:
         raise ValueError("packing assumes a 64-bit signature")
-    ph = F.hex(F.col(payload_col))
-    mv = F.expr(
-        "transform(sequence(0, 63), b -> length(regexp_replace("
-        "substring(ph, ((length(ph) * b) DIV 64) + 1, "
-        "((length(ph) * (b + 1)) DIV 64) - ((length(ph) * b) DIV 64)), "
-        "'[0-7]', '')))"
-    )
-    bv = F.expr(
-        "transform(sequence(0, 63), i -> IF(mv[i] > mv[(i + 1) % 64], 1, 0))"
-    )
-    # band k covers bits [floor(64k/bands), floor(64(k+1)/bands))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     bounds = [64 * k // bands for k in range(bands + 1)]
-    band_vals = F.array(
-        *[
-            F.expr(
-                f"aggregate(slice(bv, {s + 1}, {e - s}), 0, "
-                "(acc, x) -> acc * 2 + x)"
-            )
-            for s, e in zip(bounds, bounds[1:])
-        ]
-    )
+
+    @pandas_udf("struct<lo: long, hi: long, bands: array<int>>")
+    def _sig(payload: pd.Series) -> pd.DataFrame:
+        los, his, bandvals = [], [], []
+        w32 = np.arange(32)
+        for p in payload:
+            b = np.frombuffer(p, dtype=np.uint8)
+            # hex chars of p = interleaved (high, low) nibbles
+            nib = np.empty(2 * len(b), dtype=np.uint8)
+            nib[0::2] = b >> 4
+            nib[1::2] = b & 15
+            high = (nib >= 8).astype(np.int64)
+            H = len(nib)
+            cs = np.concatenate([[0], np.cumsum(high)])
+            idx = (H * np.arange(65)) // 64
+            m = cs[idx[1:]] - cs[idx[:-1]]  # per-block scores
+            bits = (m > np.roll(m, -1)).astype(np.int64)  # gradient
+            los.append(int((bits[:32] << w32).sum()))
+            his.append(int((bits[32:] << w32).sum()))
+            bv = []
+            for s, e in zip(bounds, bounds[1:]):
+                acc = 0
+                for x in bits[s:e]:
+                    acc = acc * 2 + int(x)
+                bv.append(acc)
+            bandvals.append(bv)
+        return pd.DataFrame({"lo": los, "hi": his, "bands": bandvals})
+
     return (
         media.filter(F.col(payload_col).isNotNull())
-        .select(F.col(id_col), ph.alias("ph"))
-        .select(F.col(id_col), mv.alias("mv"))
-        .select(F.col(id_col), bv.alias("bv"))
-        .select(
-            F.col(id_col),
-            F.expr(
-                "aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
-                "(acc, i) -> acc + bv[i] * shiftleft(CAST(1 AS BIGINT), i))"
-            ).alias("lo"),
-            F.expr(
-                "aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
-                "(acc, i) -> acc + bv[i + 32] * shiftleft(CAST(1 AS BIGINT), i))"
-            ).alias("hi"),
-            band_vals.alias("bands"),
-        )
+        .select(F.col(id_col), _sig(F.col(payload_col)).alias("s"))
+        .select(F.col(id_col), "s.lo", "s.hi", "s.bands")
     )
 
 
@@ -288,7 +297,16 @@ def media_neardup_pairs(
     longs.  Candidate volume is n²·bands/2^(64/bands) on random
     payloads — at open scale tighten the radius (more bits per band)
     or lengthen the signature (n_blocks=128/256) rather than betting
-    on sparseness; both knobs keep the pigeonhole guarantee."""
+    on sparseness; both knobs keep the pigeonhole guarantee.
+
+    Candidates are NOT deduped before the verify: a pair colliding in
+    k bands is verified k times (k ≤ bands) and deduped AFTER the
+    Hamming filter, when only surviving pairs remain.  The verify is
+    two int XORs + bit_counts, so paying it ≤ bands× is far cheaper
+    than a corpus-wide distinct on the raw candidate relation — the
+    pre-verify distinct measured 3.4 s of the query's 7.9 s at sf0.1
+    (the A/B that set the r11 floor); the post-filter distinct
+    shuffles only matches × multiplicity rows."""
     if bands <= radius:
         raise ValueError(
             f"bands={bands} must exceed radius={radius} for the "
@@ -312,7 +330,6 @@ def media_neardup_pairs(
             F.col(f"a.{id_col}").alias("media_a"),
             F.col(f"b.{id_col}").alias("media_b"),
         )
-        .distinct()
     )
     sa = sigs.select(
         F.col(id_col).alias("media_a"),
@@ -336,4 +353,5 @@ def media_neardup_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= radius)
+        .distinct()
     )

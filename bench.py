@@ -239,6 +239,10 @@ HEADLINE = [
     # round-11 addition: perceptual blockhash near-dup over media
     # payloads (pigeonhole-exact banded candidates, bit_count verify)
     "q_media_neardup",
+    # round-11 addition: DSIR importance weights + Gumbel-top-k
+    # resample (Xie et al. 2023 data selection)
+    "q_dsir_weights",
+    "q_dsir_sample",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1438,3 +1438,62 @@ def test_media_neardup_signature_matches_reference(spark):
         lo = sum(bits[i] << i for i in range(32))
         hi = sum(bits[i + 32] << i for i in range(32))
         assert got[mid] == (lo, hi), mid
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_tilt_toward_target(spark, docs):
+    """The importance weight must do its one job: rank target-domain
+    (English) documents above the rest on average — the Xie et al.
+    2023 selection signal.  Also: total partition (every doc scored),
+    n_terms = 2·words − 1 (unigrams + bigrams), determinism."""
+    from tmp_parquet_merge_spark.operators import curation, dedup
+
+    out = curation.dsir_weights(docs, "text", "doc_id", "lang", "en")
+    assert out.count() == docs.count()
+
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+
+    # n_terms: unigrams + bigrams of the normalized word sequence
+    expect = docs.select(
+        "doc_id",
+        (F.size(dedup.words("text")) * 2 - 1).cast("bigint").alias("e"),
+    )
+    bad = out.join(expect, "doc_id").filter(F.col("n_terms") != F.col("e"))
+    assert bad.count() == 0
+
+    again = curation.dsir_weights(docs, "text", "doc_id", "lang", "en")
+    assert out.exceptAll(again).count() == 0
+
+
+def test_dsir_sample_is_weight_tilted_topk(spark, docs):
+    """Gumbel-top-k resample: k rows, deterministic, keys finite, and
+    the drawn set's mean logw exceeds the corpus mean (importance
+    resampling concentrates on high-weight docs)."""
+    import math
+
+    from tmp_parquet_merge_spark.operators import curation
+
+    k = 50
+    s = curation.dsir_sample(docs, "text", "doc_id", "lang", "en", k=k)
+    rows = s.collect()
+    assert len(rows) == min(k, docs.count())
+    assert all(math.isfinite(r.sample_key) for r in rows)
+
+    wts = curation.dsir_weights(docs, "text", "doc_id", "lang", "en")
+    corpus_mean = wts.agg(F.avg("logw")).collect()[0][0]
+    drawn_mean = sum(r.logw for r in rows) / len(rows)
+    assert drawn_mean > corpus_mean
+
+    again = curation.dsir_sample(docs, "text", "doc_id", "lang", "en", k=k)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}

@@ -134,3 +134,164 @@ def split_assign(df: DataFrame, id_col: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _hashed_term_buckets(
+    df: DataFrame, text_col: str, id_col: str, target: "F.Column", *, n_buckets: int
+) -> DataFrame:
+    """Per-document hashed n-gram (unigram + bigram) bucket counts —
+    the DSIR feature extractor (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling").
+
+    Returns (doc, is_target, b, cnt).  The term strings are hashed to
+    ``n_buckets`` integer buckets BEFORE the aggregation shuffle, so
+    only (int doc, bool, int bucket) rows ever ride the wire — the
+    same digest-before-shuffle discipline as exact dedup.  The hash is
+    the first 8 md5 hex chars as an integer (the repo-wide
+    engine-portable hash: spelled ``('0x' || substr(md5(term), 1,
+    8))::BIGINT`` in DuckDB), NOT xxhash64, which DuckDB lacks.
+
+    Bigrams come from one ``lead`` over (doc, pos) — the shingle_rows
+    formulation — so the only pre-agg shuffle is the per-doc window,
+    and the per-doc count relation is bounded by
+    min(2·words, n_buckets) rows per document at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        target.alias("is_target"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    led = ex.select(
+        "doc", "is_target", "w", F.lead("w", 1).over(win).alias("nxt")
+    )
+    terms = led.select(
+        "doc",
+        "is_target",
+        F.explode(
+            F.array(
+                F.col("w"),
+                F.when(
+                    F.col("nxt").isNotNull(), F.concat_ws(" ", "w", "nxt")
+                ),
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    return (
+        terms.select("doc", "is_target", bucket.alias("b"))
+        .groupBy("doc", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_value: str,
+    *,
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """DSIR importance weights: score every document by how much more
+    likely its hashed-n-gram bag is under the TARGET distribution
+    (rows where ``target_col == target_value``, e.g. the trusted /
+    in-domain slice) than under the raw-corpus distribution —
+    log w(d) = Σ_b cnt_d[b] · (ln p̂_target[b] − ln p̂_corpus[b]),
+    with add-1 smoothed bucket unigram models.  This is the data-
+    selection score a pipeline resamples by to tilt a 100 TB crawl
+    toward a quality domain (Xie et al. 2023).
+
+    Entirely deterministic and engine-portable: md5 bucket hashing,
+    IEEE double ``ln``, and the per-bucket contributions rounded to
+    6 dp and summed as DECIMAL(18,6) so the final weight is
+    order-independent across engines (the q_entropy discipline).
+
+    Plan shape: one corpus scan → per-doc window (bigrams) →
+    int-keyed hash-agg to (doc, bucket, cnt), localCheckpoint'd once
+    for its two consumers; bucket stats are an ``n_buckets``-row
+    aggregate and the λ table joins back as a broadcast — no second
+    corpus scan, no string ever shuffles.
+    """
+    db = _hashed_term_buckets(
+        df,
+        text_col,
+        id_col,
+        (F.col(target_col) == target_value),
+        n_buckets=n_buckets,
+    ).localCheckpoint(eager=False)
+    stats = db.groupBy("b").agg(
+        F.sum("cnt").alias("cs"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + F.lit(float(n_buckets))))
+            - F.log((F.col("cs") + 1) / (F.col("ts") + F.lit(float(n_buckets))))
+        ).alias("lam"),
+    )
+    return (
+        db.join(F.broadcast(lam), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_terms"),
+            F.sum(
+                F.round(F.col("cnt") * F.col("lam"), 6).cast("decimal(18,6)")
+            ).alias("__s"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_terms",
+            F.round(F.col("__s").cast("double"), 6).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_value: str,
+    *,
+    k: int,
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """DSIR importance RESAMPLING — the applied twin of
+    :func:`dsir_weights`: draw ``k`` documents without replacement
+    with probability ∝ exp(log w) via the Gumbel-top-k trick, with
+    the Gumbel noise a pure md5 function of the document id
+    (u = (h₃₂ + 0.5) / 2³², g = −ln(−ln u), strictly inside (0, 1)
+    so g is always finite).  Reproducible across runs, engines, and
+    corpus growth — the same determinism contract as
+    :func:`weighted_sample`, which uses the exponential-sort key for
+    the same reason.
+
+    Plan: the weights plan plus a scan-speed key expression and a
+    TakeOrderedAndProject top-k — per-partition heaps, a single
+    narrow collect of ``k`` rows, no full sort at any scale.
+    """
+    wts = dsir_weights(
+        df, text_col, id_col, target_col, target_value, n_buckets=n_buckets
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + 0.5) / F.lit(float(1 << 32))
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 6)
+    return (
+        wts.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "logw", "sample_key")
+    )

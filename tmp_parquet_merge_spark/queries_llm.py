@@ -2726,3 +2726,99 @@ def q_embedding_quantize(spark, sf_dir):
     return similarity.quantize_int8(
         t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
     )
+
+
+# Shared DuckDB spelling of the DSIR weight computation (Xie et al.
+# 2023 importance weights over hashed unigram+bigram buckets; target =
+# English docs, B = 2048).  Mirrors operators/curation.py::dsir_weights
+# step-for-step: md5-bucket hash, add-1 smoothing, 6-dp DECIMAL(18,6)
+# contribution sum (the q_entropy order-independence discipline).
+_DSIR = f"""
+    {{w}},
+    tok AS (
+        SELECT w.doc_id, d.lang = 'en' AS is_target, w.ws
+        FROM w JOIN documents d USING (doc_id)
+    ),
+    terms AS (
+        SELECT doc_id, is_target, unnest(ws) AS term FROM tok
+        UNION ALL
+        SELECT doc_id, is_target, array_to_string(ws[i:i+1], ' ') AS term
+        FROM tok, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    db AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 2048 AS INT)
+                   AS b,
+               COUNT(*) AS cnt
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    stats AS (
+        SELECT b, SUM(cnt) AS cs,
+               SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS ct
+        FROM db GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cs) AS ts, SUM(ct) AS tt FROM stats),
+    lam AS (
+        SELECT b, ln((ct + 1) / (tt + 2048.0))
+                  - ln((cs + 1) / (ts + 2048.0)) AS lam
+        FROM stats, tot
+    ),
+    dsir AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_terms,
+               round(CAST(SUM(CAST(round(cnt * lam, 6) AS DECIMAL(18,6)))
+                          AS DOUBLE), 6) AS logw
+        FROM db JOIN lam USING (b)
+        GROUP BY 1
+    )
+""".format(w=_W)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+        WITH {_DSIR}
+        SELECT doc_id, n_terms, logw FROM dsir
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the log-likelihood ratio of its hashed unigram+bigram bag under
+    the target-domain bucket model (here the English slice) vs the raw
+    corpus — THE published data-selection score for tilting a web-scale
+    crawl toward a quality domain.  Deterministic and oracle-exact:
+    md5 bucket hashing, add-1 smoothing, DECIMAL(18,6) contribution
+    sums (operators/curation.py::dsir_weights; plan shape documented
+    there — one corpus scan, int-only shuffles, broadcast λ join)."""
+    return curation.dsir_weights(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "lang", "en"
+    )
+
+
+@query(
+    "q_dsir_sample",
+    oracle=f"""
+        WITH {_DSIR},
+        keyed AS (
+            SELECT doc_id, logw,
+                   round(logw - ln(-ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            ::BIGINT + 0.5) / 4294967296.0)), 6)
+                       AS sample_key
+            FROM dsir
+        )
+        SELECT doc_id, logw, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance RESAMPLING: draw 100 documents without
+    replacement with probability ∝ exp(logw) via Gumbel-top-k, the
+    noise a pure md5 function of doc_id — the applied twin of
+    q_dsir_weights and the reproducible form of the paper's resampling
+    step (operators/curation.py::dsir_sample).  Plan: the weights plan
+    + a scan-speed key + TakeOrderedAndProject top-k (per-partition
+    heaps, no full sort)."""
+    return curation.dsir_sample(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "lang", "en", k=100
+    )

@@ -243,6 +243,8 @@ HEADLINE = [
     # resample (Xie et al. 2023 data selection)
     "q_dsir_weights",
     "q_dsir_sample",
+    # round-11 addition: CCNet head/middle/tail perplexity triage
+    "q_perplexity_bucket",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

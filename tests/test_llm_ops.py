@@ -1497,3 +1497,40 @@ def test_dsir_sample_is_weight_tilted_topk(spark, docs):
 
     again = curation.dsir_sample(docs, "text", "doc_id", "lang", "en", k=k)
     assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+
+
+def test_perplexity_buckets_are_exact_thirds(spark, docs):
+    """CCNet bucketing: per-language head/middle/tail counts differ by
+    at most 1 (exact integer rank terciles), every doc is assigned,
+    and head docs score >= tail docs within each language."""
+    from tmp_parquet_merge_spark.operators import text as text_ops
+
+    out = text_ops.lm_buckets(docs, "text", "doc_id", "lang")
+    assert out.count() == docs.count()
+
+    per = (
+        out.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {}
+    for r in per:
+        counts.setdefault(r.lang, {})[r.bucket] = r.c
+    for lang, by in counts.items():
+        assert set(by) <= {"head", "middle", "tail"}, (lang, by)
+        assert max(by.values()) - min(by.values()) <= 1, (lang, by)
+
+    agg = (
+        out.groupBy("lang", "bucket")
+        .agg(F.min("lm_score").alias("lo"), F.max("lm_score").alias("hi"))
+        .collect()
+    )
+    rng = {}
+    for r in agg:
+        rng.setdefault(r.lang, {})[r.bucket] = (r.lo, r.hi)
+    for lang, by in rng.items():
+        if "head" in by and "tail" in by:
+            assert by["head"][0] >= by["tail"][1], (lang, by)
+
+    again = text_ops.lm_buckets(docs, "text", "doc_id", "lang")
+    assert out.exceptAll(again).count() == 0

@@ -585,3 +585,93 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "lm_score"
         ),
     )
+
+
+def lm_buckets(
+    df: DataFrame, text_col: str, id_col: str, lang_col: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under its OWN language's unigram LM, then cut each
+    language's score distribution at exact terciles — documents in the
+    most-fluent third are ``head``, then ``middle``, then ``tail``.
+    The head/middle/tail split is the published cheap quality triage a
+    crawl pipeline runs before expensive model-based filtering (CCNet
+    keeps head+middle; tail feeds back as hard negatives).
+
+    Determinism/parity — no float boundary anywhere, by construction:
+
+    * per-term contributions follow the :func:`unigram_lm_score`
+      DECIMAL(18,6) discipline, BUT the final per-doc mean is NOT
+      ``round(double/double, 6)`` — ``sum/n_tokens`` can land exactly
+      on a half tie at the 6th decimal (observed at sf0.1:
+      −95.082190/28 = −3.3957925), where Spark's HALF_UP on the binary
+      double and DuckDB's shortest-repr rounding disagree by 1e-6 (the
+      r10 advisor's predicted tie class).  Instead the mean is rounded
+      in EXACT integer arithmetic: s_int = s·10⁶ (exact — s has scale
+      6), micro = sign · ((2·|s_int| + n) intdiv (2·n)) is
+      round-half-away-from-zero of s_int/n with no floats, and
+      lm_score = micro/10⁶ is the same double on both engines.
+    * the tercile cut is integer RANK arithmetic, not interpolated
+      quantiles: rn·3 ≤ n_lang → head, rn·3 ≤ 2·n_lang → middle, else
+      tail, with rn = row_number over (lang / lm_score desc, id) — an
+      interpolated quantile_cont cutoff can differ in the last ulp
+      across engines and (once rounded to the 6-dp grid the scores
+      live on) flip boundary documents.
+
+    Plan: the per-lang LM is vocabulary-bounded hash-aggs + a
+    |langs|-row broadcast total; bucketing is one per-lang window pass
+    (rank + count share the same sort).  No string wider than a term
+    ever shuffles; nothing is quadratic.  At 100 TB the per-lang
+    window is a range-partitioned sort — the same shape CCNet's
+    per-language percentile split pays.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(words(text_col)).alias("term"),
+    )
+    tf = tok.groupBy(id_col, lang_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cf = tf.groupBy(lang_col, "term").agg(F.sum("tf").alias("cf"))
+    total = cf.groupBy(lang_col).agg(F.sum("cf").alias("total"))
+    contrib = F.round(
+        F.col("tf") * F.log(F.col("cf") / F.col("total")), 6
+    ).cast("decimal(18,6)")
+    per_doc = (
+        tf.join(cf, [lang_col, "term"])
+        .join(F.broadcast(total), lang_col)
+        .groupBy(id_col, lang_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum(contrib).alias("s"))
+    )
+    s_int = (F.col("s") * 1000000).cast("long")
+    sign = F.when(s_int < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    micro = sign * F.expr(
+        "(2 * abs(__s_int) + n_tokens) div (2 * n_tokens)"
+    )
+    scores = per_doc.withColumn("__s_int", s_int).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        (micro / F.lit(1000000.0)).alias("lm_score"),
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("lm_score"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(lang_col)
+    rn = F.row_number().over(w)
+    n_lang = F.count(F.lit(1)).over(wn)
+    bucket = (
+        F.when(rn * 3 <= n_lang, F.lit("head"))
+        .when(rn * 3 <= n_lang * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("lm_score"),
+        bucket.alias("bucket"),
+    )

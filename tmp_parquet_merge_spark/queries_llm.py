@@ -2822,3 +2822,67 @@ def q_dsir_sample(spark, sf_dir):
     return curation.dsir_sample(
         t(spark, sf_dir, "documents"), "text", "doc_id", "lang", "en", k=100
     )
+
+
+@query(
+    "q_perplexity_bucket",
+    oracle=f"""
+        WITH {_W},
+        tok AS (
+            SELECT w.doc_id, d.lang, unnest(w.ws) AS term
+            FROM w JOIN documents d USING (doc_id)
+        ),
+        tf AS (
+            SELECT doc_id, lang, term, COUNT(*) AS tf
+            FROM tok GROUP BY 1, 2, 3
+        ),
+        cf AS (SELECT lang, term, SUM(tf) AS cf FROM tf GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(cf) AS total FROM cf GROUP BY 1),
+        s AS (
+            SELECT doc_id, tf.lang,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(round(tf * ln(CAST(cf AS DOUBLE) / total), 6)
+                            AS DECIMAL(18,6))) AS s
+            FROM tf
+            JOIN cf USING (lang, term)
+            JOIN tot USING (lang)
+            GROUP BY 1, 2
+        ),
+        -- exact integer half-away rounding of s/n_tokens to 6 dp:
+        -- s*1e6 is an exact BIGINT (scale 6), so no float tie exists
+        scores AS (
+            SELECT doc_id, lang, n_tokens,
+                   (CASE WHEN s < 0 THEN -1 ELSE 1 END
+                    * ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n_tokens)
+                       // (2 * n_tokens))) / 1000000.0 AS lm_score
+            FROM s
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_tokens, lm_score,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY lm_score DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_lang
+            FROM scores
+        )
+        SELECT doc_id, lang, n_tokens, lm_score,
+               CASE WHEN rn * 3 <= n_lang THEN 'head'
+                    WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+    """,
+)
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    document scored under ITS OWN language's unigram LM, each
+    language's score distribution cut at exact terciles → head /
+    middle / tail — the published cheap quality triage a crawl
+    pipeline runs before model-based filtering (CCNet keeps
+    head+middle).  Deterministic and oracle-exact: DECIMAL(18,6)
+    contribution sums, Spark percentile ≙ DuckDB quantile_cont over
+    the rounded scores (operators/text.py::lm_buckets; plan shape
+    documented there — vocabulary-bounded shuffles, |langs|-row
+    broadcast totals/cutoffs, scores localCheckpoint'd once for its
+    two consumers)."""
+    return text.lm_buckets(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "lang"
+    )

@@ -1534,3 +1534,49 @@ def test_perplexity_buckets_are_exact_thirds(spark, docs):
 
     again = text_ops.lm_buckets(docs, "text", "doc_id", "lang")
     assert out.exceptAll(again).count() == 0
+
+
+def test_bg_candidate_frac_analytics():
+    """The regime-switch gauge: saturated sizings (few bits, many
+    bands, multi-probe) must read ~1; selective sizings (many bits,
+    no probe) must read ~0; monotone in bands."""
+    from tmp_parquet_merge_spark.operators import similarity
+
+    # the registered sf0.1 operating point (3-ish bits, 50+ bands,
+    # Hamming-1 probe) is deep in saturation
+    assert similarity._bg_candidate_frac(3, 51, 1) > 0.99
+    # a real near-dup sizing (20 bits/band, 8 bands, no probe) is
+    # selective
+    assert similarity._bg_candidate_frac(20, 8, 0) < 1e-4
+    assert similarity._bg_candidate_frac(4, 8, 1) >= similarity._bg_candidate_frac(
+        4, 4, 1
+    )
+
+
+def test_embedding_lsh_exact_scan_equals_banded(spark, emb):
+    """The r11 regime switch must be output-invariant: the blocked
+    exact scan (auto-chosen at the bundled operating point) and the
+    FORCED banded path (exact_scan_cap=0) emit the same pair set —
+    which is also the exact twin's (the graduation contract)."""
+    auto = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs_lsh(
+            emb, threshold=0.4, probe_flips=1, target_recall=0.99999
+        ).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs_lsh(
+            emb,
+            threshold=0.4,
+            probe_flips=1,
+            target_recall=0.99999,
+            exact_scan_cap=0,
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b, r.sim)
+        for r in similarity.embedding_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    assert auto == exact
+    assert banded == exact

@@ -543,3 +543,28 @@ def test_compaction_read_phase_is_distributed_footer_scan(spark, sf_dir):
             name,
             tree,
         )
+
+
+def test_dsir_weights_lambda_joins_broadcast(spark, sf_dir):
+    """The λ table (2048 rows) and the 1-row totals must ride
+    broadcasts back onto the checkpointed (doc, bucket, cnt) relation
+    — a shuffled join here would re-exchange the whole per-doc bucket
+    relation at corpus scale for a 2048-row build side."""
+    tree = plan_tree(build("q_dsir_weights", spark, sf_dir))
+    assert "BroadcastHashJoin" in tree       # λ join on bucket
+    assert "BroadcastNestedLoopJoin" in tree  # 1-row totals cross
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_perplexity_bucket_single_window_pass(spark, sf_dir):
+    """rank + per-lang count stack as two Window ops over ONE shared
+    Sort/Exchange pair — a second sort would double the per-lang
+    pass.  And the corpus is scanned ONCE: tf is checkpointed, so the
+    broadcast build sides (per-lang model, totals) must not re-run
+    the scan+explode pipeline."""
+    tree = plan_tree(build("q_perplexity_bucket", spark, sf_dir))
+    assert tree.count("Window") == 2
+    assert tree.count("Sort") == 1
+    assert tree.count("Scan parquet") <= 1
+    assert "SortMergeJoin" not in tree

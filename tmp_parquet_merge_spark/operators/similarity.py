@@ -269,6 +269,100 @@ def _auto_lsh_params(
     return b, bands
 
 
+def _bg_candidate_frac(bits: int, bands: int, probe_flips: int) -> float:
+    """Expected fraction of RANDOM (orthogonal-background) pairs the
+    banded index emits as candidates: per band two random ``bits``-bit
+    signatures match with prob 2^-bits, and Hamming-1 multi-probe
+    accepts ``bits`` more one-flip keys, so p_band = (1+bits)·2^-bits;
+    a pair is a candidate if ANY band fires.  This is the analytic
+    density gauge the regime switch reads — when it saturates, banding
+    inspects ~all pairs anyway and a blocked exact scan is strictly
+    cheaper (same output, no materialized candidate relation)."""
+    p_band = (1.0 + (bits * probe_flips)) * (0.5 ** bits)
+    p_band = min(1.0, p_band)
+    return 1.0 - (1.0 - p_band) ** bands
+
+
+def _exact_pair_scan(
+    normed: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Exact cosine pair mining by blocked matmul — the saturated-
+    regime twin of the banded index: broadcast the (bounded) unit
+    matrix, stream the same frame through mapInArrow, dgemm each
+    Arrow batch against the broadcast side with a 1e-9 margin, then
+    re-verify survivors with the SAME per-pair einsum the banded
+    verify uses (dot_udf's spelling), so the emitted (vec_a, vec_b,
+    sim) rows are bit-identical to the banded path's.  Each unordered
+    pair is emitted exactly once (id_b > id_a, and every vector sits
+    in exactly one batch).  Cost is n²·d BLAS flops with NOTHING
+    materialized except surviving pairs — vs the banded path's
+    O(candidate) shuffled rows, which at a saturated operating point
+    is ~n²/2 rows of pure overhead (the 25× sweep measured 53× on
+    exactly that shape).  The caller bounds n before choosing this
+    path (broadcast = n·dim doubles)."""
+    import pyarrow as pa
+
+    pdf = normed.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids_b = pdf[id_col].to_numpy(dtype=np.int64)
+    B = np.ascontiguousarray(
+        np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    )
+    bc = normed.sparkSession.sparkContext.broadcast((ids_b, B))
+    margin = float(threshold) - 1e-9
+
+    # column-blocked scan: a whole-matrix S = A @ M.T is ~|A|·n
+    # doubles PER TASK (625 MB at n=50k) — 32 concurrent tasks turn
+    # that into a 20 GB allocation/bandwidth storm that dominated the
+    # first measurement (45 s stage for ~4 s of BLAS).  Blocking the
+    # index side keeps each temporary at |A|·block doubles and the
+    # stage lands within ~2x of the raw BLAS time.
+    block = 4096
+
+    def scan(batches):
+        ids_idx, M = bc.value
+        for batch in batches:
+            ia = np.asarray(batch.column(id_col), dtype=np.int64)
+            va = batch.column(vec_col)
+            # arrow-native: ListArray values buffer -> (n, dim) view
+            A = np.asarray(va.flatten(), dtype=np.float64).reshape(
+                len(ia), -1
+            )
+            out_a, out_b, out_s = [], [], []
+            for c0 in range(0, M.shape[0], block):
+                Mb = M[c0 : c0 + block]
+                ib = ids_idx[c0 : c0 + block]
+                S = A @ Mb.T
+                mask = (S >= margin) & (ib[None, :] > ia[:, None])
+                r, c = np.nonzero(mask)
+                if len(r) == 0:
+                    continue
+                sims = np.round(
+                    np.einsum("ij,ij->i", A[r], Mb[c]), round_to
+                )
+                keep = sims >= threshold
+                if keep.any():
+                    out_a.append(ia[r][keep])
+                    out_b.append(ib[c][keep])
+                    out_s.append(sims[keep])
+            if not out_a:
+                continue
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    return normed.mapInArrow(scan, "vec_a long, vec_b long, sim double")
+
+
+
 def embedding_dedup_pairs_lsh(
     df: DataFrame,
     *,
@@ -282,6 +376,8 @@ def embedding_dedup_pairs_lsh(
     target_recall: float = 0.95,
     max_bands: int | None = 64,
     probe_flips: int = 0,
+    exact_scan_cap: int = 262_144,
+    bg_frac_cutoff: float = 0.05,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates —
     the 100 TB path: bucket-join on signature bands (shuffle is
@@ -324,9 +420,11 @@ def embedding_dedup_pairs_lsh(
     (bands, bits), so at 1000× the corpus the guarantee is again
     statistical, and at loose thresholds the capped index decays as
     documented above."""
+    exact_scan = False
     if nbits is None or bands is None:
+        n = df.count()
         rows_per_band, n_bands = _auto_lsh_params(
-            df.count(),
+            n,
             high_sim=threshold,
             target_recall=target_recall,
             max_bands=max_bands,
@@ -334,12 +432,40 @@ def embedding_dedup_pairs_lsh(
         )
         nbits = rows_per_band * n_bands
         bands = n_bands
+        # Regime switch (r11, from the 25x sweep's 53x blow-up): when
+        # the sizing that HOLDS target_recall at the operating
+        # threshold is so permissive that a RANDOM pair is a candidate
+        # with probability >= bg_frac_cutoff, the banded index
+        # materializes ~frac.n^2/2 shuffled candidate rows of pure
+        # overhead — the blocked exact scan computes the identical
+        # pair set in n^2.d BLAS flops with nothing materialized but
+        # survivors (recall exactly 1, so the exact-twin oracle holds
+        # by construction).  Bounded: the scan broadcasts n.dim
+        # doubles, so it only triggers up to exact_scan_cap vectors;
+        # above the cap the banded path stands with its documented
+        # decay law (SemDeDup handoff).  Saturation + huge n means the
+        # OUTPUT itself approaches n^2/2 pairs — no algorithm is
+        # sub-quadratic there.
+        exact_scan = (
+            exact_scan_cap > 0
+            and n <= exact_scan_cap
+            and _bg_candidate_frac(rows_per_band, bands, probe_flips)
+            >= bg_frac_cutoff
+        )
     # the normalized frame feeds the signature stage AND the verify
     # join-back; materialize once (lazy local checkpoint) so the Arrow
     # normalization doesn't run per consumer
     normed = df.select(
         F.col(id_col), unit_udf()(F.col(vec_col)).alias(vec_col)
     ).localCheckpoint(eager=False)
+    if exact_scan:
+        return _exact_pair_scan(
+            normed,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            round_to=round_to,
+        )
     cand = lsh_bucket_candidates(
         normed, normed, id_col=id_col, vec_col=vec_col,
         dim=dim, nbits=nbits, bands=bands, probe_flips=probe_flips,

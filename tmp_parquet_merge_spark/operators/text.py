@@ -632,8 +632,14 @@ def lm_buckets(
         F.col(lang_col),
         F.explode(words(text_col)).alias("term"),
     )
-    tf = tok.groupBy(id_col, lang_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # tf feeds three consumers (the per-doc join, the per-lang model,
+    # the per-lang totals); localCheckpoint so the corpus is scanned
+    # and exploded ONCE — without it each broadcast build side re-runs
+    # the whole scan+explode pipeline (three corpus scans in the plan)
+    tf = (
+        tok.groupBy(id_col, lang_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     cf = tf.groupBy(lang_col, "term").agg(F.sum("tf").alias("cf"))
     total = cf.groupBy(lang_col).agg(F.sum("cf").alias("total"))

@@ -1636,7 +1636,10 @@ _CHANGED_THIS_ROUND = frozenset(
         #    with exact-cosine re-rank/filter, so the emitted pair set
         #    is row-identical to the exact twin and carries its DuckDB
         #    oracle; r10 rows evidence certifies a different (stamped)
-        #    output shape
+        #    output shape.  Later in r11 the builder also gained the
+        #    saturated-regime switch (blocked exact matmul scan when
+        #    the analytic background candidate fraction saturates —
+        #    output-invariant, equality test-pinned; SCALE.md)
         "q_dedup_embedding_lsh",
         #  * q_media_neardup — NEW in r11 (r10 verdict #3): perceptual
         #    near-dup over multimodal payloads — blockhash-style

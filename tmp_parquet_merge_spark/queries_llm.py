@@ -733,7 +733,19 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     the random-background 3σ tail: all 920 sf0.1 pairs lie in
     [0.40, 0.61] with non-pairs 1e-4 below the cut), so candidates ≈
     all pairs HERE while the banded shape stays sub-quadratic at real
-    near-dup thresholds — both regimes measured in SCALE.md."""
+    near-dup thresholds — both regimes measured in SCALE.md.
+    REGIME SWITCH (r11, from the 25× sweep's 53× blow-up): when the
+    auto-sizing's analytic background candidate fraction saturates
+    (≥5% of RANDOM pairs would collide — banding is inspecting ~all
+    pairs anyway) and the corpus fits the broadcast cap, the builder
+    swaps the banded index for a column-blocked exact matmul scan
+    (similarity._exact_pair_scan): identical pair set (recall exactly
+    1 — the exact-twin oracle holds by construction), no materialized
+    candidate relation, n²·d BLAS flops.  Measured: 420.9 s → 3.6 s
+    at 25× (50k vectors), 7.9 s → 0.9 s at sf0.1.  Above the cap the
+    banded path stands with its documented decay law (SemDeDup
+    handoff) — and at saturation + open scale the OUTPUT itself is
+    Θ(n²) pairs, so no algorithm is sub-quadratic there."""
     return similarity.embedding_dedup_pairs_lsh(
         t(spark, sf_dir, "embeddings"),
         threshold=0.4,

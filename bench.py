@@ -245,6 +245,8 @@ HEADLINE = [
     "q_dsir_sample",
     # round-11 addition: CCNet head/middle/tail perplexity triage
     "q_perplexity_bucket",
+    # round-11 addition: interpolated bigram-LM scoring (JM smoothing)
+    "q_lm_bigram",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1580,3 +1580,23 @@ def test_embedding_lsh_exact_scan_equals_banded(spark, emb):
     }
     assert auto == exact
     assert banded == exact
+
+
+def test_bigram_lm_ranks_fluency_above_shuffled_frequency(spark):
+    """The bigram score's one job: a document of common words in a
+    FLUENT order must outscore the same bag of words shuffled — the
+    separation the unigram LM (same bag → same score) cannot make.
+    Also: total partition, one-word docs retained with NULL score."""
+    from tmp_parquet_merge_spark.operators import text as text_ops
+
+    fluent = "the cat sat on the mat and the dog sat on the rug " * 4
+    shuffled = "mat the on dog and sat the rug cat the on sat the " * 4
+    df = spark.createDataFrame(
+        [(1, fluent), (2, shuffled), (3, fluent), (4, "solo")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in text_ops.bigram_lm_score(df, "text", "doc_id").collect()}
+    assert len(out) == 4
+    assert out[4].n_bigrams == 0 and out[4].lm2_score is None
+    assert out[1].lm2_score == out[3].lm2_score  # identical docs tie
+    assert out[1].lm2_score > out[2].lm2_score, (out[1], out[2])

@@ -681,3 +681,87 @@ def lm_buckets(
         F.col("lm_score"),
         bucket.alias("bucket"),
     )
+
+
+def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Interpolated bigram language-model scoring: mean
+    ln p(w_i | w_{i-1}) per document under the corpus's own bigram
+    model with unigram interpolation (Jelinek-Mercer smoothing,
+    λ = 0.75) — the expressible middle step between
+    :func:`unigram_lm_score`'s cheap filter and CCNet's external KenLM
+    5-gram: conditioning on the previous word separates fluent prose
+    from bag-of-frequent-words boilerplate the unigram score ranks
+    identically.
+
+      p(w|v) = 0.75·c(v,w)/c(v) + 0.25·c(w)/N
+
+    Plan: posexplode + one per-doc ``lead`` window (the shingle
+    shuffle) → per-doc bigram tf hash-agg, localCheckpoint'd once for
+    its two consumers (the per-doc score join and the corpus bigram
+    model); the model relations are bigram-/unigram-vocabulary-bounded
+    aggregates joined back on their keys, and the corpus total is a
+    broadcast 1-row aggregate — model "fit" and "apply" in one lazy
+    plan, nothing corpus-quadratic.
+
+    Determinism/parity: per-bigram contributions are rounded and
+    summed as DECIMAL(18,6), and the final mean uses the
+    :func:`lm_buckets` exact-integer half-away rounding (s·10⁶ is an
+    exact BIGINT), so no float rounding tie can split the engines.
+    One-word documents have no bigrams and score NULL (row retained).
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    pairs = ex.select(
+        "doc",
+        F.col("w").alias("v"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    tf = (
+        pairs.groupBy("doc", "v", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cb = tf.groupBy("v", "w2").agg(F.sum("tf").alias("cvw"))
+    cv = cb.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    # unigram model over ALL tokens (not just bigram heads), so the
+    # back-off term sees every word exactly once per occurrence
+    cw = ex.groupBy(F.col("w").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    total = cw.agg(F.sum("cw").alias("n_total"))
+    p = (
+        F.lit(0.75) * (F.col("cvw").cast("double") / F.col("cv"))
+        + F.lit(0.25) * (F.col("cw").cast("double") / F.col("n_total"))
+    )
+    contrib = F.round(F.col("tf") * F.log(p), 6).cast("decimal(18,6)")
+    per_doc = (
+        tf.join(cb, ["v", "w2"])
+        .join(cv, "v")
+        .join(cw, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(contrib).alias("s"))
+    )
+    s_int = (F.col("s") * 1000000).cast("long")
+    sign = F.when(s_int < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    micro = sign * F.expr(
+        "(2 * abs(__s_int) + n_bigrams) div (2 * n_bigrams)"
+    )
+    scored = per_doc.withColumn("__s_int", s_int).select(
+        F.col("doc").alias(id_col),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        (micro / F.lit(1000000.0)).alias("lm2_score"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(
+            "n_bigrams"
+        ),
+        F.col("lm2_score"),
+    )

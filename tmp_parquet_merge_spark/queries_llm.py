@@ -2898,3 +2898,59 @@ def q_perplexity_bucket(spark, sf_dir):
     return text.lm_buckets(
         t(spark, sf_dir, "documents"), "text", "doc_id", "lang"
     )
+
+
+@query(
+    "q_lm_bigram",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        pairs AS (
+            SELECT doc_id, ws[i] AS v, ws[i+1] AS w2
+            FROM w, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        tf AS (
+            SELECT doc_id, v, w2, COUNT(*) AS tf
+            FROM pairs GROUP BY 1, 2, 3
+        ),
+        cb AS (SELECT v, w2, SUM(tf) AS cvw FROM tf GROUP BY 1, 2),
+        cv AS (SELECT v, SUM(cvw) AS cv FROM cb GROUP BY 1),
+        cw AS (SELECT w AS w2, COUNT(*) AS cw FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(cw) AS n_total FROM cw),
+        s AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   SUM(CAST(round(tf * ln(
+                           0.75 * (CAST(cvw AS DOUBLE) / cv)
+                           + 0.25 * (CAST(cw AS DOUBLE) / n_total)), 6)
+                        AS DECIMAL(18,6))) AS s
+            FROM tf
+            JOIN cb USING (v, w2)
+            JOIN cv USING (v)
+            JOIN cw USING (w2)
+            CROSS JOIN tot
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               (CASE WHEN s < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(CAST(s * 1000000 AS BIGINT)) + n_bigrams)
+                   // (2 * n_bigrams))) / 1000000.0 AS lm2_score
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_lm_bigram(spark, sf_dir):
+    """Interpolated bigram-LM quality scoring (Jelinek-Mercer λ=0.75):
+    mean ln p(w|prev) per document under the corpus's own bigram model
+    with unigram back-off — the expressible middle step between
+    q_lm_score's unigram filter and CCNet's external KenLM:
+    conditioning on the previous word separates fluent prose from
+    bag-of-frequent-words boilerplate the unigram score cannot.
+    Model fit + apply in one lazy plan; vocabulary-bounded shuffles;
+    the per-doc bigram tf localCheckpoint'd once for its two
+    consumers; the final mean uses the exact-integer half-away
+    rounding (no float tie can split the engines — the
+    q_perplexity_bucket discipline; operators/text.py::
+    bigram_lm_score)."""
+    return text.bigram_lm_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

@@ -247,6 +247,10 @@ HEADLINE = [
     "q_perplexity_bucket",
     # round-11 addition: interpolated bigram-LM scoring (JM smoothing)
     "q_lm_bigram",
+    # round-11 additions: alpha-sampling mixture plan + DPR-style
+    # hard-negative mining
+    "q_mix_temperature",
+    "q_hard_negatives",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1600,3 +1600,58 @@ def test_bigram_lm_ranks_fluency_above_shuffled_frequency(spark):
     assert out[4].n_bigrams == 0 and out[4].lm2_score is None
     assert out[1].lm2_score == out[3].lm2_score  # identical docs tie
     assert out[1].lm2_score > out[2].lm2_score, (out[1], out[2])
+
+
+def test_mix_temperature_flattens_without_inverting(spark, docs):
+    """α-sampling semantics: temp shares sum to 1; the mix flattens
+    (scarce sources gain share, dominant sources lose) but ORDER is
+    preserved — α ∈ (0,1) never inverts the ranking; exactly one
+    source (the max-boost one) keeps rate 1.0 and none exceeds it."""
+    from tmp_parquet_merge_spark.operators import curation
+
+    rows = curation.mix_temperature(docs, "text", "source", alpha=0.3).collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    scarcest, biggest = by_tokens[0], by_tokens[-1]
+    if scarcest.n_tokens < biggest.n_tokens:
+        assert scarcest.temp_share > scarcest.actual_share
+        assert biggest.temp_share < biggest.actual_share
+        # no inversion: bigger source still has >= temp share
+        assert biggest.temp_share >= scarcest.temp_share
+    assert max(r.sample_rate for r in rows) == 1.0
+    assert all(0 < r.sample_rate <= 1.0 for r in rows)
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark, emb):
+    """Every mined negative must carry a label different from its
+    query's, never be the query itself, and be the TRUE top-k over
+    the different-label candidates (cross-checked per query against
+    a driver-side exact computation)."""
+    import numpy as np
+
+    from tmp_parquet_merge_spark.operators import similarity
+
+    out = similarity.hard_negatives(
+        emb, query_pred=F.col("vec_id") < 5, k=3
+    ).collect()
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    got = {}
+    for r in out:
+        assert r.n_vec != r.q_vec
+        assert r.n_label != labels[r.q_vec]
+        got.setdefault(r.q_vec, []).append((r.n_vec, r.sim))
+    for q in got:
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        cand = [
+            (
+                round(float(np.dot(qv, vecs[n] / np.linalg.norm(vecs[n]))), 6),
+                n,
+            )
+            for n in vecs
+            if n != q and labels[n] != labels[q]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        expect = [(n, s) for s, n in cand[:3]]
+        assert got[q] == expect, (q, got[q], expect)

@@ -295,3 +295,65 @@ def dsir_sample(
         .limit(k)
         .select(id_col, "logw", "sample_key")
     )
+
+
+def mix_temperature(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture plan (the mT5/XLM-R α-sampling,
+    Conneau et al. 2020; α = 0.3): per-source token counts, the
+    natural share, the temperature share p_s ∝ share_s^α (flattens
+    the mix toward uniform without inverting it — the knob between
+    :func:`q_corpus_mix`'s natural and q_mix_rebalance's uniform),
+    and the DOWNSAMPLE-ONLY rate that realizes it:
+    rate_s = (p_s/share_s) / max_t(p_t/share_t) ≤ 1 — the most
+    temperature-faithful mix reachable without upsampling, the
+    scarcest-boosted source kept whole.
+
+    Plan: one hash-agg to |sources| rows; totals and the max ratio
+    ride broadcast 1-row aggregates — nothing beyond the token count
+    ever shuffles.  Determinism: pow/ln are the same libm-1-ulp class
+    the registry already rests on (q_lm_score's ln, quantize's pow).
+    """
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    st = (
+        df.select(F.col(source_col), F.size(words(text_col)).alias("tok"))
+        .groupBy(source_col)
+        .agg(F.sum("tok").alias("n_tokens"))
+    )
+    tot = st.agg(F.sum("n_tokens").alias("total"))
+    shared = st.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.col("n_tokens"),
+        (F.col("n_tokens") / F.col("total")).alias("share"),
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(alpha)).alias("pw"),
+    )
+    denom = shared.agg(
+        # order-independent float-sum: each pw rounded to 12 dp and
+        # summed as DECIMAL (the q_entropy discipline) — a plain
+        # SUM(double) over sources folds in partition order and can
+        # land a 1-ulp different total per engine
+        F.sum(F.round(F.col("pw"), 12).cast("decimal(18,12)")).alias(
+            "pw_total"
+        ),
+        # max over share^(alpha-1) = the boost the scarcest source
+        # needs; dividing by it makes every rate <= 1 (max is
+        # order-free)
+        F.max(F.col("pw") / F.col("share")).alias("max_boost"),
+    )
+    return shared.crossJoin(F.broadcast(denom)).select(
+        F.col(source_col),
+        F.col("n_tokens"),
+        F.round(F.col("share"), 6).alias("actual_share"),
+        F.round(
+            F.col("pw") / F.col("pw_total").cast("double"), 6
+        ).alias("temp_share"),
+        F.round(
+            (F.col("pw") / F.col("share")) / F.col("max_boost"), 6
+        ).alias("sample_rate"),
+    )

@@ -1238,3 +1238,86 @@ def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     return out.select(
         F.col(id_col), F.round("scale", 6).alias("scale"), "q8", "rmse"
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_pred=None,
+    k: int = 5,
+    round_to: int = 6,
+    query_cap: int = 1024,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (Karpukhin et al. 2020, DPR): for each query vector, the ``k``
+    most-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives that make a dual encoder learn more than
+    random in-batch negatives do.
+
+    Same 100 TB plan as :func:`brute_force_topk` (this is its
+    label-constrained sibling): broadcast the bounded query matrix
+    (ids, labels, unit rows), stream the corpus once through
+    mapInPandas, score each Arrow batch against all queries with one
+    BLAS matmul, mask SAME-label and self candidates, keep the
+    batch-local top-k — only ~k rows per (query, batch) leave the
+    scan; the final rank merges the pruned set with one window.
+    Similarity is rounded before ranking so ties resolve identically
+    in any engine, then ``n_vec`` breaks them totally.
+    """
+    queries = df.filter(query_pred) if query_pred is not None else df
+    qpdf = (
+        queries.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .limit(query_cap + 1)
+        .toPandas()
+    )
+    if len(qpdf) > query_cap:
+        raise ValueError(
+            f"hard_negatives: query set exceeds query_cap={query_cap}"
+        )
+    q_ids = np.array(qpdf[id_col], dtype=np.int64)
+    q_labels = np.array(qpdf[label_col], dtype=np.int64)
+    Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    Qn = Q / _safe_norm(Q)
+    bq = df.sparkSession.sparkContext.broadcast((q_ids, q_labels, Qn))
+
+    def score(batches):
+        q_ids, q_labels, Qn = bq.value
+        for pdf in batches:
+            ids = np.array(pdf[id_col], dtype=np.int64)
+            labels = np.array(pdf[label_col], dtype=np.int64)
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            Xn = X / n
+            S = np.round(Xn @ Qn.T, round_to)
+            out_q, out_n, out_l, out_s = [], [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = (ids != qid) & (labels != q_labels[j])
+                cand_idx = np.nonzero(mask)[0]
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                pick = cand_idx[order]
+                out_q.extend([qid] * len(pick))
+                out_n.extend(ids[pick])
+                out_l.extend(labels[pick])
+                out_s.extend(col[pick])
+            yield pd.DataFrame(
+                {
+                    "q_vec": out_q,
+                    "n_vec": out_n,
+                    "n_label": out_l,
+                    "sim": out_s,
+                }
+            )
+
+    sims = df.select(F.col(id_col), F.col(vec_col), F.col(label_col)).mapInPandas(
+        score, schema="q_vec long, n_vec long, n_label long, sim double"
+    )
+    from tmp_parquet_merge_spark.operators.relational import grouped_top_k
+
+    return grouped_top_k(
+        sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k
+    )

@@ -2954,3 +2954,89 @@ def q_lm_bigram(spark, sf_dir):
     return text.bigram_lm_score(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+        WITH {_W},
+        st AS (
+            SELECT d.source, CAST(SUM(len(w.ws)) AS BIGINT) AS n_tokens
+            FROM documents d JOIN w ON w.doc_id = d.doc_id
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_tokens) AS total FROM st),
+        sh AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / total AS share,
+                   pow(CAST(n_tokens AS DOUBLE) / total, 0.3) AS pw
+            FROM st CROSS JOIN tot
+        ),
+        den AS (
+            SELECT CAST(SUM(CAST(round(pw, 12) AS DECIMAL(18,12)))
+                        AS DOUBLE) AS pw_total,
+                   MAX(pw / share) AS max_boost
+            FROM sh
+        )
+        SELECT source, n_tokens,
+               round(share, 6) AS actual_share,
+               round(pw / pw_total, 6) AS temp_share,
+               round((pw / share) / max_boost, 6) AS sample_rate
+        FROM sh CROSS JOIN den
+    """,
+)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled mixture plan (mT5/XLM-R α-sampling, Conneau
+    et al. 2020, α=0.3): per-source token counts, the natural share,
+    the temperature share p_s ∝ share_s^0.3 (flattens the mix toward
+    uniform without inverting it — the knob BETWEEN q_corpus_mix's
+    natural mix and q_mix_rebalance's uniform), and the
+    downsample-only realization rate (scarcest-boosted source kept
+    whole).  One hash-agg to |sources| rows + broadcast 1-row
+    aggregates; the float sum over sources rides the DECIMAL
+    order-independence discipline (operators/curation.py::
+    mix_temperature)."""
+    return curation.mix_temperature(
+        t(spark, sf_dir, "documents"), "text", "source", alpha=0.3
+    )
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS q_vec, embedding AS q_emb,
+                          label AS q_label
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS n_vec, embedding AS n_emb, label AS n_label
+              FROM embeddings),
+        sims AS (
+            SELECT q_vec, n_vec, n_label,
+                   round({_cos("q_emb", "n_emb")}, 6) AS sim
+            FROM c, q
+            WHERE n_vec != q_vec AND n_label != q_label
+        ),
+        r AS (
+            SELECT q_vec, n_vec, n_label, sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_vec
+                                      ORDER BY sim DESC, n_vec) AS rn
+            FROM sims
+        )
+        SELECT q_vec, n_vec, CAST(n_label AS BIGINT) AS n_label, sim
+        FROM r WHERE rn <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training (DPR,
+    Karpukhin et al. 2020): for each of 20 query vectors, the 5
+    most-cosine-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives a dual encoder trains against.  The
+    label-constrained sibling of q_topk_similarity's exact plan:
+    broadcast bounded query matrix, one corpus pass, per-batch BLAS
+    matmul + same-label mask + batch-local top-k, one final window
+    merge (operators/similarity.py::hard_negatives).  Similarity
+    rounded before ranking so both engines rank identically."""
+    return similarity.hard_negatives(
+        t(spark, sf_dir, "embeddings"),
+        query_pred=F.col("vec_id") < 20,
+        k=5,
+    )

@@ -251,6 +251,8 @@ HEADLINE = [
     # hard-negative mining
     "q_mix_temperature",
     "q_hard_negatives",
+    # round-11 addition: per-language tokenizer fertility
+    "q_tokenizer_fertility",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1655,3 +1655,19 @@ def test_hard_negatives_excludes_same_label_and_self(spark, emb):
         cand.sort(key=lambda t: (-t[0], t[1]))
         expect = [(n, s) for s, n in cand[:3]]
         assert got[q] == expect, (q, got[q], expect)
+
+
+def test_tokenizer_fertility_bounds(spark, docs):
+    """Fertility >= 1 (the pre-tokenizer never merges across
+    whitespace), chars_per_token is positive and bounded by the max
+    word length, every language is covered, and doc counts total the
+    corpus."""
+    from tmp_parquet_merge_spark.operators import text as text_ops
+
+    rows = text_ops.tokenizer_fertility(docs, "text", "doc_id", "lang").collect()
+    langs = {r.lang for r in rows}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.fertility >= 1.0, r
+        assert 0 < r.chars_per_token < 30, r

@@ -765,3 +765,42 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ),
         F.col("lm2_score"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str, id_col: str, lang_col: str
+) -> DataFrame:
+    """Tokenizer fertility by language: mean sub-word tokens per
+    whitespace word and mean characters per token under the BPE-ish
+    pre-tokenizer — the standard multilingual tokenizer-efficiency
+    metric (fertility ≫ 1 for a language means its text costs
+    disproportionate sequence length; the signal behind per-language
+    token budgeting and vocabulary sizing in multilingual models).
+
+    All counts are exact integers aggregated per language (ratios are
+    single divisions of BIGINT sums — no float accumulation, so
+    cross-engine parity is free); the scan is two codegen
+    regexp_counts per row, no shuffle beyond the |langs|-row hash-agg.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else F.col(text_col)
+    per_doc = df.select(
+        F.col(lang_col),
+        F.size(words(text_col)).cast("long").alias("n_words"),
+        F.regexp_count(c, F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+        F.length(normalize_text(text_col)).cast("long").alias("n_chars"),
+    )
+    agg = per_doc.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return agg.select(
+        F.col(lang_col),
+        F.col("n_docs"),
+        F.col("tokens"),
+        F.round(F.col("tokens") / F.col("words"), 6).alias("fertility"),
+        F.round(F.col("chars") / F.col("tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )

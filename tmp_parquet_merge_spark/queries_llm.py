@@ -3040,3 +3040,38 @@ def q_hard_negatives(spark, sf_dir):
         query_pred=F.col("vec_id") < 20,
         k=5,
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+        WITH {_W},
+        per AS (
+            SELECT d.lang,
+                   CAST(len(w.ws) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(w.text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT)
+                       AS n_tokens,
+                   CAST(length(w.norm) AS BIGINT) AS n_chars
+            FROM w JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS tokens,
+               round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
+                   AS fertility,
+               round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+                   AS chars_per_token
+        FROM per GROUP BY 1
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (mean sub-word tokens per
+    whitespace word) and chars-per-token under the BPE-ish
+    pre-tokenizer — the multilingual tokenizer-efficiency metric
+    behind per-language token budgeting.  Exact BIGINT sums, one
+    |langs|-row hash-agg, single final divisions (operators/text.py::
+    tokenizer_fertility)."""
+    return text.tokenizer_fertility(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "lang"
+    )

@@ -253,6 +253,8 @@ HEADLINE = [
     "q_hard_negatives",
     # round-11 addition: per-language tokenizer fertility
     "q_tokenizer_fertility",
+    # round-11 addition: balanced output-shard manifest (LPT-style)
+    "q_shard_balance",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

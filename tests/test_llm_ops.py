@@ -1671,3 +1671,24 @@ def test_tokenizer_fertility_bounds(spark, docs):
     for r in rows:
         assert r.fertility >= 1.0, r
         assert 0 < r.chars_per_token < 30, r
+
+
+def test_shard_balance_is_balanced_and_total(spark, docs):
+    """Sorted round-robin: 16 shards, doc counts differ by <= 1,
+    token totals within one max-document of each other, and the
+    manifest accounts for every document and token."""
+    from tmp_parquet_merge_spark.operators import curation, dedup
+
+    rows = curation.shard_balance(docs, "text", "doc_id", n_shards=16).collect()
+    assert len(rows) == 16
+    n_total = sum(r.n_docs for r in rows)
+    assert n_total == docs.count()
+    tok_total = docs.select(
+        F.sum(F.size(dedup.words("text"))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == tok_total
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    max_doc = docs.select(
+        F.max(F.size(dedup.words("text"))).alias("m")
+    ).collect()[0].m
+    assert max(r.n_tokens for r in rows) - min(r.n_tokens for r in rows) <= max_doc

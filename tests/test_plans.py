@@ -568,3 +568,11 @@ def test_perplexity_bucket_single_window_pass(spark, sf_dir):
     assert tree.count("Sort") == 1
     assert tree.count("Scan parquet") <= 1
     assert "SortMergeJoin" not in tree
+
+
+def test_shard_balance_no_single_partition_exchange(spark, sf_dir):
+    """The global descending rank must use the two-phase bucketed
+    form — a naive ROW_NUMBER() over an unpartitioned window plans
+    Exchange SinglePartition, the classic 100 TB scale-killer."""
+    plan = formatted_plan(build("q_shard_balance", spark, sf_dir))
+    assert "SinglePartition" not in plan

@@ -3075,3 +3075,32 @@ def q_tokenizer_fertility(spark, sf_dir):
     return text.tokenizer_fertility(
         t(spark, sf_dir, "documents"), "text", "doc_id", "lang"
     )
+
+
+@query(
+    "q_shard_balance",
+    oracle=f"""
+        WITH {_W},
+        d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tok FROM w),
+        r AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (ORDER BY tok DESC, doc_id) AS rn
+            FROM d
+        )
+        SELECT CAST((rn - 1) % 16 AS INTEGER) AS shard,
+               COUNT(*) AS n_docs,
+               SUM(tok) AS n_tokens
+        FROM r GROUP BY 1
+    """,
+)
+def q_shard_balance(spark, sf_dir):
+    """Balanced output-shard manifest: documents dealt round-robin by
+    descending token count across 16 shards (sorted-round-robin /
+    LPT-style load balancing — the write-side layout step that keeps
+    every training-reader shard within one max-document of the mean).
+    The global descending rank uses the q_quantile_norm two-phase
+    bucketed form — NO Exchange SinglePartition anywhere
+    (plan-asserted; operators/curation.py::shard_balance)."""
+    return curation.shard_balance(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_shards=16
+    )

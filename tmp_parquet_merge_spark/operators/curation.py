@@ -383,9 +383,12 @@ def shard_balance(
 
     from tmp_parquet_merge_spark.operators.dedup import words
 
+    # three actions consume (id, tok): the percentile pull, the
+    # per-bucket counts, and the final aggregate — localCheckpoint so
+    # the corpus is scanned and tokenized ONCE, not three times
     d = df.select(
         F.col(id_col), F.size(words(text_col)).cast("long").alias("tok")
-    )
+    ).localCheckpoint(eager=False)
     n_buckets = 32
     cuts = d.agg(
         F.percentile_approx(

@@ -255,6 +255,8 @@ HEADLINE = [
     "q_tokenizer_fertility",
     # round-11 addition: balanced output-shard manifest (LPT-style)
     "q_shard_balance",
+    # round-11 addition: plain-text source/sink leg
+    "q_text_roundtrip",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -251,3 +251,30 @@ def q_udf_arrow(spark, sf_dir):
         double_qty,
         "l_orderkey long, qty2 double, flag_len int",
     )
+
+
+@query(
+    "q_text_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def q_text_roundtrip(spark, sf_dir):
+    """Plain-text sink+source roundtrip (``spark.read.text`` — one
+    line per record, the rawest leg of the source/sink matrix and the
+    entry format of every raw-crawl pipeline): rows serialized as
+    delimited lines, read back as ``value`` strings, fields recovered
+    with a codegen split.  Oracle compares the parsed rows against the
+    original table (the TPC-H name domain is delimiter-free, so the
+    roundtrip is lossless by construction)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="tpms_text_"), "nation_txt")
+    n = t(spark, sf_dir, "nation").select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
+    )
+    n.write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), r"\|", 2)
+    return lines.select(
+        F.element_at(parts, 1).cast("bigint").alias("n_nationkey"),
+        F.element_at(parts, 2).alias("n_name"),
+    )

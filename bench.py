@@ -257,6 +257,8 @@ HEADLINE = [
     "q_shard_balance",
     # round-11 addition: plain-text source/sink leg
     "q_text_roundtrip",
+    # round-11 addition: GPT-3-style n-gram decontamination
+    "q_decontaminate_ngram",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

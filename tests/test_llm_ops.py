@@ -1692,3 +1692,37 @@ def test_shard_balance_is_balanced_and_total(spark, docs):
         F.max(F.size(dedup.words("text"))).alias("m")
     ).collect()[0].m
     assert max(r.n_tokens for r in rows) - min(r.n_tokens for r in rows) <= max_doc
+
+
+def test_ngram_decontaminate_flags_quoted_eval_gram(spark):
+    """A train doc quoting a 10-gram from a test doc must be flagged
+    with the right collision count; train docs sharing grams only
+    with other TRAIN docs must not."""
+    import hashlib
+
+    from tmp_parquet_merge_spark.operators import curation
+
+    def split_of(i):
+        nib = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if nib <= "c" else ("val" if nib <= "e" else "test")
+
+    train_ids = [i for i in range(200) if split_of(i) == "train"]
+    test_ids = [i for i in range(200) if split_of(i) == "test"]
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (test_ids[0], f"the held out benchmark asks {quote} as its question"),
+        # contaminated: quotes the benchmark 10-gram mid-document
+        (train_ids[0], f"novel prose here {quote} and more novel prose"),
+        # clean train docs sharing a 10-gram only with each other
+        (train_ids[1], "one two three four five six seven eight nine ten x"),
+        (train_ids[2], "one two three four five six seven eight nine ten y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r.n_overlap
+        for r in curation.ngram_decontaminate(
+            df, "text", "doc_id", n=10
+        ).collect()
+    }
+    assert train_ids[0] in out and out[train_ids[0]] == 1
+    assert train_ids[1] not in out and train_ids[2] not in out

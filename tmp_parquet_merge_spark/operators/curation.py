@@ -436,3 +436,50 @@ def shard_balance(
             F.sum("tok").alias("n_tokens"),
         )
     )
+
+
+def ngram_decontaminate(
+    df: DataFrame, text_col: str, id_col: str, *, n: int = 10
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination (Brown et al. 2020 run
+    13-gram collision removal against every benchmark): flag every
+    TRAIN-split document containing any word n-gram that also appears
+    in the held-out TEST split — the grain that catches quoted eval
+    questions embedded in otherwise-novel documents, which doc-level
+    near-dup contamination checks (q_contamination) cannot see.
+    Splits are the deterministic md5-nibble assignment
+    (:func:`split_assign`), so the check is a pure function of the
+    corpus.  Emits (doc_id, n_grams, n_overlap) for flagged train
+    docs.
+
+    Plan: ONE shingle pass (the shingle_rows codegen pipeline) with
+    the split attached as a scan-speed md5-nibble expression,
+    digest-keyed (sha2-256) and localCheckpoint'd for its three
+    consumers — eval gram set, train grams, per-doc totals; the
+    collision join shuffles 32-byte digests only, and its eval side
+    is bounded by the eval split's gram count (in a real pipeline the
+    benchmark suite — tiny; broadcast it explicitly there).  Nothing
+    quadratic; document bodies never move.
+    """
+    from tmp_parquet_merge_spark.operators.dedup import shingle_rows
+
+    nib = F.substring(F.md5(F.col("doc").cast("string")), 1, 1)
+    split = (
+        F.when(nib <= "c", "train").when(nib <= "e", "val").otherwise("test")
+    )
+    g = (
+        shingle_rows(df, text_col, id_col, n=n)
+        .select("doc", split.alias("split"), F.sha2("s", 256).alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    ev = g.filter(F.col("split") == "test").select("g").distinct()
+    tr = g.filter(F.col("split") == "train")
+    tot = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tr.join(ev, "g")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(tot, "doc").select(
+        F.col("doc").alias(id_col), "n_grams", "n_overlap"
+    )

@@ -3104,3 +3104,55 @@ def q_shard_balance(spark, sf_dir):
     return curation.shard_balance(
         t(spark, sf_dir, "documents"), "text", "doc_id", n_shards=16
     )
+
+
+@query(
+    "q_decontaminate_ngram",
+    oracle=f"""
+        WITH {_W},
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             <= 'c' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             <= 'e' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, array_to_string(ws[i:i+9], ' ') AS s
+                FROM w, UNNEST(generate_series(1, greatest(len(ws) - 9, 1)))
+                    AS t(i)
+            )
+        ),
+        ev AS (
+            SELECT DISTINCT s FROM sh JOIN sp USING (doc_id)
+            WHERE split = 'test'
+        ),
+        tr AS (
+            SELECT sh.doc_id, sh.s FROM sh JOIN sp USING (doc_id)
+            WHERE split = 'train'
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1),
+        hits AS (
+            SELECT tr.doc_id, COUNT(*) AS n_overlap
+            FROM tr JOIN ev USING (s) GROUP BY 1
+        )
+        SELECT h.doc_id, t.n_grams, h.n_overlap
+        FROM hits h JOIN tot t USING (doc_id)
+    """,
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    """GPT-3-style n-gram decontamination (Brown et al. 2020): every
+    train-split document containing any word 10-gram that also occurs
+    in the held-out test split, with its total gram count and the
+    collision count — the sub-document leakage grain q_contamination's
+    doc-level Jaccard cannot see (a quoted eval question inside an
+    otherwise-novel document).  One shingle pass, split attached at
+    scan speed, 32-byte digests on every shuffle, eval gram set
+    bounded by the eval split (operators/curation.py::
+    ngram_decontaminate)."""
+    return curation.ngram_decontaminate(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=10
+    )

@@ -1402,13 +1402,45 @@ def test_media_neardup_finds_byte_near_payloads(spark):
     assert not any(4 in p for p in got)
 
 
-def test_media_neardup_pigeonhole_guard():
-    """bands ≤ radius would break the exact-candidate guarantee — the
-    operator must refuse rather than silently lose pairs."""
+def test_media_neardup_band_configs_identical_pairs(spark):
+    """Multi-index hashing exactness (r12): the pair set is invariant
+    across band configurations — bands=11 (f=0, the r11 spelling),
+    bands=4 (f=2, the registered plan), bands=3 (f=3) must all emit
+    the SAME (pair, hamming) rows, because each is pigeonhole-exact
+    for the same radius.  This is the guarantee the plan-only r12
+    switch rides on: the oracle did not change, so the candidates
+    must not lose pairs."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = bytes(rng.randrange(256) for _ in range(900))
+    for i in range(30):
+        b = bytearray(base)
+        for _ in range(rng.randrange(0, 60)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        rows.append((i, bytes(b)))
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    results = {}
+    for bands in (11, 4, 3):
+        results[bands] = sorted(
+            (r.media_a, r.media_b, r.hamming)
+            for r in multimodal.media_neardup_pairs(
+                df, radius=10, bands=bands
+            ).collect()
+        )
+    assert results[11] == results[4] == results[3]
+    assert results[4], "fixture produced no near-dup pairs"
+
+
+def test_media_neardup_ball_guard():
+    """A band config whose probe ball explodes (e.g. 1 band of 64 bits
+    probing Hamming-10) must refuse loudly rather than materialize a
+    quarter-trillion-mask literal."""
     import pytest
 
-    with pytest.raises(ValueError, match="pigeonhole"):
-        multimodal.media_neardup_pairs(None, radius=11, bands=11)
+    with pytest.raises(ValueError, match="probe ball"):
+        multimodal.media_neardup_pairs(None, radius=10, bands=1)
 
 
 def test_media_neardup_signature_matches_reference(spark):

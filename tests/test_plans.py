@@ -576,3 +576,35 @@ def test_shard_balance_no_single_partition_exchange(spark, sf_dir):
     Exchange SinglePartition, the classic 100 TB scale-killer."""
     plan = formatted_plan(build("q_shard_balance", spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_compaction_read_phase_is_distributed_footer_scan(spark, sf_dir):
+    """Plan fingerprint paired with bench's 2 s compaction read floor
+    (r11 advisor): the floor's buffer could hide losing the
+    DISTRIBUTED footer scan — metadata_stats collapsing into a
+    driver-side pq.ParquetFile loop would still return identical rows
+    and could hide under ±2 s of I/O weather at sf0.1.  Pin the shape:
+    the read phase of both compaction queries must contain the
+    executor-side MapInPandas footer scan (one per metadata_stats
+    consumer), with the file list entering as a materialized local
+    relation — NOT footer rows pre-computed on the driver."""
+    df = build("q_merge_compaction", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan_tree(df)  # executor footer scan survives
+    # the only driver-materialized relations are FILE LISTS feeding the
+    # scan: every local/RDD leaf must carry only the file column — a
+    # leaf already holding footer fields means the stats were computed
+    # on the driver and MapInPandas became a pass-through
+    import re
+
+    for block in re.split(r"\n\n", plan):
+        if block.lstrip().startswith(("(", " ")) and (
+            "Scan ExistingRDD" in block or "LocalTableScan" in block
+        ):
+            assert "num_row_groups" not in block and "num_rows" not in block
+
+    inc = build("q_merge_incremental", spark, sf_dir)
+    inc_tree = plan_tree(inc)
+    # two consumers: the manifest-join side (input footers) and the
+    # written-output side — both must stay distributed
+    assert inc_tree.count("MapInPandas") >= 2

@@ -45,10 +45,11 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r11 window
-# spends its changed slots (the embedding-LSH oracle graduation +
-# q_media_neardup), then the pinned 15-query r6 hash cohort, then ~33
-# r7 fills via the default tier-2 oldest-first sort.  The frontier
+# The oldest evidence round being drained this round: the r12 window
+# spends its changed slots (the media-neardup MIH plan change, the two
+# similarity-margin riders, the five scratch-dir roundtrips), then the
+# pinned r7 hash cohort, the two fixed-oracle r11 failures at tier 0,
+# and ~20 r8 fills via the default tier-2 oldest-first sort.  The frontier
 # VALUES live in queries.py (they drive _DRIVER_FIRST itself); the
 # tightness assertions below use the imported values so they can't
 # drift, and the ROUND PIN here keeps the test non-tautological —
@@ -56,7 +57,7 @@ def test_sort_keys_are_monotonic():
 # pin any fat-fingered frontier (0 pins nothing; 9 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (6, 6), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (7, 7), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )

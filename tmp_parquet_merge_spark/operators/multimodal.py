@@ -277,51 +277,117 @@ def blockhash_signatures(
     )
 
 
+def _ball_masks(width: int, f: int) -> list[int]:
+    """All XOR masks of popcount ≤ ``f`` over ``width`` bits — the
+    Hamming ball a multi-index probe enumerates (|ball| = Σ C(width,k)
+    for k ≤ f; 137 for width=16, f=2)."""
+    import itertools
+
+    masks = [0]
+    for k in range(1, f + 1):
+        for pos in itertools.combinations(range(width), k):
+            masks.append(sum(1 << p for p in pos))
+    return masks
+
+
 def media_neardup_pairs(
     media: DataFrame,
     *,
     id_col: str = "media_id",
     payload_col: str = "payload",
     radius: int = 10,
-    bands: int = 11,
+    bands: int = 4,
 ) -> DataFrame:
     """Perceptual near-duplicate media pairs: blockhash signatures →
-    band-equality candidate join → exact Hamming verify ≤ ``radius``.
+    multi-index Hamming-ball candidate join → exact verify ≤ ``radius``.
 
-    EXACT by construction when ``bands > radius`` (pigeonhole — see
-    :func:`blockhash_signatures`), so the output is deterministic and
-    oracle-able, unlike threshold-LSH.  Scale shape: the payload scan
-    happens once (signatures are 2 longs + ``bands`` ints per item);
-    the only corpus-wide shuffles carry (band, key, id) ints and the
-    candidate id pairs; Hamming verify is JVM bit_count on packed
-    longs.  Candidate volume is n²·bands/2^(64/bands) on random
-    payloads — at open scale tighten the radius (more bits per band)
-    or lengthen the signature (n_blocks=128/256) rather than betting
-    on sparseness; both knobs keep the pigeonhole guarantee.
+    EXACT by construction for ANY band count (generalized pigeonhole:
+    if the total 64-bit distance is ≤ radius, at least one of the
+    ``bands`` disjoint substrings carries ≤ ⌊radius/bands⌋ of the
+    errors) — this is multi-index hashing (Norouzi, Punjani & Fleet,
+    "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
+    2012): each item indexes ONE key per band, and probes the Hamming
+    ball of radius f = ⌊radius/bands⌋ around its own band value.  The
+    r11 spelling was the f=0 degenerate case (bands=11 1-key bands of
+    5.8 bits), whose background candidate density measured 36% of ALL
+    pairs on the bundled corpus — banding barely filtered, and the
+    25× sweep's 17.99 ratio was that quadratic candidate relation.
+    bands=4 (16-bit bands, f=2, 137-mask balls) measured 3.8% on the
+    same corpus: 11.7× fewer candidate rows at the 25× replica
+    (3.4B → 291M) for identical output, at the price of a 548-key
+    probe-side explode per item.
 
-    Candidates are NOT deduped before the verify: a pair colliding in
+    The probe explode must NOT be shuffled: 548 rows/item through an
+    exchange costs more than the candidate savings (the r12 A/B:
+    shuffled MIH 40 s vs the f=0 spelling's 28 s at the 25× replica;
+    broadcast-index MIH 4.5 s).  When the index relation (n·bands
+    3-int rows) fits a broadcast, ship IT and stream the probe side
+    map-side — the index is ~1000× smaller than the probe relation.
+    Above the broadcast budget the join falls back to shuffle, where
+    MIH still wins once n² dominates (candidate volume scales n²,
+    probe volume n) — the same auto-regime discipline as
+    similarity.py's exact-scan switch.  Scale shape: one payload
+    scan (signatures are 2 longs + ``bands`` ints per item); the
+    broadcast path shuffles ONLY surviving matches; verify is JVM
+    bit_count on the packed longs.  At open scale the residual knob
+    is a longer signature (n_blocks=128/256 at fixed radius), which
+    tightens the metric itself.
+
+    Candidates are NOT deduped before the verify: a pair within f in
     k bands is verified k times (k ≤ bands) and deduped AFTER the
-    Hamming filter, when only surviving pairs remain.  The verify is
-    two int XORs + bit_counts, so paying it ≤ bands× is far cheaper
-    than a corpus-wide distinct on the raw candidate relation — the
-    pre-verify distinct measured 3.4 s of the query's 7.9 s at sf0.1
-    (the A/B that set the r11 floor); the post-filter distinct
-    shuffles only matches × multiplicity rows."""
-    if bands <= radius:
+    Hamming filter, when only surviving pairs remain (the r11 A/B:
+    pre-verify distinct cost 3.4 s of 7.9 s at sf0.1)."""
+    import math
+
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands={bands} must be in [1, 64]")
+    f = radius // bands
+    bounds = [64 * k // bands for k in range(bands + 1)]
+    widths = [e - s for s, e in zip(bounds, bounds[1:])]
+    # size the ball ANALYTICALLY before enumerating — bands=1 would
+    # ask for C(64, ≤10) ≈ 1.5e11 masks and hang inside the generator
+    # if the guard came after
+    n_masks = sum(
+        math.comb(w, k) for w in widths for k in range(f + 1)
+    )
+    if n_masks > 20_000:
         raise ValueError(
-            f"bands={bands} must exceed radius={radius} for the "
-            "pigeonhole candidate guarantee"
+            f"bands={bands}, radius={radius}: probe ball of "
+            f"{n_masks} masks — use more bands"
         )
+    ball = [_ball_masks(w, f) for w in widths]
     sigs = blockhash_signatures(
         media, id_col=id_col, payload_col=payload_col, bands=bands
     ).localCheckpoint(eager=False)
+    # the checkpoint materializes here anyway on first use; counting
+    # it decides the join regime (broadcast index vs shuffle) without
+    # a second payload scan
+    n_items = sigs.count()
+    small_index = n_items * bands <= 8_000_000
     keys = sigs.select(
         F.col(id_col), F.posexplode("bands").alias("band", "bval")
     )
+    # probe side: every key within Hamming f of the item's band value,
+    # enumerated as literal XOR masks (JVM-side explode + int xor —
+    # no Python).  ONE nested-list lit, not per-element F.lit()s — a
+    # 16-bit f=2 ball is 137 masks/band and each F.lit is a py4j
+    # round-trip, so element-wise construction costs thousands of
+    # driver calls before the plan even exists.
+    masks_lit = F.lit(ball)
+    probes = keys.select(
+        F.col(id_col),
+        "band",
+        "bval",
+        F.explode(F.element_at(masks_lit, F.col("band") + 1)).alias("m"),
+    ).select(
+        F.col(id_col),
+        "band",
+        F.expr("bval ^ m").alias("bval"),
+    ) if f > 0 else keys
     cand = (
-        keys.alias("a")
+        probes.alias("a")
         .join(
-            keys.alias("b"),
+            F.broadcast(keys.alias("b")) if small_index else keys.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -341,6 +407,10 @@ def media_neardup_pairs(
         F.col("lo").alias("lo_b"),
         F.col("hi").alias("hi_b"),
     )
+    if small_index:
+        # the verify joins feed the CANDIDATE relation (the big side)
+        # against the 2-long-per-item signature table — same regime
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         cand.join(sa, "media_a")
         .join(sb, "media_b")

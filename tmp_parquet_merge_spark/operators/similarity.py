@@ -273,13 +273,15 @@ def _bg_candidate_frac(bits: int, bands: int, probe_flips: int) -> float:
     """Expected fraction of RANDOM (orthogonal-background) pairs the
     banded index emits as candidates: per band two random ``bits``-bit
     signatures match with prob 2^-bits, and Hamming-1 multi-probe
-    accepts ``bits`` more one-flip keys, so p_band = (1+bits)·2^-bits;
-    a pair is a candidate if ANY band fires.  This is the analytic
-    density gauge the regime switch reads — when it saturates, banding
-    inspects ~all pairs anyway and a blocked exact scan is strictly
-    cheaper (same output, no materialized candidate relation)."""
-    p_band = (1.0 + (bits * probe_flips)) * (0.5 ** bits)
-    p_band = min(1.0, p_band)
+    accepts every key within Hamming distance ``probe_flips``, so
+    p_band = |Hamming ball| · 2^-bits = Σ_{f=0..probe_flips} C(bits,f)
+    · 2^-bits; a pair is a candidate if ANY band fires.  This is the
+    analytic density gauge the regime switch reads — when it
+    saturates, banding inspects ~all pairs anyway and a blocked exact
+    scan is strictly cheaper (same output, no materialized candidate
+    relation)."""
+    ball = sum(math.comb(bits, f) for f in range(probe_flips + 1))
+    p_band = min(1.0, ball * (0.5 ** bits))
     return 1.0 - (1.0 - p_band) ** bands
 
 
@@ -313,7 +315,16 @@ def _exact_pair_scan(
         np.array(pdf[vec_col].tolist(), dtype=np.float64)
     )
     bc = normed.sparkSession.sparkContext.broadcast((ids_b, B))
-    margin = float(threshold) - 1e-9
+    # The banded path (and the DuckDB oracle) filter on the ROUNDED sim
+    # (round(dot, round_to) >= threshold), so a raw dot in
+    # [threshold - 0.5·10^-round_to, threshold) still rounds UP into the
+    # emitted set.  The pre-filter margin must admit that whole window or
+    # boundary pairs appear in the banded/oracle output but not here —
+    # breaking the identical-pair-set invariant of the regime switch.
+    # The einsum+round re-verify below discards anything that doesn't
+    # actually round up, so widening the margin costs only a few extra
+    # candidate dots.
+    margin = float(threshold) - 0.5 * 10.0 ** (-round_to) - 1e-9
 
     # column-blocked scan: a whole-matrix S = A @ M.T is ~|A|·n
     # doubles PER TASK (625 MB at n=50k) — 32 concurrent tasks turn

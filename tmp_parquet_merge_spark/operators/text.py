@@ -782,7 +782,7 @@ def tokenizer_fertility(
     cross-engine parity is free); the scan is two codegen
     regexp_counts per row, no shuffle beyond the |langs|-row hash-agg.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else F.col(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     per_doc = df.select(
         F.col(lang_col),
         F.size(words(text_col)).cast("long").alias("n_words"),

@@ -1399,61 +1399,23 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    6: (
-        "q_bucketed_join",
-        "q_copurchase",
-        "q_dpp_join",
-        "q_incremental_agg",
-        "q_join_outer",
-        "q_partition_pruning",
-        "q_recursive_cte",
-        "q_scalar_conditional",
-        "q_scalar_math",
-        "q_scalar_regex",
-        "q_sql_scalar_subquery",
-        "q_sql_tpch_q3",
-        "q_table_diff",
-        "q_triangle_count",
-        "q_zorder_layout",
-    ),
     7: (
         "q_agg_argmax",
         "q_agg_collect",
-        "q_bm25",
         "q_bpe_merge",
-        "q_chunk_docs",
-        "q_contamination_lsh",
         "q_csv_roundtrip",
         "q_curation_pipeline",
         "q_dedup_canonical",
-        "q_dedup_cluster",
-        "q_dedup_cluster_lsh",
-        "q_dedup_editdist",
-        "q_dedup_editdist_lsh",
-        "q_dedup_minhash",
-        "q_frame_sample",
         "q_grouped_apply",
         "q_grouping_sets",
-        "q_join_asof",
         "q_join_asof_forward",
         "q_join_asof_nearest",
         "q_json_roundtrip",
-        "q_merge_files",
-        "q_merge_schema_evolution",
-        "q_multimodal_features",
         "q_pagerank",
-        "q_quality_score",
-        "q_roundtrip",
-        "q_rowgroup_read",
         "q_salted_join",
-        "q_scan_batch_size",
-        "q_schema_dump",
         "q_sql_tpch_q6",
         "q_stateful_profile",
         "q_stream_upsert",
-        "q_text_stats",
-        "q_token_count",
-        "q_typed_roundtrip",
         "q_udf_pandas",
         "q_union_files",
         "q_unpivot",
@@ -1516,7 +1478,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_contamination",
         "q_dedup_containment",
         "q_dedup_ngram",
-        "q_dedup_segments",
         "q_dq_audit",
         "q_embedding_quantize",
         "q_except_all",
@@ -1528,7 +1489,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_join_asof_tolerance",
         "q_rank_fusion",
         "q_schema_widening",
-        "q_segments_clean",
         "q_sql_tpch_q11",
         "q_sql_tpch_q12",
         "q_sql_tpch_q13",
@@ -1601,6 +1561,56 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_rank",
         "q_winsorize",
     ),
+    11: (
+        "q_bm25",
+        "q_bucketed_join",
+        "q_chunk_docs",
+        "q_contamination_lsh",
+        "q_copurchase",
+        "q_decontaminate_ngram",
+        "q_dedup_cluster",
+        "q_dedup_cluster_lsh",
+        "q_dedup_editdist",
+        "q_dedup_editdist_lsh",
+        "q_dedup_embedding_lsh",
+        "q_dedup_minhash",
+        "q_dedup_segments",
+        "q_dpp_join",
+        "q_dsir_sample",
+        "q_dsir_weights",
+        "q_frame_sample",
+        "q_hard_negatives",
+        "q_incremental_agg",
+        "q_join_asof",
+        "q_join_outer",
+        "q_lm_bigram",
+        "q_media_neardup",
+        "q_merge_files",
+        "q_merge_schema_evolution",
+        "q_mix_temperature",
+        "q_multimodal_features",
+        "q_partition_pruning",
+        "q_perplexity_bucket",
+        "q_quality_score",
+        "q_recursive_cte",
+        "q_roundtrip",
+        "q_rowgroup_read",
+        "q_scalar_conditional",
+        "q_scalar_math",
+        "q_scalar_regex",
+        "q_scan_batch_size",
+        "q_schema_dump",
+        "q_segments_clean",
+        "q_sql_scalar_subquery",
+        "q_sql_tpch_q3",
+        "q_table_diff",
+        "q_text_roundtrip",
+        "q_text_stats",
+        "q_token_count",
+        "q_triangle_count",
+        "q_typed_roundtrip",
+        "q_zorder_layout",
+    ),
 }
 _ROWS_SEEN_BY_ROUND = {
     9: (
@@ -1610,7 +1620,6 @@ _ROWS_SEEN_BY_ROUND = {
     ),
     10: (
         "q_agg_sketch",
-        "q_dedup_embedding_lsh",
         "q_dedup_semantic",
         "q_hll_rollup",
         "q_kmeans",
@@ -1625,36 +1634,45 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 11) and therefore re-queued regardless
-# of past evidence.  (The full r10 change set — the substring pair and
-# the embedding-LSH recall graduation — re-evidenced green in
-# CORRECTNESS_r10 and is folded into the tables above.)
+# Changed in THIS round (round 12) and therefore re-queued regardless
+# of past evidence.  (The full r11 change set re-evidenced in
+# CORRECTNESS_r11 and is folded into the tables above; the two r11
+# driver hash FAILURES — q_tokenizer_fertility / q_shard_balance,
+# bare SUM(BIGINT) oracle columns that DuckDB HUGEINT->float64
+# converted apart from Spark's int64 — are absent from the ledger and
+# queue at tier 0 automatically, now carrying the CAST(... AS BIGINT)
+# oracle fix.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_dedup_embedding_lsh — r11 oracle graduation (r10 verdict
-        #    #2): the banded SRP index is now a candidate GENERATOR
-        #    with exact-cosine re-rank/filter, so the emitted pair set
-        #    is row-identical to the exact twin and carries its DuckDB
-        #    oracle; r10 rows evidence certifies a different (stamped)
-        #    output shape.  Later in r11 the builder also gained the
-        #    saturated-regime switch (blocked exact matmul scan when
-        #    the analytic background candidate fraction saturates —
-        #    output-invariant, equality test-pinned; SCALE.md)
-        "q_dedup_embedding_lsh",
-        #  * q_media_neardup — NEW in r11 (r10 verdict #3): perceptual
-        #    near-dup over multimodal payloads — blockhash-style
-        #    signature on the synthesized frame bytes, banded collision
-        #    join, exact byte-distance verify; oracle-backed the
-        #    q_multimodal_features way (closed-form over hex(payload))
+        #  * q_media_neardup — r12 plan-only change: the banded
+        #    candidate join generalized to multi-index hashing
+        #    (Norouzi et al. 2012; 4 16-bit bands probing Hamming-2
+        #    balls instead of 11 1-key 5.8-bit bands).  Pigeonhole
+        #    exactness holds for the same radius, so the pair set is
+        #    identical and the oracle unchanged (equality test-pinned
+        #    across band configs) — but the candidate generator is new
+        #    code and must re-prove under the driver.
         "q_media_neardup",
-        #  * q_dedup_segments / q_segments_clean — r11 refactor (r10
-        #    verdict #7): bodies extracted to operators/dedup.py with
-        #    the window width as a parameter so the hypothesis
-        #    property suite can pin them at small n; same plan and
-        #    output (local parity re-proven), re-queued per the
-        #    evidence-certifies-the-code-that-produced-it rule
-        "q_dedup_segments",
-        "q_segments_clean",
+        #  * q_dedup_embedding_lsh / q_dedup_semantic — r12 advisor
+        #    fixes in operators/similarity.py: the exact-scan
+        #    pre-filter margin now admits the round-up window
+        #    (threshold - 0.5*10^-round_to) so boundary pairs cannot
+        #    be masked before the einsum+round re-verify, and
+        #    _bg_candidate_frac sums the full Hamming ball for
+        #    probe_flips >= 2.  Output-invariant on bundled data, but
+        #    the regime-switch code both queries ride changed.
+        "q_dedup_embedding_lsh",
+        "q_dedup_semantic",
+        #  * roundtrip family — r12 scratch-dir reuse (per-process
+        #    cached temp dir instead of a fresh mkdtemp per build;
+        #    q_binary_ingest also clears stale fixture files).  The
+        #    emitted rows are unchanged, but the build path is new
+        #    code per the evidence-certifies-the-code rule.
+        "q_csv_roundtrip",
+        "q_orc_roundtrip",
+        "q_json_roundtrip",
+        "q_text_roundtrip",
+        "q_binary_ingest",
     }
 )
 
@@ -1669,18 +1687,18 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-11 window plan (r10 verdict "Next round" #1): zero
-# implementation gaps, so the risk surface IS evidence staleness — the
-# window drains the oldest cohorts.  Changed/new queries lead (the
-# embedding-LSH oracle graduation and q_media_neardup), then the
-# pinned 15-query r6 hash cohort; the remaining ~33 slots fill with
-# the 43-query r7 cohort via the default tier-2 oldest-first sort
-# (definition order within the round), and the displaced r7 tail
-# rotates into round 12.  Rows-only evidence is all ≥r9
-# (ann_ivf/ann_pq/simhash at r9, the rest at r10) — fresh enough to
-# wait a round, so no rows pin.
-_HASH_DRAIN_FRONTIER = 6
-_ROWS_DRAIN_FRONTIER = 6
+# Round-12 window plan (r11 verdict "Next round" #3): the risk
+# surface is evidence staleness plus the r12 change set.  Changed
+# queries lead (8: the media-neardup MIH plan change, the two
+# similarity-margin riders, the five scratch-dir roundtrips), then the
+# 22-query r7 hash cohort drains (minus the two roundtrips already in
+# the changed set), then the two never-evidenced r11 failures queue at
+# tier 0 with their fixed oracles, and the remaining ~20 slots fill
+# with the oldest r8 greens via the default tier-2 oldest-first sort.
+# The displaced r8 tail rotates into round 13.  Rows-only evidence is
+# r9/r10 — fresh enough to wait, so no rows pin.
+_HASH_DRAIN_FRONTIER = 7
+_ROWS_DRAIN_FRONTIER = 7
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(

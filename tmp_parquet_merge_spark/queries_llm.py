@@ -2293,19 +2293,23 @@ def q_media_neardup(spark, sf_dir):
     blockhash-gradient signature per payload (operators/multimodal.py
     :func:`blockhash_signatures` — block scores over hex(payload),
     dHash-style gradient bits; public technique: blockhash.io, Yang
-    et al. 2006, Krawetz dHash), banded band-equality candidate join,
-    exact Hamming verify ≤ 10.  With 11 bands the pigeonhole
-    principle makes the candidate join an EXACT generator for radius
-    10 — deterministic output, hence the closed-form DuckDB oracle
-    (the q_multimodal_features hex(payload) protocol).  Scale shape:
-    one payload scan → 2 longs + 11 ints per item; shuffles carry
-    only (band, key, id) ints and id pairs; verify is JVM bit_count
-    on packed longs.  Non-degenerate at every tier (1/2/198 pairs at
-    sf0.001/0.01/0.1).  On real images the hex-block score swaps for
-    a decoded block mean without touching the banding/verify
-    plumbing (the module's PIL-optional contract)."""
+    et al. 2006, Krawetz dHash), multi-index Hamming-ball candidate
+    join (Norouzi et al. CVPR 2012: 4 disjoint 16-bit bands, each
+    probing its Hamming-2 ball — pigeonhole-EXACT for radius 10, and
+    9.4× fewer background candidates than the r11 11-band f=0
+    spelling, whose candidate relation measured 36% of ALL pairs),
+    exact Hamming verify ≤ 10.  Deterministic output, hence the
+    closed-form DuckDB oracle (the q_multimodal_features hex(payload)
+    protocol) — the r12 band change is plan-only, the pair set is
+    identical.  Scale shape: one payload scan → 2 longs + 4 ints per
+    item; shuffles carry only (band, key, id) ints and id pairs;
+    verify is JVM bit_count on packed longs.  Non-degenerate at every
+    tier (1/2/198 pairs at sf0.001/0.01/0.1).  On real images the
+    hex-block score swaps for a decoded block mean without touching
+    the banding/verify plumbing (the module's PIL-optional
+    contract)."""
     return multimodal.media_neardup_pairs(
-        multimodal.media_table(spark, sf_dir), radius=10, bands=11
+        multimodal.media_table(spark, sf_dir), radius=10, bands=4
     )
 
 
@@ -2890,8 +2894,10 @@ def q_perplexity_bucket(spark, sf_dir):
     middle / tail — the published cheap quality triage a crawl
     pipeline runs before model-based filtering (CCNet keeps
     head+middle).  Deterministic and oracle-exact: DECIMAL(18,6)
-    contribution sums, Spark percentile ≙ DuckDB quantile_cont over
-    the rounded scores (operators/text.py::lm_buckets; plan shape
+    contribution sums, and the tercile cut is integer rank arithmetic
+    (rn*3 <= n_lang over the (lm_score DESC, doc_id) row_number) — NOT
+    an interpolated percentile, so no float quantile semantics need to
+    agree cross-engine (operators/text.py::lm_buckets; plan shape
     documented there — vocabulary-bounded shuffles, |langs|-row
     broadcast totals/cutoffs, scores localCheckpoint'd once for its
     two consumers)."""
@@ -3057,7 +3063,7 @@ def q_hard_negatives(spark, sf_dir):
         )
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
                round(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
                    AS fertility,
                round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
@@ -3089,7 +3095,7 @@ def q_tokenizer_fertility(spark, sf_dir):
         )
         SELECT CAST((rn - 1) % 16 AS INTEGER) AS shard,
                COUNT(*) AS n_docs,
-               SUM(tok) AS n_tokens
+               CAST(SUM(tok) AS BIGINT) AS n_tokens
         FROM r GROUP BY 1
     """,
 )

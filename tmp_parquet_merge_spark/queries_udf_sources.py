@@ -16,6 +16,23 @@ from pyspark.sql.functions import pandas_udf
 
 from tmp_parquet_merge_spark.registry import query, t
 
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch(prefix: str) -> str:
+    """Per-process cached temp dir for the eager-write roundtrip
+    queries.  The write itself is intentionally charged to the measured
+    roundtrip (the operator IS sink+source, matching all five format
+    legs), but repeated builds — bench min-merge sweeps, driver_sim,
+    check_oracle — must reuse ONE directory per format instead of
+    leaking a fresh mkdtemp per call (``mode("overwrite")`` handles the
+    reuse)."""
+    d = _SCRATCH.get(prefix)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=prefix)
+        _SCRATCH[prefix] = d
+    return d
+
 
 @query(
     "q_union_files",
@@ -111,7 +128,7 @@ def q_csv_roundtrip(spark, sf_dir):
     """CSV sink+source roundtrip (header, schema re-applied on read) —
     the text-format leg of the source/sink matrix.  Oracle compares the
     roundtripped rows against the original table."""
-    out = os.path.join(tempfile.mkdtemp(prefix="tpms_csv_"), "nation_csv")
+    out = os.path.join(_scratch("tpms_csv_"), "nation_csv")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     n.write.mode("overwrite").option("header", "true").csv(out)
     return (
@@ -133,7 +150,7 @@ def q_orc_roundtrip(spark, sf_dir):
     pushdown + column pruning, same as parquet).  Oracle compares the
     roundtripped rows against the original table (DuckDB reads the
     parquet original; the ORC file is the Spark-side leg)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="tpms_orc_"), "supplier_orc")
+    out = os.path.join(_scratch("tpms_orc_"), "supplier_orc")
     s = t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -150,7 +167,7 @@ def q_orc_roundtrip(spark, sf_dir):
 def q_json_roundtrip(spark, sf_dir):
     """JSON-lines sink+source roundtrip — the semi-structured leg of
     the source/sink matrix."""
-    out = os.path.join(tempfile.mkdtemp(prefix="tpms_json_"), "region_json")
+    out = os.path.join(_scratch("tpms_json_"), "region_json")
     r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey bigint, r_name string").json(out)
@@ -177,7 +194,9 @@ def q_binary_ingest(spark, sf_dir):
     driver-side from the lowest doc_ids (fixture creation, not the
     operator); the oracle recomputes byte length and sha256 from the
     same documents, proving content fidelity end to end."""
-    out = tempfile.mkdtemp(prefix="tpms_bin_")
+    out = _scratch("tpms_bin_")
+    for stale in os.listdir(out):  # manual writes: overwrite mode can't
+        os.unlink(os.path.join(out, stale))  # clear a prior sf's fixture
     fixture = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -267,7 +286,7 @@ def q_text_roundtrip(spark, sf_dir):
     with a codegen split.  Oracle compares the parsed rows against the
     original table (the TPC-H name domain is delimiter-free, so the
     roundtrip is lossless by construction)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="tpms_text_"), "nation_txt")
+    out = os.path.join(_scratch("tpms_text_"), "nation_txt")
     n = t(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
     )

@@ -28,7 +28,16 @@ def norm_cell(v):
         # local gate that unifies them hides real driver failures (it hid
         # q_column_stats' footer -0.0 in r8). Queries must canonicalize
         # signed zero themselves (add F.lit(0.0) to the expression).
-        return f"{v:.10g}"
+        #
+        # Integral floats keep a '.0' marker so they do NOT collapse onto
+        # ints: the driver hashes pandas float64 12345.0 apart from int64
+        # 12345 (r11 q_tokenizer_fertility/q_shard_balance shipped through
+        # the old shared '%.10g' spelling and hash-FAILED). Float-vs-float
+        # comparisons are unaffected — both sides get the marker.
+        s = f"{v:.10g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):

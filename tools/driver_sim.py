@@ -132,16 +132,39 @@ def main() -> None:
                 diffs = [(a, b) for a, b in zip(sorted(sk), sorted(ok_)) if a != b][:2]
                 status, detail = "FAIL", f" values, first diffs: {diffs}"
             else:
-                # Same values but different pandas dtypes (e.g. int64 vs
-                # float64 over integral values) can still hash apart in
-                # the driver — surface as a warning, not a failure.
+                # Same values but a float-vs-integer dtype mix DOES hash
+                # apart in the driver: r11 shipped q_tokenizer_fertility /
+                # q_shard_balance with a bare SUM(BIGINT) oracle column
+                # (DuckDB HUGEINT -> pandas float64) and both hash-FAILED
+                # while this gate only warned.  That class is now a FAILURE:
+                # the driver stringifies float64 12345.0 as '12345.0' but
+                # int64 12345 as '12345'.  Width-only integer mixes
+                # (int32 vs int64 — q_csv_roundtrip, q_window_ntile) and
+                # datetime64 unit mixes (ns vs us — isoformat hashing) are
+                # driver-invisible and stay warnings.
+                def _hashes_apart(a, b) -> bool:
+                    ka = getattr(a, "kind", "O")
+                    kb = getattr(b, "kind", "O")
+                    ints = {"i", "u", "b"}
+                    if ka in ints and kb in ints:
+                        return False  # width-only: same str() spelling
+                    if ka == "M" and kb == "M":
+                        return False  # unit-only: isoformat identical
+                    return ka != kb  # f-vs-i, f-vs-O, i-vs-O, ...
+
                 dt = [
                     (c, str(spdf[c].dtype), str(opdf[c].dtype))
                     for c in spdf.columns
                     if str(spdf[c].dtype) != str(opdf[c].dtype)
                 ]
-                if dt:
-                    detail = f"  ~ dtype mix: {dt}"
+                hard = [
+                    x for x in dt
+                    if _hashes_apart(spdf[x[0]].dtype, opdf[x[0]].dtype)
+                ]
+                if hard:
+                    status, detail = "FAIL", f" dtype mix: {hard}"
+                elif dt:
+                    detail = f"  ~ benign dtype mix: {dt}"
         if status != "OK  ":
             failures.append(name)
         print(f"{status}  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s){detail}")

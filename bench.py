@@ -259,6 +259,11 @@ HEADLINE = [
     "q_text_roundtrip",
     # round-11 addition: GPT-3-style n-gram decontamination
     "q_decontaminate_ngram",
+    # round-12 additions: winnowing fingerprint selection (MOSS),
+    # Zipf's-law corpus-health fit, watermark late-data accounting
+    "q_winnowing",
+    "q_zipf_fit",
+    "q_late_data",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -1758,3 +1758,77 @@ def test_ngram_decontaminate_flags_quoted_eval_gram(spark):
     }
     assert train_ids[0] in out and out[train_ids[0]] == 1
     assert train_ids[1] not in out and train_ids[2] not in out
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """The SIGMOD-2003 winnowing guarantee: any substring shared
+    between two documents with length >= k+w-1 (= 15 here) yields at
+    least one shared selected fingerprint hash.  Unrelated documents
+    share none (40-bit hashes, tiny corpus)."""
+    shared = "the winnowing guarantee holds for this span"
+    rows = [
+        (1, f"prefix alpha {shared} suffix one"),
+        (2, f"completely different opening text {shared} and tail"),
+        (3, "no overlap here at all: zebra quartz jumble vortex"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sel = text.winnowing_select(df, "text", "doc_id", k=8, w=8).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r.doc_id, set()).add(r.mv >> 20)  # hash only
+    assert by_doc[1] & by_doc[2], "shared 43-char span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_determinism(spark):
+    """Expected fingerprint density ~ 2/(w+1) (SIGMOD 2003 Thm 1 for
+    random hashes) and exact repeatability: two runs emit identical
+    (n_fp, fp_sum) — the property the DuckDB oracle parity rides on."""
+    import random
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join("".join(rng.choices("abcdefghij", k=5)) for _ in range(120)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    a = {r.doc_id: (r.n_fp, r.fp_sum, r.density)
+         for r in text.winnowing_fingerprints(df, "text", "doc_id").collect()}
+    b = {r.doc_id: (r.n_fp, r.fp_sum, r.density)
+         for r in text.winnowing_fingerprints(df, "text", "doc_id").collect()}
+    assert a == b
+    densities = [v[2] for v in a.values()]
+    mean_d = sum(densities) / len(densities)
+    # 2/(w+1) = 0.222 for w=8; generous band for a small sample
+    assert 0.15 < mean_d < 0.32, mean_d
+
+
+def test_zipf_fit_matches_numpy_reference(spark):
+    """zipf_fit's OLS slope/intercept equal an independent numpy
+    polyfit over the same deterministic (rank, freq) table."""
+    import math
+
+    import numpy as np
+
+    words_ = [f"w{i:03d}" for i in range(50)]
+    rows = []
+    doc = []
+    for i, w_ in enumerate(words_):
+        doc.extend([w_] * (100 // (i + 1) + 1))  # zipf-ish frequencies
+    rows.append((1, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = text.zipf_fit(df, "text", "doc_id", top_v=1000).collect()[0]
+    # reference: same freq/rank construction
+    from collections import Counter
+
+    c = Counter(doc)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([f for _, f in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert got.n_types_fit == len(ranked)
+    assert got.n_tokens_fit == sum(c.values())
+    assert math.isclose(got.zipf_slope, round(float(slope), 6), abs_tol=1e-5)
+    assert math.isclose(got.zipf_intercept, round(float(intercept), 6), abs_tol=1e-5)
+    assert got.zipf_slope < -0.3  # decreasing frequencies fit a negative slope

@@ -419,3 +419,40 @@ def test_upsert_sink_keeps_null_user_across_merges(spark, tmp_path):
     by_user = {r.user_id: r for r in cur.collect()}
     assert None in by_user and by_user[None].n_events == 1
     assert by_user[20].n_events == 2
+
+
+def test_late_data_accounting_rules(spark):
+    """Watermark late-data rules pinned on a constructed stream:
+    an event is late only when the PRIOR high-watermark is more than
+    the threshold past it (strictly greater — an exactly-at-threshold
+    arrival survives, matching withWatermark's >= retention), the
+    first arrival per user is never late, and the watermark never
+    retreats."""
+    import datetime
+
+    from tmp_parquet_merge_spark.streaming.windows import late_data_accounting
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: in-order, never late
+        (1, 1, t0), (2, 1, t0 + 5 * m), (3, 1, t0 + 9 * m),
+        # user 2: event 12 arrives 10 min behind the watermark ->
+        # EXACTLY at threshold, not late; event 13 arrives 11 min
+        # behind -> late by 660s
+        (11, 2, t0 + 20 * m), (12, 2, t0 + 10 * m), (13, 2, t0 + 9 * m),
+        # user 3: single event, empty preceding frame
+        (21, 3, t0),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, ts, "view", 1.0) for e, u, ts in rows],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_late, r.max_late_us)
+        for r in late_data_accounting(df, threshold="10 minutes").collect()
+    }
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (3, 1, 11 * 60 * 1_000_000)
+    assert got[3] == (1, 0, 0)

@@ -804,3 +804,162 @@ def tokenizer_fertility(
             "chars_per_token"
         ),
     )
+
+
+def winnowing_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """The winnowing SELECTION relation: one row per selected
+    fingerprint, (id, npos, mv) where mv = h·2²⁰ + (2²⁰−1−pos) packs
+    the 40-bit k-gram hash and the rightmost-min position.  Shared by
+    :func:`winnowing_fingerprints` (per-doc audit aggregate) and by
+    tests that pin the SIGMOD-2003 guarantee on the raw fingerprint
+    sets (any shared substring of length ≥ k+w−1 shares a selected
+    hash)."""
+    from pyspark.sql import Window
+
+    pos_cap = 1 << 20
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col),
+        norm.alias("__norm"),
+        (F.length(norm) - F.lit(k - 1)).alias("npos"),
+    ).filter(F.col("npos") >= w)
+    grams = base.select(
+        F.col(id_col),
+        "npos",
+        F.explode(F.sequence(F.lit(1), F.col("npos"))).alias("p"),
+        F.col("__norm"),
+    ).select(
+        F.col(id_col),
+        "npos",
+        "p",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("__norm")
+                        .substr(F.col("p"), F.lit(k))
+                        .cast("binary")
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * F.lit(pos_cap)
+            + (F.lit(pos_cap - 1) - F.col("p"))
+        ).alias("v"),
+    )
+    win = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("mv", F.min("v").over(win))
+        .filter(F.col("p") <= F.col("npos") - F.lit(w - 1))
+        .select(F.col(id_col), "npos", "mv")
+        .distinct()
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprint selection (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    character ``k``-gram of the normalized text, slide a window of
+    ``w`` consecutive hashes, and in each window select the minimum
+    hash, rightmost position on ties.  The selected (position, hash)
+    set is the document's fingerprint — winnowing guarantees any
+    shared substring of length ≥ k+w-1 yields at least one shared
+    fingerprint (the local-algorithm property that makes it the
+    plagiarism/boilerplate detector of record), with expected density
+    2/(w+1).
+
+    Cross-engine determinism: the k-gram hash is the first 40 bits of
+    md5 (``conv(substring(md5(gram),1,10),16,10)`` ≙ DuckDB
+    ``('0x'||substring(md5(gram),1,10))::BIGINT``), and the
+    rightmost-min tie rule is ENCODED IN INTEGER ARITHMETIC rather
+    than window-function tie-breaking: v = h·2²⁰ + (2²⁰−1−pos), so
+    MIN(v) picks the smallest hash and, among equal hashes, the
+    largest position — one deterministic BIGINT min on both engines.
+    (The 2²⁰ position field caps documents at ~1M chars; chunk longer
+    documents upstream — q_chunk_docs — before fingerprinting.)
+
+    Scale shape: one codegen projection per position row (the hash is
+    computed BEFORE the per-document window shuffle, so the exchange
+    carries (id, pos, v, npos) ints only — the text never shuffles);
+    one partition-local running MIN window per document; the
+    fingerprint aggregate is one row per document.  Positions explode
+    ~n_chars rows per doc — the same sub-document row volume as
+    q_dedup_segments, linear in corpus bytes."""
+    sel = winnowing_select(df, text_col, id_col, k=k, w=w)
+    return sel.groupBy(id_col, "npos").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        # shiftright, NOT floor(mv / 2^20): `/` is DOUBLE division and
+        # v occupies 60 bits — the 53-bit mantissa drops the low bits
+        # and floors off-by-one (observed: fp_sum drift of 1-6 per doc)
+        F.sum(F.shiftright(F.col("mv"), 20)).alias("fp_sum"),
+    ).select(
+        F.col(id_col),
+        F.col("npos").cast("long").alias("n_grams"),
+        F.col("n_fp"),
+        F.col("fp_sum"),
+        F.round(F.col("n_fp") / F.col("npos"), 6).alias("density"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, id_col: str, *, top_v: int = 1000
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept
+    of ln(freq) against ln(rank) for the ``top_v`` most frequent word
+    types (rank ties broken by token text, so the rank order — and
+    hence the fit — is deterministic).  A healthy natural-language
+    corpus fits slope ≈ −1; a slope collapsing toward 0 (template
+    spam) or below −1.5 (boilerplate domination) is the classic
+    corpus-health diagnostic (Zipf 1949; Piantadosi 2014 review).
+
+    Scale shape: the frequency table is a vocabulary-bounded hash-agg
+    over exploded words; the top-``top_v`` cut is TakeOrderedAndProject
+    (heap, no global sort) and the rank window runs over exactly
+    ``top_v`` rows — driver-bounded by construction, like the capped
+    query matrices in similarity.py.  regr_slope/regr_intercept are
+    Spark built-ins with the same Welford-style moments DuckDB uses;
+    outputs are single roundings of the fitted moments (the
+    q_grouped_apply precedent)."""
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(words(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(top_v)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("freq"), F.asc("token"))
+        ),
+    )
+    return ranked.agg(
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_intercept(ln(freq), ln(rank))"), 6
+        ).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_types_fit"),
+        F.sum("freq").alias("n_tokens_fit"),
+    )

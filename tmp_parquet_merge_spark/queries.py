@@ -1692,9 +1692,11 @@ def _driver_tier(q: Query) -> int:
 # queries lead (8: the media-neardup MIH plan change, the two
 # similarity-margin riders, the five scratch-dir roundtrips), then the
 # 22-query r7 hash cohort drains (minus the two roundtrips already in
-# the changed set), then the two never-evidenced r11 failures queue at
-# tier 0 with their fixed oracles, and the remaining ~20 slots fill
-# with the oldest r8 greens via the default tier-2 oldest-first sort.
+# the changed set), then tier 0 queues the two never-evidenced r11
+# failures (now carrying their fixed oracles) plus the three r12
+# additions (q_winnowing, q_zipf_fit, q_late_data), and the remaining
+# ~17 slots fill with the oldest r8 greens via the default tier-2
+# oldest-first sort.
 # The displaced r8 tail rotates into round 13.  Rows-only evidence is
 # r9/r10 — fresh enough to wait, so no rows pin.
 _HASH_DRAIN_FRONTIER = 7

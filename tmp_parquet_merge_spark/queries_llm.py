@@ -3162,3 +3162,94 @@ def q_decontaminate_ngram(spark, sf_dir):
     return curation.ngram_decontaminate(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=10
     )
+
+
+@query(
+    "q_winnowing",
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id, norm, length(norm) - 7 AS npos
+            FROM d WHERE length(norm) - 7 >= 8
+        ),
+        p AS (
+            SELECT doc_id, npos, t.p AS p,
+                   ('0x' || substring(md5(substring(norm, t.p, 8)), 1, 10))
+                       ::BIGINT * 1048576 + (1048575 - t.p) AS v
+            FROM g, unnest(generate_series(1, npos)) AS t(p)
+        ),
+        m AS (
+            SELECT doc_id, npos, p,
+                   MIN(v) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                       AS mv
+            FROM p
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, npos, mv FROM m WHERE p <= npos - 7
+        )
+        SELECT doc_id,
+               CAST(npos AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_fp,
+               CAST(SUM(mv // 1048576) AS BIGINT) AS fp_sum,
+               round(CAST(COUNT(*) AS DOUBLE) / npos, 6) AS density
+        FROM sel GROUP BY doc_id, npos
+    """,
+)
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken
+    SIGMOD 2003, the MOSS local fingerprinting algorithm): k=8 char
+    k-gram hashes, w=8 windows, min-hash-per-window with the
+    rightmost-min tie rule — the guarantee-carrying sub-document
+    fingerprint family member next to q_doc_fingerprint's bottom-k
+    sketch (any shared substring ≥ 15 chars shares a fingerprint).
+    Cross-engine exact: 40-bit md5-prefix hashes and the tie rule
+    encoded in one BIGINT min (operators/text.py::
+    winnowing_fingerprints — hash computed before the per-doc window
+    shuffle, text never shuffles).  Emits the per-doc fingerprint
+    audit (count, checksum, density ≈ 2/(w+1))."""
+    return text.winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=8
+    )
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT unnest(ws) AS token FROM w),
+        freq AS (
+            SELECT token, COUNT(*) AS freq FROM tok
+            WHERE token <> '' GROUP BY 1
+        ),
+        top AS (
+            SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT 1000
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, token) AS rank
+            FROM top
+        )
+        SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               round(regr_intercept(ln(freq), ln(rank)), 6)
+                   AS zipf_intercept,
+               CAST(COUNT(*) AS BIGINT) AS n_types_fit,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens_fit
+        FROM ranked
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law corpus-health fit: OLS slope/intercept of ln(freq)
+    vs ln(rank) over the top-1000 word types (slope ≈ −1 for natural
+    language; collapse toward 0 flags template spam, below −1.5 flags
+    boilerplate domination — Zipf 1949, Piantadosi 2014).  The freq
+    table is a vocabulary-bounded hash-agg, the cut is
+    TakeOrderedAndProject (heap, no global sort), and the rank window
+    runs over exactly 1000 rows (operators/text.py::zipf_fit)."""
+    return text.zipf_fit(
+        t(spark, sf_dir, "documents"), "text", "doc_id", top_v=1000
+    )

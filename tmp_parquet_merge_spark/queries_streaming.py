@@ -191,3 +191,45 @@ def q_stream_upsert(spark, sf_dir):
     from tmp_parquet_merge_spark.streaming.sinks import latest_per_user
 
     return latest_per_user(t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_late_data",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, us,
+                   MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+            FROM e
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN COALESCE(wm - us, 0) > 600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(MAX(GREATEST(COALESCE(wm - us, 0), 0)) AS BIGINT)
+                   AS max_late_us
+        FROM w GROUP BY 1
+    """,
+)
+def q_late_data(spark, sf_dir):
+    """Watermark late-data accounting, batch-replayable: per user
+    stream (arrival order = event_id), an event is LATE when the
+    user's event-time high-watermark has already advanced more than
+    10 minutes past it — exactly the rows
+    ``withWatermark("ts", "10 minutes")`` would silently drop from a
+    keyed stateful aggregation.  Structured Streaming exposes no
+    per-key dropped-late-rows counter, so replaying the watermark
+    rule on the batch mirror is how a pipeline SIZES its delay before
+    losing data (streaming/windows.py::late_data_accounting — integer
+    microsecond arithmetic on unix_micros ≙ epoch_us, one exchange on
+    user_id, running-max keyed state shape)."""
+    from tmp_parquet_merge_spark.streaming.windows import late_data_accounting
+
+    return late_data_accounting(
+        t(spark, sf_dir, "events"), threshold="10 minutes"
+    )

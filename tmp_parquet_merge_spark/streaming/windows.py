@@ -226,3 +226,71 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def late_data_accounting(
+    events: DataFrame,
+    *,
+    threshold: str = "10 minutes",
+) -> DataFrame:
+    """Watermark late-data accounting, batch-replayable: for each user
+    stream (arrival order = ``event_id``, the monotone ingest id), an
+    event is LATE when it arrives after the stream's event-time
+    high-watermark has already advanced more than ``threshold`` past
+    it — exactly the rows ``withWatermark(ts, threshold)`` would drop
+    from a per-user stateful aggregation.  Emits the per-user audit
+    (n_events, n_late, max_late_us): the dashboard a streaming
+    pipeline uses to SIZE its watermark delay before the data is lost
+    silently (Structured Streaming drops late rows without a counter;
+    replaying this on the batch mirror is the published workaround).
+
+    Deterministic and oracle-exact: lateness is integer microsecond
+    arithmetic on ``unix_micros`` (≙ DuckDB ``epoch_us``), the
+    running high-watermark is MAX over the PRECEDING frame only (an
+    event is never late against itself), and the per-user frame means
+    the only shuffle is one exchange on user_id — at 100 TB the state
+    is one running max per user, the same keyed-state shape the
+    streaming twin carries."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = F.max(us).over(win)
+    # first event per user has an empty PRECEDING frame (wm NULL) and
+    # is never late; coalesce, don't rely on greatest's NULL semantics
+    # agreeing across engines
+    late_us = F.greatest(F.coalesce(wm - us, F.lit(0)), F.lit(0))
+    per_event = events.select(
+        "user_id",
+        "event_id",
+        late_us.alias("late_us"),
+    )
+    return (
+        per_event.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("late_us") > F.lit(int(_interval_us(threshold))), 1).otherwise(0)
+            ).cast("long").alias("n_late"),
+            F.max("late_us").alias("max_late_us"),
+        )
+    )
+
+
+def _interval_us(threshold: str) -> int:
+    """'10 minutes' → microseconds (the subset of interval units the
+    late-data accountant accepts)."""
+    n, unit = threshold.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(n) * mult

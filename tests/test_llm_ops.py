@@ -1832,3 +1832,39 @@ def test_zipf_fit_matches_numpy_reference(spark):
     assert math.isclose(got.zipf_slope, round(float(slope), 6), abs_tol=1e-5)
     assert math.isclose(got.zipf_intercept, round(float(intercept), 6), abs_tol=1e-5)
     assert got.zipf_slope < -0.3  # decreasing frequencies fit a negative slope
+
+
+def test_simhash_mih_exact_vs_bruteforce(spark):
+    """r12 exactness graduation: the multi-index-hashing candidate
+    path must emit EXACTLY the pairs a brute-force all-pairs Hamming
+    scan finds at radius 8 — including distances 4-8, which the r11
+    f=0 chunk banding silently lost."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(60)]
+    for i in range(40):
+        d = list(base)
+        for _ in range(rng.randrange(0, 25)):  # graded perturbations
+            d[rng.randrange(len(d))] = rng.choice(vocab)
+        docs.append((i, " ".join(d)))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sigs = {r.doc: r.simhash for r in dedup.simhash(df, "text", "doc_id").collect()}
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=8
+        ).collect()
+    }
+    assert got == brute
+    assert any(h > 3 for h in brute.values()), (
+        "fixture must exercise the distance band the f=0 spelling lost"
+    )

@@ -801,21 +801,41 @@ def dedup_clusters(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 64) -> DataFrame:
-    """64-bit SimHash signature per document.
+    """64-bit SimHash signature per document (Charikar 2002).
 
-    Each token votes ±1 on every bit of its xxhash64; bits with a
+    Each token votes ±1 on every bit of its 64-bit hash; bits with a
     positive total are set.  Implementation is one explode + one
     groupBy with ``bits`` conditional sums — all JVM built-ins, a
     single shuffle keyed by doc id.  Near-dup candidates are then
-    found by Hamming distance (e.g. banding the signature into 4×16-bit
-    chunks and joining on any equal chunk)."""
+    found by Hamming distance (multi-index banding in
+    :func:`simhash_dedup_pairs`).
+
+    The token hash is the first 64 bits of md5, read as four 16-bit
+    pieces (``conv(substring(md5(w), 1+4i, 4), 16, 10)``) — NOT
+    xxhash64: md5 is the one 64-bit-capable hash DuckDB can spell
+    identically (``('0x' || substring(md5(w), …))::BIGINT``), which is
+    what lets q_dedup_simhash carry an exact cross-engine oracle (r12
+    graduation; bit b of the hash ≙ bit b%16 of piece b//16, pieces
+    most-significant-first)."""
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).select(
+        "doc",
+        *[
+            F.conv(F.substring(F.md5("w"), 1 + 4 * i, 4), 16, 10)
+            .cast("long")
+            .alias(f"p{i}")
+            for i in range(4)
+        ],
+    )
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(f"p{3 - b // 16}", b % 16).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]
@@ -838,14 +858,39 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 64) -> Dat
 def simhash_dedup_pairs(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4 16-bit
-    chunks (pigeonhole: Hamming ≤ 3 guarantees an exact chunk match;
-    wider distances are still mostly caught), join on any matching
-    chunk, then filter by exact Hamming distance ≤ ``max_hamming``."""
-    sigs = simhash(df, text_col, id_col)
+    """SimHash near-dup pairs, EXACT for Hamming ≤ ``max_hamming``:
+    multi-index hashing over the 64-bit signature (Norouzi, Punjani &
+    Fleet, CVPR 2012 — the q_media_neardup discipline): 4 disjoint
+    16-bit bands, each probing its Hamming-⌊max_hamming/4⌋ ball of XOR
+    masks, then exact bit_count verify.  Generalized pigeonhole: a
+    total distance ≤ max_hamming leaves ≤ ⌊max_hamming/4⌋ errors in
+    some band, so the band-ball join is an exact candidate generator —
+    the r11 f=0 spelling was only exact to Hamming 3 and silently
+    lossy above it ("mostly caught"), which kept the query rows-only;
+    exactness is what lets it carry a DuckDB oracle.
+
+    The probe-side explode (4·|ball| keys/item) must not shuffle:
+    the index relation (4 ints/item) broadcasts under the same size
+    gate as multimodal.media_neardup_pairs; above the gate the join
+    falls back to shuffle where MIH still wins once n² dominates."""
+    import math as _math
+
+    bands = 4
+    f = max_hamming // bands
+    ball_n = sum(_math.comb(16, j) for j in range(f + 1))
+    if ball_n * bands > 20_000:
+        raise ValueError(
+            f"max_hamming={max_hamming}: probe ball of {ball_n * bands} "
+            "masks per item — use a tighter radius"
+        )
+    from tmp_parquet_merge_spark.operators.multimodal import _ball_masks
+
+    masks = _ball_masks(16, f)
+    sigs = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    n_items = sigs.count()
+    small_index = n_items * bands <= 8_000_000
     chunks = sigs.select(
         "doc",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -859,12 +904,22 @@ def simhash_dedup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "simhash", "bk.band", "bk.key")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
+    ).select("doc", "bk.band", "bk.key")
+    probes = (
+        chunks.select(
+            "doc",
+            "band",
+            "key",
+            F.explode(F.lit(masks)).alias("m"),
+        ).select("doc", "band", F.expr("key ^ m").alias("key"))
+        if f > 0
+        else chunks
+    )
+    idx = F.broadcast(chunks.alias("b")) if small_index else chunks.alias("b")
+    cand = (
+        probes.alias("a")
+        .join(
+            idx,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
@@ -872,10 +927,24 @@ def simhash_dedup_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            ham.alias("hamming"),
         )
-        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("__sa"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("__sb"))
+    if small_index:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias(
+                "hamming"
+            ),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -1616,7 +1616,6 @@ _ROWS_SEEN_BY_ROUND = {
     9: (
         "q_ann_ivf",
         "q_ann_pq",
-        "q_dedup_simhash",
     ),
     10: (
         "q_agg_sketch",
@@ -1663,6 +1662,15 @@ _CHANGED_THIS_ROUND = frozenset(
         #    the regime-switch code both queries ride changed.
         "q_dedup_embedding_lsh",
         "q_dedup_semantic",
+        #  * q_dedup_simhash — r12 EXACTNESS GRADUATION: token hash
+        #    moved xxhash64 → md5-pieces (DuckDB-spellable), candidate
+        #    join generalized to multi-index hashing (4 16-bit bands ×
+        #    Hamming-2 balls, pigeonhole-exact for radius 8 where the
+        #    r11 banding silently lost distances 4-8), and the query
+        #    now carries a full DuckDB oracle (signatures recomputed in
+        #    SQL, exact all-pairs verify).  Its r9 rows-only evidence
+        #    certified the lossy code; it re-queues as oracle-backed.
+        "q_dedup_simhash",
         #  * roundtrip family — r12 scratch-dir reuse (per-process
         #    cached temp dir instead of a fresh mkdtemp per build;
         #    q_binary_ingest also clears stale fixture files).  The

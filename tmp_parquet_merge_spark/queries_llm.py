@@ -519,16 +519,88 @@ def q_dedup_editdist_lsh(spark, sf_dir):
     )
 
 
-@query("q_dedup_simhash")
+# 64 per-bit SimHash vote aggregates + the signed-long signature sum,
+# generated once — the oracle twin of operators/dedup.py::simhash's
+# conv(md5) piece arithmetic (bit b of the hash = bit b%16 of
+# most-significant-first piece b//16; bit 63 contributes the negative
+# 2^63 because the signature is a signed long on both engines)
+_SIMHASH_VOTES = ",\n               ".join(
+    f"SUM(CASE WHEN (p{3 - b // 16} >> {b % 16}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {-(1 << 63) if b == 63 else (1 << b)} "
+    "ELSE 0 END"
+    for b in range(64)
+)
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+        WITH {_W},
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        pieces AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(w), 1, 4))::BIGINT AS p0,
+                   ('0x' || substring(md5(w), 5, 4))::BIGINT AS p1,
+                   ('0x' || substring(md5(w), 9, 4))::BIGINT AS p2,
+                   ('0x' || substring(md5(w), 13, 4))::BIGINT AS p3
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id,
+               {_SIMHASH_VOTES}
+            FROM pieces GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS s FROM votes
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 8
+        ),
+        {_SH},
+        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+        i AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+            FROM pairs p
+            JOIN e0 a ON a.doc_id = p.doc_a
+            JOIN e0 b ON b.doc_id = p.doc_b AND b.g = a.g
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.hamming,
+               CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                         - COALESCE(i.i, 0) <= 0
+                    THEN 0.0
+                    ELSE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                         / (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
+                            - COALESCE(i.i, 0)), 6)
+               END AS jaccard
+        FROM pairs p
+        LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        LEFT JOIN n na ON na.doc_id = p.doc_a
+        LEFT JOIN n nb ON nb.doc_id = p.doc_b
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash(64-bit) near-dup pairs via 16-bit chunk banding +
-    Hamming ≤ 8 — all-JVM bit arithmetic, one shuffle.  Rows-only
-    (xxhash64 isn't reproducible in SQL) — but each emitted pair now
-    carries its exact 3-gram shingle Jaccard (r8 quality metadata):
-    only the emitted pairs pay the verify join, and the rows-only
-    driver check sees that simhash collisions are genuinely similar
-    texts, not just that rows exist.  Jaccard-vs-hamming coupling is
-    floor-asserted in tests/test_llm_ops.py.
+    """SimHash(64-bit) near-dup pairs, Hamming ≤ 8 — EXACT and
+    oracle-backed since r12: the token hash moved from xxhash64 to
+    md5-pieces (the one 64-bit hash DuckDB spells identically) and the
+    banded candidate join generalized to multi-index hashing (4
+    16-bit bands probing Hamming-2 balls — pigeonhole-exact for
+    radius 8, where the r11 f=0 banding was only exact to Hamming 3
+    and silently lossy above; operators/dedup.py::simhash_dedup_pairs).
+    The oracle recomputes the signatures in SQL (64 per-bit vote
+    aggregates over the same md5 pieces) and verifies pairs by exact
+    all-pairs bit_count at test scale.  Each emitted pair still
+    carries its exact 3-gram shingle Jaccard (r8 quality metadata);
+    Jaccard-vs-hamming coupling is floor-asserted in
+    tests/test_llm_ops.py.
 
     The verify rides the codegen shingle path (dedup.shingle_rows
     explode → join → hash-agg counts), NOT the array-column form —

@@ -440,12 +440,20 @@ def editdist_pairs(
         nb = d.select(F.col("id").alias("doc_b"), F.col("norm").alias("_nb"))
         lev = F.levenshtein(F.col("_na"), F.col("_nb"))
         mx = F.greatest(F.length("_na"), F.length("_nb"))
+        # length pre-gate: lev >= |len_a - len_b| always, so a pair
+        # whose length gap already exceeds the budget can never pass —
+        # And short-circuits left-to-right, so the O(len^2)
+        # levenshtein never evaluates for length-mismatched candidates
+        len_gate = (
+            F.abs(F.length("_na") - F.length("_nb")) * 100
+            <= mx * max_rel_dist_pct
+        )
         return (
             candidates.select("doc_a", "doc_b")
             .distinct()
             .join(na, "doc_a")
             .join(nb, "doc_b")
-            .filter(lev * 100 <= mx * max_rel_dist_pct)
+            .filter(len_gate & (lev * 100 <= mx * max_rel_dist_pct))
             .select(
                 "doc_a",
                 "doc_b",
@@ -456,9 +464,13 @@ def editdist_pairs(
     a, b = d.alias("a"), d.alias("b")
     lev = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
     mx = F.greatest(F.length("a.norm"), F.length("b.norm"))
+    len_gate = (
+        F.abs(F.length("a.norm") - F.length("b.norm")) * 100
+        <= mx * max_rel_dist_pct
+    )
     return (
         a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.id") < F.col("b.id")))
-        .filter(lev * 100 <= mx * max_rel_dist_pct)
+        .filter(len_gate & (lev * 100 <= mx * max_rel_dist_pct))
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),

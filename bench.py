@@ -262,6 +262,7 @@ HEADLINE = [
     # round-12 additions: winnowing fingerprint selection (MOSS),
     # Zipf's-law corpus-health fit, watermark late-data accounting
     "q_winnowing",
+    "q_winnow_overlap",
     "q_zipf_fit",
     "q_late_data",
 ]

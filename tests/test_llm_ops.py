@@ -1868,3 +1868,35 @@ def test_simhash_mih_exact_vs_bruteforce(spark):
     assert any(h > 3 for h in brute.values()), (
         "fixture must exercise the distance band the f=0 spelling lost"
     )
+
+
+def test_winnow_overlap_detects_shared_spans(spark):
+    """MOSS matching semantics: documents sharing a long span match
+    with ≥ min_shared fingerprints; a span pasted into MANY documents
+    becomes stop-fingerprints (df > max_df) and stops matching —
+    the boilerplate rule, pinned with the same span at two corpus
+    multiplicities."""
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    # per-doc preambles are letter triples (no shared substrings
+    # between docs — a numbered preamble would leak grams like
+    # "amble 1" into "amble 19" and defeat the stop-fingerprint half)
+    pre = lambda i: chr(ord("a") + i) * 9
+    mk = lambda i, extra: (i, f"{pre(i)} {pre(i)} " + extra)
+    # corpus A: span in 3 docs (df <= max_df=16) -> pairs match
+    a = [mk(i, span) for i in range(3)] + [mk(i, f"filler {pre(i)} " * 10) for i in range(3, 8)]
+    df_a = spark.createDataFrame(a, "doc_id: long, text: string")
+    got_a = {
+        (r.doc_a, r.doc_b)
+        for r in text.winnow_overlap_pairs(
+            df_a, "text", "doc_id", min_shared=3
+        ).collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= got_a
+    # corpus B: the same span in 20 docs (> max_df) -> its fingerprints
+    # are stop-fingerprints; no pair reaches min_shared through it
+    b = [mk(i, span) for i in range(20)]
+    df_b = spark.createDataFrame(b, "doc_id: long, text: string")
+    got_b = text.winnow_overlap_pairs(
+        df_b, "text", "doc_id", min_shared=3
+    ).collect()
+    assert got_b == []

@@ -963,3 +963,81 @@ def zipf_fit(
         F.count(F.lit(1)).alias("n_types_fit"),
         F.sum("freq").alias("n_tokens_fit"),
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    w: int = 8,
+    max_df: int = 16,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Cross-document fingerprint overlap — the MOSS matching step
+    applied to the winnowing selection: two documents match when they
+    share ≥ ``min_shared`` selected fingerprint HASHES (positions
+    ignored, the standard winnowing match semantics).  Reports the
+    shared count and the containment-style overlap fraction
+    n_shared / min(n_fp_a, n_fp_b).
+
+    Scale discipline: fingerprints selected by more than ``max_df``
+    documents are STOP-FINGERPRINTS (ubiquitous boilerplate — headers,
+    license blocks) and are dropped before pairing, which both
+    mirrors MOSS's practice of ignoring over-common substrings and
+    bounds the per-fingerprint pair fan-out at C(max_df, 2) — the
+    same cap discipline as the LSH band-bucket joins.  The pair
+    relation then carries (h, doc_a, doc_b) ints only; bodies never
+    move.  The dropped-count is not silently hidden: boilerplate
+    hashes are deterministic, so the df cut is reproducible
+    cross-engine and spelled identically in the oracle."""
+    sel = winnowing_select(df, text_col, id_col, k=k, w=w)
+    # four consumers (per-doc sizes, doc-frequency cut, both join
+    # sides) — checkpoint the small (id, h) relation so the md5
+    # position pipeline runs ONCE, not once per consumer
+    fp = (
+        sel.select(F.col(id_col), F.shiftright("mv", 20).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_doc = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    dfreq = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keep = fp.join(
+        dfreq.filter(
+            (F.col("df") >= 2) & (F.col("df") <= F.lit(max_df))
+        ).select("h"),
+        "h",
+    )
+    pairs = (
+        keep.alias("a")
+        .join(
+            keep.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na = per_doc.select(
+        F.col(id_col).alias("doc_a"), F.col("n_fp").alias("__fa")
+    )
+    nb = per_doc.select(
+        F.col(id_col).alias("doc_b"), F.col("n_fp").alias("__fb")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("__fa", "__fb"), 6
+            ).alias("overlap"),
+        )
+    )

@@ -3236,34 +3236,41 @@ def q_decontaminate_ngram(spark, sf_dir):
     )
 
 
-@query(
-    "q_winnowing",
-    oracle=r"""
-        WITH d AS (
+# Winnowing selection CTE chain (k=8, w=8) — shared by q_winnowing's
+# per-doc audit and q_winnow_overlap's cross-doc matching oracle.
+_WINNOW_SEL = r"""
+        wd AS (
             SELECT doc_id,
                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
             FROM documents WHERE text IS NOT NULL
         ),
-        g AS (
+        wg AS (
             SELECT doc_id, norm, length(norm) - 7 AS npos
-            FROM d WHERE length(norm) - 7 >= 8
+            FROM wd WHERE length(norm) - 7 >= 8
         ),
-        p AS (
+        wp AS (
             SELECT doc_id, npos, t.p AS p,
                    ('0x' || substring(md5(substring(norm, t.p, 8)), 1, 10))
                        ::BIGINT * 1048576 + (1048575 - t.p) AS v
-            FROM g, unnest(generate_series(1, npos)) AS t(p)
+            FROM wg, unnest(generate_series(1, npos)) AS t(p)
         ),
-        m AS (
+        wm AS (
             SELECT doc_id, npos, p,
                    MIN(v) OVER (PARTITION BY doc_id ORDER BY p
                                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
                        AS mv
-            FROM p
+            FROM wp
         ),
         sel AS (
-            SELECT DISTINCT doc_id, npos, mv FROM m WHERE p <= npos - 7
+            SELECT DISTINCT doc_id, npos, mv FROM wm WHERE p <= npos - 7
         )
+"""
+
+
+@query(
+    "q_winnowing",
+    oracle=f"""
+        WITH {_WINNOW_SEL}
         SELECT doc_id,
                CAST(npos AS BIGINT) AS n_grams,
                CAST(COUNT(*) AS BIGINT) AS n_fp,
@@ -3324,4 +3331,53 @@ def q_zipf_fit(spark, sf_dir):
     runs over exactly 1000 rows (operators/text.py::zipf_fit)."""
     return text.zipf_fit(
         t(spark, sf_dir, "documents"), "text", "doc_id", top_v=1000
+    )
+
+
+@query(
+    "q_winnow_overlap",
+    oracle=f"""
+        WITH {_WINNOW_SEL},
+        fp AS (
+            SELECT DISTINCT doc_id, mv // 1048576 AS h FROM sel
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1
+        ),
+        dfreq AS (
+            SELECT h FROM fp GROUP BY h
+            HAVING COUNT(*) >= 2 AND COUNT(*) <= 16
+        ),
+        keep AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h)),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM keep a JOIN keep b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        )
+        SELECT p.doc_a, p.doc_b, p.n_shared,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / least(na.n_fp, nb.n_fp), 6) AS overlap
+        FROM pairs p
+        JOIN per_doc na ON na.doc_id = p.doc_a
+        JOIN per_doc nb ON nb.doc_id = p.doc_b
+    """,
+)
+def q_winnow_overlap(spark, sf_dir):
+    """Cross-document winnowing overlap — the MOSS matching step
+    applied: pairs sharing ≥ 3 selected fingerprint hashes, with the
+    containment-style overlap fraction n_shared / min(n_fp).  The
+    winnowing guarantee makes this the detector for shared spans
+    ≥ 15 chars that survive the density-2/(w+1) selection.
+    Fingerprints in more than 16 documents are stop-fingerprints
+    (ubiquitous boilerplate) and are dropped before pairing — MOSS's
+    over-common-substring rule AND the C(max_df,2) pair fan-out cap,
+    deterministic so the oracle spells it identically
+    (operators/text.py::winnow_overlap_pairs; the pair relation
+    carries (h, id, id) ints only, bodies never move)."""
+    return text.winnow_overlap_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=8, w=8, max_df=16, min_shared=3,
     )

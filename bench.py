@@ -263,6 +263,7 @@ HEADLINE = [
     # Zipf's-law corpus-health fit, watermark late-data accounting
     "q_winnowing",
     "q_winnow_overlap",
+    "q_novelty_lsh",
     "q_zipf_fit",
     "q_late_data",
 ]

@@ -1900,3 +1900,33 @@ def test_winnow_overlap_detects_shared_spans(spark):
         df_b, "text", "doc_id", min_shared=3
     ).collect()
     assert got_b == []
+
+
+def test_novelty_neardup_gate(spark):
+    """The near-dup novelty gate: a new doc that is a trivially-edited
+    re-crawl of an existing doc is NOT novel; a genuinely new doc is;
+    an exact-digest gate (q_novelty's rule) would pass the edited
+    re-crawl straight through — the case this operator exists for."""
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep dark woods tonight")
+    old = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated corpus text about ships " * 4)],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base.replace("tonight", "on tuesday")),  # edited re-crawl
+            (3, "fresh reporting about volcanic rock formations " * 4),
+        ],
+        "doc_id: long, text: string",
+    )
+    novel = {
+        r.doc_id
+        for r in dedup.novelty_neardup(new, old, "text", "doc_id").collect()
+    }
+    assert novel == {3}
+    # exact digest would have called BOTH novel
+    from tmp_parquet_merge_spark.operators.dedup import normalize_text
+    digests_old = {r[0] for r in old.select(F.md5(normalize_text("text"))).collect()}
+    digests_new = {r[0]: r[1] for r in new.select("doc_id", F.md5(normalize_text("text"))).collect()}
+    assert all(d not in digests_old for d in digests_new.values())

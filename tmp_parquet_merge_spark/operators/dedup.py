@@ -1118,3 +1118,79 @@ def segments_clean(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def novelty_neardup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-DUP novelty gate for an incremental crawl: which documents
+    of the new batch have no near-duplicate (shingle Jaccard ≥
+    ``threshold``) in the existing corpus — the LSH-fed upgrade of the
+    exact-digest novelty anti-join (q_novelty), catching re-crawls
+    with trivial edits (dates, counters, template fills) that an exact
+    digest passes straight through.
+
+    Pipeline: MinHash signatures on BOTH sides (one shingle pass per
+    side), banded keys, a new×old band-key equi-join (cross-side — no
+    self-join, so the candidate relation is |new|-biased and the old
+    side can be a pre-built signature table at 100 TB), exact Jaccard
+    verify on candidate ids only, then an anti-join of the new batch
+    against the verified-duplicate ids.  Shuffles carry (band, key,
+    id) triples and shingle digests; bodies never move.  Returns the
+    NOVEL new-batch rows (id only — callers re-join attributes)."""
+    def side(df):
+        sh = shingle_rows(df, text_col, id_col, n=shingle_n)
+        sh = sh.localCheckpoint(eager=False)
+        sigs = _signatures_from_shingle_rows(sh, num_perm).localCheckpoint(
+            eager=False
+        )
+        banded = sigs.select(
+            "doc",
+            F.explode(
+                lsh_band_keys(F.col("sig"), bands, num_perm // bands)
+            ).alias("bk"),
+        ).select("doc", "bk.band", "bk.key")
+        sets_ = (
+            sh.groupBy("doc")
+            .agg(F.collect_set("s").alias("sh"))
+            .localCheckpoint(eager=False)
+        )
+        return banded, sets_
+
+    banded_n, sets_n = side(new_df)
+    banded_o, sets_o = side(old_df)
+    cand = (
+        banded_n.alias("a")
+        .join(
+            banded_o.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_new"), F.col("b.doc").alias("doc_old")
+        )
+        .distinct()
+    )
+    sa = sets_n.select(F.col("doc").alias("doc_new"), F.col("sh").alias("sh_a"))
+    sb = sets_o.select(F.col("doc").alias("doc_old"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    dup_new = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .filter(jac >= F.lit(threshold))
+        .select(F.col("doc_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.select(F.col(id_col)).join(dup_new, id_col, "left_anti")

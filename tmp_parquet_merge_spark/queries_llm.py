@@ -3381,3 +3381,49 @@ def q_winnow_overlap(spark, sf_dir):
         t(spark, sf_dir, "documents"), "text", "doc_id",
         k=8, w=8, max_df=16, min_shared=3,
     )
+
+
+@query(
+    "q_novelty_lsh",
+    oracle=f"""
+        WITH {_W}, {_SH},
+        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+        p AS (
+            SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, COUNT(*) AS i
+            FROM e0 b JOIN e0 a ON b.g = a.g
+            WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+            GROUP BY 1, 2
+        ),
+        dup AS (
+            SELECT DISTINCT doc_new FROM p
+            JOIN n nn ON nn.doc_id = p.doc_new
+            JOIN n no ON no.doc_id = p.doc_old
+            WHERE round(CAST(p.i AS DOUBLE)
+                        / (nn.n + no.n - p.i), 6) >= 0.5
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_new FROM dup)
+    """,
+)
+def q_novelty_lsh(spark, sf_dir):
+    """NEAR-DUP novelty gate — the LSH-fed upgrade of q_novelty's
+    exact-digest anti-join: new-batch documents (odd ids) with no
+    shingle-Jaccard ≥ 0.5 near-duplicate in the existing corpus (even
+    ids), catching re-crawls with trivial edits that an exact digest
+    passes straight through.  MinHash signatures both sides, a
+    new×old band-key join (cross-side, |new|-biased — at 100 TB the
+    existing corpus is a pre-built signature table), exact Jaccard
+    verify on candidate ids only, anti-join (operators/dedup.py::
+    novelty_neardup).  Oracle: the exact all-pairs cross-side Jaccard
+    at test scale — on the bundled corpora every qualifying pair sits
+    far above the 16-band S-curve knee, so LSH-fed ≡ exact row for
+    row (the q_dedup_editdist_lsh certification pattern)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.novelty_neardup(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+    )

@@ -608,3 +608,46 @@ def test_compaction_read_phase_is_distributed_footer_scan(spark, sf_dir):
     # two consumers: the manifest-join side (input footers) and the
     # written-output side — both must stay distributed
     assert inc_tree.count("MapInPandas") >= 2
+
+
+def test_winnowing_hashes_before_shuffle(spark, sf_dir):
+    """The winnowing per-doc window shuffle must carry (id, pos, v,
+    npos) ints only — hashing BEFORE the exchange.  If the text
+    column ever reaches an Exchange, a 100 TB corpus shuffles its
+    bodies."""
+    plan = formatted_plan(build("q_winnowing", spark, sf_dir))
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "__norm" not in block and "text#" not in block
+
+
+def test_zipf_fit_heap_cut_no_global_sort(spark, sf_dir):
+    """The top-1000 type cut must be TakeOrderedAndProject (heap), and
+    the only Sort may be the bounded 1000-row rank window's."""
+    tree = plan_tree(build("q_zipf_fit", spark, sf_dir))
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_late_data_single_user_exchange(spark, sf_dir):
+    """Late-data accounting is one exchange on user_id: the window and
+    the final aggregate share the user_id partitioning."""
+    tree = plan_tree(build("q_late_data", spark, sf_dir))
+    assert tree.count("Exchange") == 1
+
+
+def test_novelty_lsh_no_nested_loop(spark, sf_dir):
+    """The near-dup novelty gate must never plan a nested-loop or
+    cartesian join — candidates come from the band-key equi-join."""
+    tree = plan_tree(build("q_novelty_lsh", spark, sf_dir))
+    assert "NestedLoop" not in tree and "Cartesian" not in tree
+
+
+def test_winnow_overlap_no_nested_loop_and_no_text_shuffle(spark, sf_dir):
+    """MOSS matching joins on fingerprint hashes (ints); no nested
+    loop, and no Exchange carries the text column."""
+    plan = formatted_plan(build("q_winnow_overlap", spark, sf_dir))
+    tree = plan.split("\n\n", 1)[0]
+    assert "NestedLoop" not in tree and "Cartesian" not in tree
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
+            assert "__norm" not in block and "text#" not in block

@@ -44,7 +44,13 @@ def load(rev: str) -> dict:
 
 def queries(d: dict) -> dict:
     d = d.get("queries", d)
-    return {k: v for k, v in d.items() if isinstance(v, dict) and "ratio" in v}
+    # a query swept before its first bench floor exists carries
+    # ratio None — it can't participate in drift math until floored
+    return {
+        k: v
+        for k, v in d.items()
+        if isinstance(v, dict) and v.get("ratio") is not None
+    }
 
 
 def main() -> None:

@@ -1,0 +1,155 @@
+"""Property-based test (hypothesis) for winnowing fingerprint
+selection (operators/text.py::winnowing_select /
+winnowing_fingerprints) against a pure-Python reference implementing
+Schleimer/Wilkerson/Aiken's definition directly — min hash per window
+of w consecutive k-gram hashes, rightmost position on ties — plus the
+paper's structural guarantees on every generated corpus:
+
+  * every selected fingerprint is the rightmost minimum of at least
+    one full window (soundness of the BIGINT tie encoding);
+  * consecutive selections are at most w positions apart (the
+    winnowing coverage guarantee — no window is left without a
+    selection);
+  * two docs sharing a substring of length >= k+w-1 share a selected
+    hash (the matching guarantee, exercised by generating doc pairs
+    with planted shared spans).
+
+Small k=4, w=4 keeps each example cheap; the registered query runs
+the same code path at k=8, w=8.
+"""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tmp_parquet_merge_spark.operators.text import (
+    winnowing_fingerprints,
+    winnowing_select,
+)
+
+_K, _W = 4, 4
+_POS_CAP = 1 << 20
+_ALPHA = "ab c"  # tiny alphabet incl. space: heavy gram collisions
+
+
+def _h40(gram: str) -> int:
+    return int(hashlib.md5(gram.encode("utf-8")).hexdigest()[:10], 16)
+
+
+def _norm(text: str) -> str:
+    import re
+
+    return re.sub(r"[ \t\n\f\r]+", " ", text.strip().lower())
+
+
+def _reference(text: str):
+    """Spec winnowing: for each window of _W consecutive k-gram
+    hashes, select the minimum, rightmost on ties; return the
+    selected (pos, hash) set (1-based positions)."""
+    norm = _norm(text)
+    npos = len(norm) - _K + 1
+    if npos < _W:
+        return None, set()
+    hs = [_h40(norm[p : p + _K]) for p in range(npos)]
+    sel = set()
+    for s in range(npos - _W + 1):
+        win = hs[s : s + _W]
+        m = min(win)
+        # rightmost occurrence of the min
+        off = max(j for j, v in enumerate(win) if v == m)
+        sel.add((s + off + 1, m))
+    return npos, sel
+
+
+_TEXTS = st.lists(
+    st.text(alphabet=_ALPHA, min_size=0, max_size=40),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS)
+def test_winnowing_select_matches_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_select(df, "text", "doc_id", k=_K, w=_W).collect():
+        got.setdefault(r.doc_id, set()).add(
+            (_POS_CAP - 1 - (r.mv % _POS_CAP), r.mv >> 20)
+        )
+    for i, t in rows:
+        npos, want = _reference(t)
+        if npos is None:
+            assert i not in got
+            continue
+        assert got.get(i, set()) == want, (i, t)
+        # coverage guarantee: sorted selected positions are never more
+        # than _W apart, and the first/last selections cover the ends
+        ps = sorted(p for p, _ in want)
+        assert ps[0] <= _W and ps[-1] >= npos - _W + 1
+        assert all(b - a <= _W for a, b in zip(ps, ps[1:]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    shared=st.text(alphabet=_ALPHA, min_size=_K + _W - 1, max_size=20),
+    pre_a=st.text(alphabet=_ALPHA, min_size=0, max_size=10),
+    pre_b=st.text(alphabet=_ALPHA, min_size=0, max_size=10),
+)
+def test_winnowing_matching_guarantee(spark, shared, pre_a, pre_b):
+    """Any two docs sharing a substring of length >= k+w-1 share at
+    least one selected HASH — Schleimer et al.'s Theorem guarantee,
+    checked on the normalized form (whitespace collapse can shorten
+    the planted span below the bound, in which case the guarantee
+    doesn't apply and the example is vacuous)."""
+    a, b = pre_a + shared, pre_b + shared
+    span_a, span_b = _norm(a), _norm(b)
+    # longest common suffix of the normalized docs = the surviving span
+    n = 0
+    while (
+        n < min(len(span_a), len(span_b))
+        and span_a[len(span_a) - 1 - n] == span_b[len(span_b) - 1 - n]
+    ):
+        n += 1
+    if n < _K + _W - 1:
+        return  # normalization shortened the span: guarantee vacuous
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    by_doc = {}
+    for r in winnowing_select(df, "text", "doc_id", k=_K, w=_W).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.mv >> 20)
+    assert by_doc.get(0, set()) & by_doc.get(1, set()), (a, b)
+
+
+def test_winnowing_fingerprints_consistency(spark):
+    """The audit aggregate is exactly the per-doc rollup of the
+    selection relation (count / hash sum / density)."""
+    df = spark.createDataFrame(
+        [(1, "ab c ab c ab c ab ab"), (2, "c ab ab c c c ab")],
+        "doc_id long, text string",
+    )
+    sel = {}
+    for r in winnowing_select(df, "text", "doc_id", k=_K, w=_W).collect():
+        sel.setdefault(r.doc_id, []).append(r)
+    agg = {
+        r.doc_id: r
+        for r in winnowing_fingerprints(
+            df, "text", "doc_id", k=_K, w=_W
+        ).collect()
+    }
+    for i, rows in sel.items():
+        assert agg[i].n_fp == len(rows)
+        assert agg[i].fp_sum == sum(r.mv >> 20 for r in rows)
+        assert agg[i].n_grams == rows[0].npos
+        assert agg[i].density == round(len(rows) / rows[0].npos, 6)

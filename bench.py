@@ -264,6 +264,9 @@ HEADLINE = [
     "q_winnowing",
     "q_winnow_overlap",
     "q_novelty_lsh",
+    # the JVM moments twin of q_grouped_apply: the Python-boundary
+    # cost measured side by side (same output, same oracle)
+    "q_grouped_apply_moments",
     "q_zipf_fit",
     "q_late_data",
 ]

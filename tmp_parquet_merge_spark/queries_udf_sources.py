@@ -297,3 +297,37 @@ def q_text_roundtrip(spark, sf_dir):
         F.element_at(parts, 1).cast("bigint").alias("n_nationkey"),
         F.element_at(parts, 2).alias("n_name"),
     )
+
+
+@query(
+    "q_grouped_apply_moments",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS base_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_apply_moments(spark, sf_dir):
+    """The JVM moments twin of q_grouped_apply — SAME output, same
+    oracle, zero Python: the per-group OLS fit as built-in
+    regr_slope/regr_intercept (map-side-combinable moment aggregates
+    inside whole-stage codegen) instead of streaming every group's
+    raw rows to a Python worker through Arrow.  This pair IS the
+    Python-boundary policy measured side by side (the q_percentiles /
+    q_agg_sketch pattern): q_grouped_apply demonstrates the
+    applyInPandas escape hatch and pays the Arrow transfer (the 25×
+    sweep's max ratio, 13.6 — each l_returnflag group is one Python
+    worker's stream); this twin is what a 100 TB pipeline should run
+    when the per-group computation reduces to moments."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("price_per_qty"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("base_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -267,6 +267,7 @@ HEADLINE = [
     # the JVM moments twin of q_grouped_apply: the Python-boundary
     # cost measured side by side (same output, same oracle)
     "q_grouped_apply_moments",
+    "q_doc_stitch",
     "q_zipf_fit",
     "q_late_data",
 ]

@@ -1930,3 +1930,34 @@ def test_novelty_neardup_gate(spark):
     digests_old = {r[0] for r in old.select(F.md5(normalize_text("text"))).collect()}
     digests_new = {r[0]: r[1] for r in new.select("doc_id", F.md5(normalize_text("text"))).collect()}
     assert all(d not in digests_old for d in digests_new.values())
+
+
+def test_doc_stitch_candidates(spark):
+    """Stitch semantics pinned: a tail==head continuation pair is
+    found with its bridge phrase; a doc shorter than 2m words never
+    self-stitches; a bridge opening more than max_df docs is
+    boilerplate and produces no pairs."""
+    from tmp_parquet_merge_spark.operators import curation
+
+    rows = [
+        (1, "alpha beta gamma delta one two three"),
+        (2, "one two three epsilon zeta eta theta"),  # continues doc 1
+        (3, "totally unrelated words in this record here"),
+        (4, "one two three"),  # 3 words < 2m: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r.doc_a, r.doc_b): r.bridge
+        for r in curation.doc_stitch_candidates(
+            df, "text", "doc_id", m=3
+        ).collect()
+    }
+    assert got == {(1, 2): "one two three"}
+    # boilerplate bridge: the same head on MANY docs is dropped
+    many = [(i, f"common start here unique{i} a b c") for i in range(10, 50)]
+    many.append((99, "ends with the common start here"))
+    df2 = spark.createDataFrame(many, "doc_id: long, text: string")
+    got2 = curation.doc_stitch_candidates(
+        df2, "text", "doc_id", m=3, max_df=16
+    ).collect()
+    assert got2 == []

@@ -483,3 +483,60 @@ def ngram_decontaminate(
     return hits.join(tot, "doc").select(
         F.col("doc").alias(id_col), "n_grams", "n_overlap"
     )
+
+
+def doc_stitch_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    m: int = 3,
+    max_df: int = 32,
+) -> DataFrame:
+    """Document-continuation stitch candidates: pairs (a, b) where
+    doc a's last ``m`` normalized words equal doc b's first ``m`` —
+    the signature of one logical document split across crawl records
+    or shard boundaries (truncation mid-article), which re-assembly
+    pipelines stitch back before training.  Emits (doc_a, doc_b,
+    bridge) with the shared ``m``-word bridge phrase.
+
+    Scale shape: one scan computes per-doc (head, tail) phrases; the
+    candidate join is a single equi-join keyed on the phrase.  Bridge
+    phrases opening or closing more than ``max_df`` documents are
+    boilerplate (standard greetings, template footers), not split
+    points — dropped before the join, which also caps the per-phrase
+    pair fan-out at max_df² (the q_winnow_overlap stop-fingerprint
+    discipline, deterministic and oracle-mirrored).  Docs shorter
+    than 2m words are excluded: their head and tail would overlap and
+    self-stitch trivially."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    ws = words(text_col)
+    ht = df.select(
+        F.col(id_col),
+        F.array_join(F.slice(ws, 1, m), " ").alias("head"),
+        F.array_join(F.slice(ws, -m, m), " ").alias("tail"),
+    ).filter(F.size(ws) >= 2 * m).localCheckpoint(eager=False)
+    tail_df = ht.groupBy("tail").agg(F.count(F.lit(1)).alias("tdf"))
+    head_df = ht.groupBy("head").agg(F.count(F.lit(1)).alias("hdf"))
+    tails = (
+        ht.select(F.col(id_col).alias("doc_a"), F.col("tail").alias("bridge"))
+        .join(
+            tail_df.filter(F.col("tdf") <= max_df)
+            .select(F.col("tail").alias("bridge")),
+            "bridge",
+        )
+    )
+    heads = (
+        ht.select(F.col(id_col).alias("doc_b"), F.col("head").alias("bridge"))
+        .join(
+            head_df.filter(F.col("hdf") <= max_df)
+            .select(F.col("head").alias("bridge")),
+            "bridge",
+        )
+    )
+    return (
+        tails.join(heads, "bridge")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "bridge")
+    )

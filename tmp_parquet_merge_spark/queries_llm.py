@@ -3427,3 +3427,38 @@ def q_novelty_lsh(spark, sf_dir):
         "text",
         "doc_id",
     )
+
+
+@query(
+    "q_doc_stitch",
+    oracle=f"""
+        WITH {_W},
+        ht AS (
+            SELECT doc_id,
+                   array_to_string(ws[1:3], ' ') AS head,
+                   array_to_string(ws[-3:], ' ') AS tail
+            FROM w WHERE len(ws) >= 6
+        ),
+        tdf AS (SELECT tail FROM ht GROUP BY tail HAVING COUNT(*) <= 32),
+        hdf AS (SELECT head FROM ht GROUP BY head HAVING COUNT(*) <= 32)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS bridge
+        FROM ht a JOIN tdf ON a.tail = tdf.tail
+        JOIN ht b ON a.tail = b.head
+        JOIN hdf ON b.head = hdf.head
+        WHERE a.doc_id <> b.doc_id
+    """,
+)
+def q_doc_stitch(spark, sf_dir):
+    """Document-continuation stitch candidates: doc a's last 3
+    normalized words equal doc b's first 3 — the signature of one
+    logical document split across crawl records / shard boundaries,
+    which corpus re-assembly stitches back before training (the
+    truncation-repair complement of q_dedup_prefix's truncation
+    DEDUP).  One scan → per-doc (head, tail) phrases → a single
+    equi-join on the bridge phrase; phrases opening/closing > 32 docs
+    are boilerplate, dropped before the join (deterministic,
+    oracle-mirrored — also the max_df² fan-out cap)
+    (operators/curation.py::doc_stitch_candidates)."""
+    return curation.doc_stitch_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id", m=3, max_df=32
+    )

@@ -268,6 +268,7 @@ HEADLINE = [
     # cost measured side by side (same output, same oracle)
     "q_grouped_apply_moments",
     "q_doc_stitch",
+    "q_emb_drift",
     "q_zipf_fit",
     "q_late_data",
 ]

@@ -1961,3 +1961,28 @@ def test_doc_stitch_candidates(spark):
         df2, "text", "doc_id", m=3, max_df=16
     ).collect()
     assert got2 == []
+
+
+def test_embedding_drift_detects_shift(spark):
+    """Drift semantics pinned: a label whose odd-id (current) vectors
+    are the even-id (reference) vectors ROTATED has centroid cosine
+    well below 1; a label with identical distributions sits at 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    base = rng.randn(8, 16).astype("float32")
+    vid = 0
+    for i in range(20):  # label 0: stable — SAME vector at both parities
+        v = base[i % 8]
+        rows.append((vid, [float(x) for x in v], 0)); vid += 1
+        rows.append((vid, [float(x) for x in v], 0)); vid += 1
+    for i in range(20):  # label 1: current (odd) = rolled reference
+        v = base[i % 8]
+        rows.append((vid, [float(x) for x in v], 1)); vid += 1
+        rows.append((vid, [float(x) for x in np.roll(v, 5)], 1)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    got = {r.label: r for r in similarity.embedding_drift(df).collect()}
+    assert got[0].centroid_cosine > 0.999
+    assert got[1].centroid_cosine < 0.9
+    assert got[0].n_ref == 20 and got[0].n_cur == 20

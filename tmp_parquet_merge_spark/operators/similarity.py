@@ -1332,3 +1332,74 @@ def hard_negatives(
     return grouped_top_k(
         sims, ["q_vec"], [F.col("sim").desc(), F.col("n_vec")], k
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label embedding-distribution drift between two corpus
+    snapshots (reference = even ids, current = odd ids — the
+    split-by-ingest-parity stand-in for consecutive crawl snapshots):
+    the cosine between each label's reference and current MEAN
+    vectors, plus the mean-vector L2 norms.  Centroid cosine ≈ 1 means
+    the label's embedding distribution is stable; a drop is the
+    classic cheap drift alarm a training pipeline runs before
+    re-clustering or re-weighting (the monitoring half of
+    SemDeDup-style curation).
+
+    Cross-engine exactness: per-(label, side, dim) component sums are
+    DECIMAL(28,12) (order-independent — float summation order differs
+    between engines), means and the final cosine are single double
+    divisions rounded once.  Plan shape: one posexplode pass (n·dim
+    int/decimal rows), a (labels × 2 × dim)-row hash-agg, then a
+    |labels|-row assembly agg — nothing scales past n·dim."""
+    side = (F.col(id_col) % 2).alias("side")
+    comp = df.select(
+        F.col(label_col).alias("label"),
+        side,
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "label",
+        "side",
+        "dim",
+        F.col("v").cast("double").cast("decimal(28,12)").alias("v"),
+    )
+    sums = comp.groupBy("label", "side", "dim").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+    means = sums.select(
+        "label",
+        "side",
+        "dim",
+        (F.col("sv").cast("double") / F.col("n")).alias("m"),
+        "n",
+    )
+    a = means.filter(F.col("side") == 0).select(
+        "label", "dim", F.col("m").alias("ma"), F.col("n").alias("n_ref")
+    )
+    b = means.filter(F.col("side") == 1).select(
+        "label", "dim", F.col("m").alias("mb"), F.col("n").alias("n_cur")
+    )
+    j = a.join(b, ["label", "dim"])
+    agg = j.groupBy("label").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), round_to
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("na2"), round_to).alias("ref_norm"),
+        F.round(F.sqrt("nb2"), round_to).alias("cur_norm"),
+    )

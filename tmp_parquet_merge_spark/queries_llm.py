@@ -3462,3 +3462,59 @@ def q_doc_stitch(spark, sf_dir):
     return curation.doc_stitch_candidates(
         t(spark, sf_dir, "documents"), "text", "doc_id", m=3, max_df=32
     )
+
+
+@query(
+    "q_emb_drift",
+    oracle="""
+        WITH comp AS (
+            SELECT label, vec_id % 2 AS side, d.dim AS dim,
+                   CAST(CAST(embedding[d.dim + 1] AS DOUBLE)
+                        AS DECIMAL(28,12)) AS v
+            FROM embeddings,
+                 unnest(generate_series(0, len(embedding) - 1)) AS d(dim)
+        ),
+        sums AS (
+            SELECT label, side, dim, SUM(v) AS sv, COUNT(*) AS n
+            FROM comp GROUP BY 1, 2, 3
+        ),
+        means AS (
+            SELECT label, side, dim, CAST(sv AS DOUBLE) / n AS m, n
+            FROM sums
+        ),
+        j AS (
+            SELECT a.label, a.n AS n_ref, b.n AS n_cur,
+                   a.m AS ma, b.m AS mb
+            FROM means a JOIN means b
+              ON a.label = b.label AND a.dim = b.dim
+            WHERE a.side = 0 AND b.side = 1
+        ),
+        agg AS (
+            SELECT label,
+                   CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+                   CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+                   SUM(ma * mb) AS dot,
+                   SUM(ma * ma) AS na2,
+                   SUM(mb * mb) AS nb2
+            FROM j GROUP BY 1
+        )
+        SELECT label, n_ref, n_cur,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS centroid_cosine,
+               round(sqrt(na2), 6) AS ref_norm,
+               round(sqrt(nb2), 6) AS cur_norm
+        FROM agg
+    """,
+)
+def q_emb_drift(spark, sf_dir):
+    """Per-label embedding-distribution drift between two corpus
+    snapshots (reference = even vec_ids, current = odd — the ingest-
+    parity stand-in for consecutive crawl snapshots): centroid cosine
+    per label plus the mean-vector norms — the cheap distribution-
+    shift alarm a training pipeline runs before re-clustering or
+    re-weighting (the monitoring half of SemDeDup-style curation).
+    Engine-exact: per-(label, side, dim) component sums are
+    DECIMAL(28,12) (float summation order differs across engines),
+    means and the cosine are single double steps rounded once; plan
+    is one posexplode pass → (labels×2×dim)-row hash-agg →
+    |labels|-row assembly (operators/similarity.py::embedding_drift)."""
+    return similarity.embedding_drift(t(spark, sf_dir, "embeddings"))

@@ -1986,3 +1986,18 @@ def test_embedding_drift_detects_shift(spark):
     assert got[0].centroid_cosine > 0.999
     assert got[1].centroid_cosine < 0.9
     assert got[0].n_ref == 20 and got[0].n_cur == 20
+
+
+def test_winnowing_refuses_overlong_document(spark):
+    """A document longer than the 2^20-char position field must fail
+    LOUDLY (assert_true in the plan) — past it the packed BIGINT
+    decodes to the wrong hash, which would silently corrupt
+    fingerprints instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, "x" * ((1 << 20) + 64))], "doc_id: long, text: string"
+    )
+    with pytest.raises(Exception, match="position field|ASSERT|assert"):
+        text.winnowing_select(df, "text", "doc_id").collect()

@@ -825,10 +825,25 @@ def winnowing_select(
 
     pos_cap = 1 << 20
     norm = normalize_text(text_col)
+    # the 2^20 position field in v caps documents at ~1M chars; past
+    # it (2^20-1-p) goes NEGATIVE and v decodes to the wrong hash —
+    # fail the task LOUDLY instead of silently corrupting fingerprints
+    # (chunk longer docs upstream: q_chunk_docs).  The guard is fused
+    # INTO the npos column: a separate assert_true column would be
+    # dropped by column pruning and never evaluate.
+    raw_npos = F.length(norm) - F.lit(k - 1)
+    npos = F.when(raw_npos < pos_cap, raw_npos).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnowing_select: document exceeds the {pos_cap - 1}-"
+                "char position field — chunk it before fingerprinting"
+            )
+        ).cast("int")
+    )
     base = df.select(
         F.col(id_col),
         norm.alias("__norm"),
-        (F.length(norm) - F.lit(k - 1)).alias("npos"),
+        npos.alias("npos"),
     ).filter(F.col("npos") >= w)
     grams = base.select(
         F.col(id_col),

@@ -425,14 +425,31 @@ def editdist_pairs(
         normalize_text(text_col).alias("norm"),
         F.array_join(F.slice(words(text_col), 1, prefix_words), " ").alias("pfx"),
     )
-    def _sim(lev: Column, mx: Column) -> Column:
-        # both norms empty ⇒ mx = 0: the pair is trivially identical
-        # (sim 1.0) — dividing by mx would emit NaN for it
-        return F.round(
-            F.when(mx == 0, F.lit(1.0)).otherwise(
-                F.lit(1.0) - lev.cast("double") / mx
-            ),
-            6,
+    def _finish(scored: DataFrame) -> DataFrame:
+        """(doc_a, doc_b, lev, mx) → thresholded (doc_a, doc_b, lev,
+        sim).  The input MUST be a barrier (localCheckpoint): with lev
+        as a live expression, Catalyst's filter pushdown re-inlines it
+        into both the threshold filter AND the sim projection, so the
+        O(len²) levenshtein runs 2-3× per candidate — measured 30.8 s
+        vs ~12 s at the 25× replica under bench's force-all-columns
+        noop write.  Behind the barrier lev is a materialized column
+        read twice, computed once.  (both norms empty ⇒ mx = 0: the
+        pair is trivially identical, sim 1.0 — dividing would emit
+        NaN)."""
+        mxc, levc = F.col("mx"), F.col("lev")
+        return (
+            scored.filter(levc * 100 <= mxc * max_rel_dist_pct)
+            .select(
+                "doc_a",
+                "doc_b",
+                "lev",
+                F.round(
+                    F.when(mxc == 0, F.lit(1.0)).otherwise(
+                        F.lit(1.0) - levc.cast("double") / mxc
+                    ),
+                    6,
+                ).alias("sim"),
+            )
         )
 
     if candidates is not None:
@@ -442,25 +459,24 @@ def editdist_pairs(
         mx = F.greatest(F.length("_na"), F.length("_nb"))
         # length pre-gate: lev >= |len_a - len_b| always, so a pair
         # whose length gap already exceeds the budget can never pass —
-        # And short-circuits left-to-right, so the O(len^2)
-        # levenshtein never evaluates for length-mismatched candidates
+        # applied BEFORE the lev projection, the O(len^2) levenshtein
+        # never evaluates for length-mismatched candidates
         len_gate = (
             F.abs(F.length("_na") - F.length("_nb")) * 100
             <= mx * max_rel_dist_pct
         )
-        return (
+        scored = (
             candidates.select("doc_a", "doc_b")
             .distinct()
             .join(na, "doc_a")
             .join(nb, "doc_b")
-            .filter(len_gate & (lev * 100 <= mx * max_rel_dist_pct))
+            .filter(len_gate)
             .select(
-                "doc_a",
-                "doc_b",
-                lev.alias("lev"),
-                _sim(lev, mx).alias("sim"),
+                "doc_a", "doc_b", lev.alias("lev"), mx.alias("mx")
             )
+            .localCheckpoint(eager=False)
         )
+        return _finish(scored)
     a, b = d.alias("a"), d.alias("b")
     lev = F.levenshtein(F.col("a.norm"), F.col("b.norm"))
     mx = F.greatest(F.length("a.norm"), F.length("b.norm"))
@@ -468,16 +484,18 @@ def editdist_pairs(
         F.abs(F.length("a.norm") - F.length("b.norm")) * 100
         <= mx * max_rel_dist_pct
     )
-    return (
+    scored = (
         a.join(b, (F.col("a.pfx") == F.col("b.pfx")) & (F.col("a.id") < F.col("b.id")))
-        .filter(len_gate & (lev * 100 <= mx * max_rel_dist_pct))
+        .filter(len_gate)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
             lev.alias("lev"),
-            _sim(lev, mx).alias("sim"),
+            mx.alias("mx"),
         )
+        .localCheckpoint(eager=False)
     )
+    return _finish(scored)
 
 
 def _sized_shingles(

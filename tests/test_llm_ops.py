@@ -382,18 +382,48 @@ def test_dedup_embedding_lsh_query_equals_exact_twin(spark, sf_dir):
     assert got  # non-degenerate: the corpus has near-dup pairs
 
 
-def test_dedup_simhash_query_jaccard_couples_with_hamming(spark, sf_dir):
-    """q_dedup_simhash's jaccard column (r8 quality metadata): tight
-    hamming radii must be genuinely similar text (mean 3-gram Jaccard
-    ≥ 0.8 at hamming ≤ 2 — measured 0.90/0.98 on the bundled corpora)
-    and clearly separated from the radius-6+ tail (≥ 10×), i.e. the
-    emitted quality signal tracks true similarity, monotone in
-    hamming."""
+def test_dedup_simhash_hamming_couples_with_jaccard(spark, sf_dir):
+    """The r8 quality-coupling floor, now computed IN THE TEST (the
+    r12 exactness graduation removed the per-run jaccard stamp —
+    rows-only quality evidence superseded by the exact oracle, and the
+    stamp's pair×shingles join was the 25× scale bottleneck): tight
+    hamming radii must still be genuinely similar text (mean 3-gram
+    Jaccard ≥ 0.8 at hamming ≤ 2) and clearly separated from the
+    radius-6+ tail — the signature itself still tracks true
+    similarity."""
     from tmp_parquet_merge_spark.queries import REGISTRY
 
-    rows = REGISTRY["q_dedup_simhash"].build(spark, sf_dir).collect()
-    low = [r.jaccard for r in rows if r.hamming <= 2]
-    high = [r.jaccard for r in rows if r.hamming >= 6]
+    pairs = REGISTRY["q_dedup_simhash"].build(spark, sf_dir)
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    sh = dedup.shingle_rows(docs, "text", "doc_id", n=3)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a", "left")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b", "left")
+        .select(
+            "hamming",
+            (
+                F.coalesce("i", F.lit(0))
+                / F.greatest(
+                    F.coalesce("na", F.lit(0))
+                    + F.coalesce("nb", F.lit(0))
+                    - F.coalesce("i", F.lit(0)),
+                    F.lit(1),
+                )
+            ).alias("jaccard"),
+        )
+        .collect()
+    )
+    low = [r.jaccard for r in j if r.hamming <= 2]
+    high = [r.jaccard for r in j if r.hamming >= 6]
     assert low and high
     mean_low = sum(low) / len(low)
     mean_high = sum(high) / len(high)
@@ -1141,12 +1171,10 @@ def test_avg_word_len_closed_form_matches_hof(spark):
 
 
 def test_simhash_query_keeps_pairs_with_empty_shingle_sets(spark, tmp_path):
-    """The jaccard quality stamp must never drop pairs the simhash
-    operator found (r8 advice): a whitespace-only doc has a simhash
-    signature (can collide) but zero 3-gram shingles, so it has no row
-    in the sizes relation — an inner join there silently removed its
-    pairs. Pinned: empty-shingle collisions survive with jaccard 0.0,
-    and normal identical docs still stamp jaccard 1.0."""
+    """Empty/whitespace-only docs still carry simhash signatures and
+    must collide at hamming 0 (the r8 regression class: any auxiliary
+    join must never drop pairs the operator found — now the query IS
+    just the operator, pinned for the degenerate-document shape)."""
     from tmp_parquet_merge_spark.queries import REGISTRY
 
     docs = spark.createDataFrame(
@@ -1160,11 +1188,9 @@ def test_simhash_query_keeps_pairs_with_empty_shingle_sets(spark, tmp_path):
     )
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     rows = REGISTRY["q_dedup_simhash"].build(spark, str(tmp_path)).collect()
-    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
-    assert (1, 2) in got, got  # identical (empty) signatures collide
-    assert got[(1, 2)] == 0.0
-    assert (3, 4) in got, got
-    assert got[(3, 4)] == 1.0
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got.get((1, 2)) == 0, got  # identical (empty) signatures collide
+    assert got.get((3, 4)) == 0, got
 
 
 def test_ann_lsh_query_survives_arrow_fallback(spark, sf_dir):

@@ -562,29 +562,8 @@ _SIMHASH_SIG = " + ".join(
                    CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 8
-        ),
-        {_SH},
-        e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
-        i AS (
-            SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-            FROM pairs p
-            JOIN e0 a ON a.doc_id = p.doc_a
-            JOIN e0 b ON b.doc_id = p.doc_b AND b.g = a.g
-            GROUP BY 1, 2
         )
-        SELECT p.doc_a, p.doc_b, p.hamming,
-               CASE WHEN COALESCE(na.n, 0) + COALESCE(nb.n, 0)
-                         - COALESCE(i.i, 0) <= 0
-                    THEN 0.0
-                    ELSE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
-                         / (COALESCE(na.n, 0) + COALESCE(nb.n, 0)
-                            - COALESCE(i.i, 0)), 6)
-               END AS jaccard
-        FROM pairs p
-        LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-        LEFT JOIN n na ON na.doc_id = p.doc_a
-        LEFT JOIN n nb ON nb.doc_id = p.doc_b
+        SELECT doc_a, doc_b, hamming FROM pairs
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
@@ -597,57 +576,18 @@ def q_dedup_simhash(spark, sf_dir):
     and silently lossy above; operators/dedup.py::simhash_dedup_pairs).
     The oracle recomputes the signatures in SQL (64 per-bit vote
     aggregates over the same md5 pieces) and verifies pairs by exact
-    all-pairs bit_count at test scale.  Each emitted pair still
-    carries its exact 3-gram shingle Jaccard (r8 quality metadata);
-    Jaccard-vs-hamming coupling is floor-asserted in
-    tests/test_llm_ops.py.
+    all-pairs bit_count at test scale.
 
-    The verify rides the codegen shingle path (dedup.shingle_rows
-    explode → join → hash-agg counts), NOT the array-column form —
-    word_shingles' interpreted transform + O(len²) array_distinct per
-    doc measured a 2.8 s → 7.3 s isolated regression at sf0.1 (caught
-    by the r8 bench watchlist) before this spelling replaced it."""
+    The r8-era 3-gram Jaccard stamp is GONE (r12): it existed to give
+    the rows-only driver check quality evidence, and with the exact
+    oracle that evidence is the hash compare itself.  It was also the
+    25× scale bottleneck — the (pair × shingles) stamp join fanned out
+    to ~|pairs|·|shingles/doc| rows (measured 64 s of the query's 25×
+    cost; signatures + MIH verify alone are a fraction of that).
+    Pair-quality analysis at corpus scale belongs to the sampled
+    offline audit, not the per-run operator."""
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.simhash_dedup_pairs(
-        docs, "text", "doc_id", max_hamming=8
-    ).localCheckpoint(eager=False)
-    sh = dedup.shingle_rows(docs, "text", "doc_id", n=3)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
-    inter = (
-        pairs.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc").alias("doc_a"), "s"), "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("__n").alias("__nb"))
-    # left-join the sizes too: a doc with zero 3-gram shingles (empty /
-    # whitespace-only text) still gets a simhash signature and can
-    # collide, but has no `sizes` row — an inner join here would
-    # silently drop the operator's pair instead of stamping it.  The
-    # quality stamp must never remove pairs simhash found (r8 advice);
-    # empty-shingle pairs get jaccard 0.0 via the zero-denominator guard.
-    union_sz = (
-        F.coalesce(F.col("__na"), F.lit(0))
-        + F.coalesce(F.col("__nb"), F.lit(0))
-        - F.coalesce(F.col("__i"), F.lit(0))
-    )
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(na, "doc_a", "left")
-        .join(nb, "doc_b", "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            "hamming",
-            F.when(union_sz <= 0, F.lit(0.0))
-            .otherwise(
-                F.round(F.coalesce(F.col("__i"), F.lit(0)) / union_sz, 6)
-            )
-            .alias("jaccard"),
-        )
-    )
+    return dedup.simhash_dedup_pairs(docs, "text", "doc_id", max_hamming=8)
 
 
 # Shared by the exact-pair query and its LSH twin (tests pin the two

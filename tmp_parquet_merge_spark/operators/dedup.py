@@ -702,14 +702,34 @@ def minhash_dedup_pairs(
     )
     sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # two costs engineered out of the verify (r12): the union array is
+    # never materialized (|A∪B| = |A|+|B|−|A∩B| from per-set sizes),
+    # and the O(|set|) array_intersect runs ONCE per candidate — with
+    # jaccard as a live expression, filter pushdown re-inlines it into
+    # both the threshold filter and the output projection (the
+    # editdist double-levenshtein class), so the sized counts
+    # materialize behind a lazy checkpoint and the filter reads
+    # columns
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
-            "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
         )
+        .localCheckpoint(eager=False)
+    )
+    jac = F.round(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        scored.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= verify_threshold)
     )
 

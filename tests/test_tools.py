@@ -318,3 +318,42 @@ def test_check_oracle_guards_args():
     # differences and queries must canonicalize them at the source.
     assert norm_cell(-0.0) != norm_cell(0.0)
     assert norm_cell([-0.0, 1.5]) != norm_cell([0.0, 1.5])
+
+
+def test_sweep_drift_table(tmp_path, capsys):
+    """sweep_drift: flags movers past the abs+rel epsilon in both
+    directions, reports new queries, skips unfloored (ratio None)
+    entries, and emits the JSON summary line."""
+    import json
+
+    from tools.sweep_drift import main as sd_main
+
+    old = {"k": 25, "queries": {
+        "q_a": {"floor": 1.0, "ratio": 2.0, "scaled": 2.0},
+        "q_b": {"floor": 1.0, "ratio": 5.0, "scaled": 5.0},
+        "q_c": {"floor": 1.0, "ratio": 3.0, "scaled": 3.0},
+    }}
+    new = {"k": 25, "queries": {
+        "q_a": {"floor": 1.0, "ratio": 2.05, "scaled": 2.05},  # within eps
+        "q_b": {"floor": 1.0, "ratio": 7.0, "scaled": 7.0},    # worse
+        "q_c": {"floor": 1.0, "ratio": 2.0, "scaled": 2.0},    # better
+        "q_d": {"floor": 1.0, "ratio": 4.0, "scaled": 4.0},    # new
+        "q_e": {"floor": None, "ratio": None, "scaled": 9.0},  # unfloored
+    }}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old)); pn.write_text(json.dumps(new))
+    import sys as _sys
+
+    argv = _sys.argv
+    try:
+        _sys.argv = ["sweep_drift.py", str(po), str(pn)]
+        sd_main()
+    finally:
+        _sys.argv = argv
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_worse"] == 1 and summary["n_better"] == 1
+    assert summary["n_new"] == 1
+    assert summary["max_ratio"] == 7.0 and summary["max_ratio_query"] == "q_b"
+    assert "| q_b | 5.0 | 7.0 | +2.00 |" in out
+    assert "q_e" not in out  # unfloored: excluded from drift math

@@ -2027,3 +2027,12 @@ def test_winnowing_refuses_overlong_document(spark):
     )
     with pytest.raises(Exception, match="position field|ASSERT|assert"):
         text.winnowing_select(df, "text", "doc_id").collect()
+
+
+def test_novelty_neardup_bands_guard():
+    """The novelty gate inherits minhash's bands-divide guard: a
+    non-dividing band count would silently drop signature lanes."""
+    import pytest
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        dedup.novelty_neardup(None, None, "text", "doc_id", bands=15)

@@ -1184,6 +1184,15 @@ def novelty_neardup(
     against the verified-duplicate ids.  Shuffles carry (band, key,
     id) triples and shingle digests; bodies never move.  Returns the
     NOVEL new-batch rows (id only — callers re-join attributes)."""
+    if bands < 1 or num_perm % bands != 0:
+        # same guard as minhash_dedup_pairs: a silent floor-division
+        # would drop signature lanes (shifting the S-curve threshold),
+        # and bands > num_perm hashes EMPTY slices — every doc collides
+        raise ValueError(
+            f"bands must evenly divide num_perm: num_perm={num_perm}, "
+            f"bands={bands}"
+        )
+
     def side(df):
         sh = shingle_rows(df, text_col, id_col, n=shingle_n)
         sh = sh.localCheckpoint(eager=False)

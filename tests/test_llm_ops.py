@@ -2036,3 +2036,51 @@ def test_novelty_neardup_bands_guard():
 
     with pytest.raises(ValueError, match="evenly divide"):
         dedup.novelty_neardup(None, None, "text", "doc_id", bands=15)
+
+
+def test_novelty_lsh_no_pairs_in_risky_jaccard_band():
+    """r13 advisor (medium): q_novelty_lsh pairs a probabilistic
+    16-band x 4-row MinHash candidate generator (~65% per-pair recall
+    at jaccard exactly 0.5) with an EXACT all-pairs oracle, so
+    equivalence is data-dependent.  This pins the margin the
+    editdist-LSH precedent uses: on every bundled tier, no cross-side
+    pair may fall in the risky band [0.5, 0.85) between the query
+    threshold and the S-curve knee — every qualifying pair must sit at
+    J >= 0.85, where per-pair miss probability is < 1e-6.  A future
+    fixture regeneration that lands a pair in the band fails HERE, not
+    in the round's one driver run."""
+    import duckdb
+
+    from tmp_parquet_merge_spark.queries_llm import _SH, _W
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'"
+        )
+        js = [
+            r[0]
+            for r in con.execute(
+                f"""
+                WITH {_W}, {_SH},
+                e0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+                n AS (SELECT doc_id, COUNT(*) AS n FROM e0 GROUP BY 1),
+                p AS (
+                    SELECT b.doc_id AS doc_new, a.doc_id AS doc_old,
+                           COUNT(*) AS i
+                    FROM e0 b JOIN e0 a ON b.g = a.g
+                    WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+                    GROUP BY 1, 2
+                )
+                SELECT round(CAST(p.i AS DOUBLE) / (nn.n + no.n - p.i), 6)
+                FROM p JOIN n nn ON nn.doc_id = p.doc_new
+                       JOIN n no ON no.doc_id = p.doc_old
+                WHERE round(CAST(p.i AS DOUBLE) / (nn.n + no.n - p.i), 6)
+                      >= 0.5
+                """
+            ).fetchall()
+        ]
+        assert js, f"sf{sf}: corpus should contain cross-side near-dups"
+        risky = [j for j in js if j < 0.85]
+        assert not risky, f"sf{sf}: pairs in LSH risky band [0.5,0.85): {risky}"

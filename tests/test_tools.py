@@ -357,3 +357,38 @@ def test_sweep_drift_table(tmp_path, capsys):
     assert summary["max_ratio"] == 7.0 and summary["max_ratio_query"] == "q_b"
     assert "| q_b | 5.0 | 7.0 | +2.00 |" in out
     assert "q_e" not in out  # unfloored: excluded from drift math
+
+
+def test_driver_sim_dtype_kind_adjudication():
+    """The driver stringifies values, so only dtype mixes that change
+    str() spelling may FAIL: bool (True/False) vs int (1/0) hashes
+    apart — the r13 advisor's silent-miss class — while width-only
+    int mixes and datetime unit mixes stay benign."""
+    import numpy as np
+
+    from tools.driver_sim import _hashes_apart
+
+    i32, i64 = np.dtype("int32"), np.dtype("int64")
+    b, f64, obj = np.dtype("bool"), np.dtype("float64"), np.dtype("O")
+    m_ns, m_us = np.dtype("datetime64[ns]"), np.dtype("datetime64[us]")
+    assert not _hashes_apart(i32, i64)          # width-only
+    assert not _hashes_apart(m_ns, m_us)        # unit-only
+    assert not _hashes_apart(b, b)              # b-vs-b benign
+    assert _hashes_apart(b, i64)                # True/False vs 1/0
+    assert _hashes_apart(i64, b)
+    assert _hashes_apart(b, f64)
+    assert _hashes_apart(f64, i64)              # 1.0 vs 1
+    assert _hashes_apart(obj, i64)
+    assert not _hashes_apart(f64, f64)
+
+
+def test_interval_us_rejects_unknown_units():
+    import pytest as _pytest
+
+    from tmp_parquet_merge_spark.streaming.windows import _interval_us
+
+    assert _interval_us("10 minutes") == 600_000_000
+    assert _interval_us("2 hours") == 7_200_000_000
+    for bad in ("10 min", "1 day", "minutes", "ten minutes"):
+        with _pytest.raises(ValueError, match="unsupported watermark interval"):
+            _interval_us(bad)

@@ -1387,8 +1387,12 @@ def embedding_drift(
     )
     j = a.join(b, ["label", "dim"])
     agg = j.groupBy("label").agg(
-        F.first("n_ref").alias("n_ref"),
-        F.first("n_cur").alias("n_cur"),
+        # MAX, not FIRST: n is constant per (label, side) only when all
+        # vectors in the group share a length; F.first is
+        # nondeterministic and the DuckDB oracle spells MAX, so a
+        # ragged-length group would make the driver hash flaky
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
         F.sum(F.col("ma") * F.col("mb")).alias("dot"),
         F.sum(F.col("ma") * F.col("ma")).alias("na2"),
         F.sum(F.col("mb") * F.col("mb")).alias("nb2"),

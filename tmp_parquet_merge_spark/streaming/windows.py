@@ -284,13 +284,19 @@ def late_data_accounting(
 def _interval_us(threshold: str) -> int:
     """'10 minutes' → microseconds (the subset of interval units the
     late-data accountant accepts)."""
-    n, unit = threshold.split()
-    mult = {
+    units = {
         "second": 1_000_000,
         "seconds": 1_000_000,
         "minute": 60_000_000,
         "minutes": 60_000_000,
         "hour": 3_600_000_000,
         "hours": 3_600_000_000,
-    }[unit]
-    return int(n) * mult
+    }
+    parts = threshold.split()
+    if len(parts) != 2 or parts[1] not in units or not parts[0].lstrip("-").isdigit():
+        raise ValueError(
+            f"unsupported watermark interval {threshold!r}: expected "
+            f"'<int> <unit>' with unit one of {sorted(set(units))}"
+        )
+    n, unit = parts
+    return int(n) * units[unit]

@@ -70,6 +70,29 @@ def _frame_key(df: pd.DataFrame) -> list[tuple]:
     return [tuple(_norm(v) for v in row) for row in df.itertuples(index=False)]
 
 
+def _hashes_apart(a, b) -> bool:
+    """Would this dtype pair hash apart in the driver?  Same values but
+    a float-vs-integer dtype mix DOES: r11 shipped
+    q_tokenizer_fertility / q_shard_balance with a bare SUM(BIGINT)
+    oracle column (DuckDB HUGEINT -> pandas float64) and both
+    hash-FAILED while this gate only warned.  Width-only integer mixes
+    (int32 vs int64) and datetime64 unit mixes (ns vs us) are
+    driver-invisible and stay warnings."""
+    ka = getattr(a, "kind", "O")
+    kb = getattr(b, "kind", "O")
+    if ka == "b" or kb == "b":
+        # bool stringifies True/False while int64 spells 1/0 — a
+        # bool-vs-int mix hashes apart in the driver; only b-vs-b is
+        # benign
+        return ka != kb
+    ints = {"i", "u"}
+    if ka in ints and kb in ints:
+        return False  # width-only: same str() spelling
+    if ka == "M" and kb == "M":
+        return False  # unit-only: isoformat identical
+    return ka != kb  # f-vs-i, f-vs-O, i-vs-O, ...
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     first = 50
@@ -132,26 +155,7 @@ def main() -> None:
                 diffs = [(a, b) for a, b in zip(sorted(sk), sorted(ok_)) if a != b][:2]
                 status, detail = "FAIL", f" values, first diffs: {diffs}"
             else:
-                # Same values but a float-vs-integer dtype mix DOES hash
-                # apart in the driver: r11 shipped q_tokenizer_fertility /
-                # q_shard_balance with a bare SUM(BIGINT) oracle column
-                # (DuckDB HUGEINT -> pandas float64) and both hash-FAILED
-                # while this gate only warned.  That class is now a FAILURE:
-                # the driver stringifies float64 12345.0 as '12345.0' but
-                # int64 12345 as '12345'.  Width-only integer mixes
-                # (int32 vs int64 — q_csv_roundtrip, q_window_ntile) and
-                # datetime64 unit mixes (ns vs us — isoformat hashing) are
-                # driver-invisible and stay warnings.
-                def _hashes_apart(a, b) -> bool:
-                    ka = getattr(a, "kind", "O")
-                    kb = getattr(b, "kind", "O")
-                    ints = {"i", "u", "b"}
-                    if ka in ints and kb in ints:
-                        return False  # width-only: same str() spelling
-                    if ka == "M" and kb == "M":
-                        return False  # unit-only: isoformat identical
-                    return ka != kb  # f-vs-i, f-vs-O, i-vs-O, ...
-
+                # dtype-mix adjudication: see _hashes_apart above.
                 dt = [
                     (c, str(spdf[c].dtype), str(opdf[c].dtype))
                     for c in spdf.columns

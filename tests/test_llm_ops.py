@@ -1801,7 +1801,7 @@ def test_winnowing_guarantee_shared_substring(spark):
     sel = text.winnowing_select(df, "text", "doc_id", k=8, w=8).collect()
     by_doc = {}
     for r in sel:
-        by_doc.setdefault(r.doc_id, set()).add(r.mv >> 20)  # hash only
+        by_doc.setdefault(r.doc_id, set()).add(r.h)  # hash only
     assert by_doc[1] & by_doc[2], "shared 43-char span must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
@@ -1884,16 +1884,21 @@ def test_simhash_mih_exact_vs_bruteforce(spark):
         for b in sigs
         if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 8
     }
-    got = {
-        (r.doc_a, r.doc_b): r.hamming
-        for r in dedup.simhash_dedup_pairs(
-            df, "text", "doc_id", max_hamming=8
-        ).collect()
-    }
-    assert got == brute
+    for bands in (4, 8):
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_dedup_pairs(
+                df, "text", "doc_id", max_hamming=8, bands=bands
+            ).collect()
+        }
+        assert got == brute, f"bands={bands}"
     assert any(h > 3 for h in brute.values()), (
         "fixture must exercise the distance band the f=0 spelling lost"
     )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide 64"):
+        dedup.simhash_dedup_pairs(df, "text", "doc_id", bands=5)
 
 
 def test_winnow_overlap_detects_shared_spans(spark):
@@ -2014,19 +2019,21 @@ def test_embedding_drift_detects_shift(spark):
     assert got[0].n_ref == 20 and got[0].n_cur == 20
 
 
-def test_winnowing_refuses_overlong_document(spark):
-    """A document longer than the 2^20-char position field must fail
-    LOUDLY (assert_true in the plan) — past it the packed BIGINT
-    decodes to the wrong hash, which would silently corrupt
-    fingerprints instead."""
-    import pytest
-    from py4j.protocol import Py4JJavaError
-
+def test_winnowing_overlong_document_chunks_transparently(spark):
+    """r12 verdict #4: a document past the old 2^20-char position
+    field must now fingerprint via the transparent chunk composition
+    instead of raise_error'ing.  The all-same-char pathological case
+    makes the expected selection closed-form: every k-gram hashes
+    identically, so each window selects its RIGHTMOST position —
+    positions w..npos, one fingerprint per window, density → 1."""
+    n = (1 << 20) + 64
     df = spark.createDataFrame(
-        [(1, "x" * ((1 << 20) + 64))], "doc_id: long, text: string"
+        [(1, "x" * n)], "doc_id: long, text: string"
     )
-    with pytest.raises(Exception, match="position field|ASSERT|assert"):
-        text.winnowing_select(df, "text", "doc_id").collect()
+    sel = text.winnowing_select(df, "text", "doc_id", k=8, w=8).collect()
+    npos = n - 7
+    assert {r.h for r in sel} == {sel[0].h}
+    assert {r.pos for r in sel} == set(range(8, npos + 1))
 
 
 def test_novelty_neardup_bands_guard():

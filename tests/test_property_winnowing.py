@@ -79,10 +79,14 @@ def test_winnowing_select_matches_reference(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {}
-    for r in winnowing_select(df, "text", "doc_id", k=_K, w=_W).collect():
-        got.setdefault(r.doc_id, set()).add(
-            (_POS_CAP - 1 - (r.mv % _POS_CAP), r.mv >> 20)
-        )
+    # forced-small chunk_positions exercises the multi-chunk path on
+    # every example (docs here are ≤ 40 chars, so chunk_positions=6
+    # with w=4 gives stride 3 — several chunks per doc); the union of
+    # per-chunk selections must STILL equal the spec selection set
+    for r in winnowing_select(
+        df, "text", "doc_id", k=_K, w=_W, chunk_positions=6
+    ).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
     for i, t in rows:
         npos, want = _reference(t)
         if npos is None:
@@ -128,7 +132,7 @@ def test_winnowing_matching_guarantee(spark, shared, pre_a, pre_b):
     )
     by_doc = {}
     for r in winnowing_select(df, "text", "doc_id", k=_K, w=_W).collect():
-        by_doc.setdefault(r.doc_id, set()).add(r.mv >> 20)
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
     assert by_doc.get(0, set()) & by_doc.get(1, set()), (a, b)
 
 
@@ -150,6 +154,68 @@ def test_winnowing_fingerprints_consistency(spark):
     }
     for i, rows in sel.items():
         assert agg[i].n_fp == len(rows)
-        assert agg[i].fp_sum == sum(r.mv >> 20 for r in rows)
+        assert agg[i].fp_sum == sum(r.h for r in rows)
         assert agg[i].n_grams == rows[0].npos
         assert agg[i].density == round(len(rows) / rows[0].npos, 6)
+
+
+def test_winnowing_chunked_equals_unchunked(spark):
+    """r12 verdict #4's done-criterion, first half: the chunked path at
+    several chunk sizes must reproduce the single-chunk selection set
+    (hash AND global position) exactly — every original window is
+    evaluated in exactly one chunk (stride = chunk_positions − (w−1)),
+    and winnowing is window-local, so the union re-attributed to
+    parent positions is the unchunked set bit for bit."""
+    import random
+
+    rng = random.Random(13)
+    texts = [
+        (0, "".join(rng.choice(_ALPHA) for _ in range(997))),
+        (1, "ab c" * 200),
+        (2, "".join(rng.choice("abcdefgh ") for _ in range(500))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def select_at(cp):
+        got = {}
+        for r in winnowing_select(
+            df, "text", "doc_id", k=_K, w=_W, chunk_positions=cp
+        ).collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+        return got
+
+    single = select_at(1 << 18)  # one chunk per doc: the classic path
+    for i, t in texts:
+        npos, want = _reference(t)
+        assert single.get(i, set()) == want
+    for cp in (_W, 7, 64, 333):
+        assert select_at(cp) == single, f"chunk_positions={cp}"
+
+
+def test_winnowing_million_char_doc_runs():
+    """r12 verdict #4's done-criterion, second half: a >2^20-char
+    document — previously a loud raise_error — fingerprints without
+    error, with the selection density near the expected 2/(w+1) and
+    positions spanning the whole document."""
+    from tmp_parquet_merge_spark.session import get_spark
+
+    spark = get_spark("tests")
+    n = (1 << 20) + 20000  # normalized length stays > 2^20 after
+    # whitespace-run collapse (~0.8% shrink on this alphabet)
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghij ") for _ in range(n))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    agg = winnowing_fingerprints(df, "text", "doc_id", k=8, w=8).collect()
+    assert len(agg) == 1
+    row = agg[0]
+    # n_grams is over the NORMALIZED text (whitespace runs collapse)
+    assert row.n_grams == len(_norm(text)) - 7
+    assert row.n_grams > (1 << 20)
+    # expected density 2/(w+1) = 0.2222 on random text
+    assert 0.15 < row.density < 0.30
+    sel = winnowing_select(df, "text", "doc_id", k=8, w=8).collect()
+    ps = [r.pos for r in sel]
+    assert min(ps) >= 1 and max(ps) > (1 << 20)
+    assert len(sel) == row.n_fp

@@ -906,28 +906,48 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 64) -> Dat
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs, EXACT for Hamming ≤ ``max_hamming``:
     multi-index hashing over the 64-bit signature (Norouzi, Punjani &
-    Fleet, CVPR 2012 — the q_media_neardup discipline): 4 disjoint
-    16-bit bands, each probing its Hamming-⌊max_hamming/4⌋ ball of XOR
-    masks, then exact bit_count verify.  Generalized pigeonhole: a
-    total distance ≤ max_hamming leaves ≤ ⌊max_hamming/4⌋ errors in
-    some band, so the band-ball join is an exact candidate generator —
-    the r11 f=0 spelling was only exact to Hamming 3 and silently
-    lossy above it ("mostly caught"), which kept the query rows-only;
-    exactness is what lets it carry a DuckDB oracle.
+    Fleet, CVPR 2012 — the q_media_neardup discipline): ``bands``
+    disjoint (64/bands)-bit bands, each probing its
+    Hamming-⌊max_hamming/bands⌋ ball of XOR masks, then exact
+    bit_count verify.  Generalized pigeonhole: a total distance ≤
+    max_hamming leaves ≤ ⌊max_hamming/bands⌋ errors in some band, so
+    the band-ball join is an exact candidate generator for ANY band
+    count dividing 64 — the r11 f=0 spelling was only exact to
+    Hamming 3 and silently lossy above it ("mostly caught"), which
+    kept the query rows-only; exactness is what lets it carry a
+    DuckDB oracle.
 
-    The probe-side explode (4·|ball| keys/item) must not shuffle:
-    the index relation (4 ints/item) broadcasts under the same size
-    gate as multimodal.media_neardup_pairs; above the gate the join
-    falls back to shuffle where MIH still wins once n² dominates."""
+    Band-geometry cost law (r12 verdict #3, A/B'd at the 25× replica
+    — numbers in SCALE.md): probe rows per doc are bands·|ball| (548
+    at 4×16/H2, 72 at 8×8/H1) but candidate pairs per doc scale as
+    Σ probes·n/2^width — the 8-bit key space is 256, so 8×8/H1
+    produces ~0.28·n candidates per doc (quadratic blowup) versus
+    ~0.008·n at 4×16/H2.  The default stays 4×16: probe rows are
+    cheap broadcast-hash lookups, candidate rows each cost a verify
+    join; fewer-probes-more-candidates loses once n clears a few
+    thousand.
+
+    The probe-side explode (bands·|ball| keys/item) must not shuffle:
+    the index relation (bands ints/item) broadcasts under the same
+    size gate as multimodal.media_neardup_pairs; above the gate the
+    join falls back to shuffle where MIH still wins once n²
+    dominates."""
     import math as _math
 
-    bands = 4
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64: got {bands}")
+    width = 64 // bands
     f = max_hamming // bands
-    ball_n = sum(_math.comb(16, j) for j in range(f + 1))
+    ball_n = sum(_math.comb(width, j) for j in range(f + 1))
     if ball_n * bands > 20_000:
         raise ValueError(
             f"max_hamming={max_hamming}: probe ball of {ball_n * bands} "
@@ -935,7 +955,8 @@ def simhash_dedup_pairs(
         )
     from tmp_parquet_merge_spark.operators.multimodal import _ball_masks
 
-    masks = _ball_masks(16, f)
+    masks = _ball_masks(width, f)
+    key_mask = (1 << width) - 1
     sigs = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     n_items = sigs.count()
     small_index = n_items * bands <= 8_000_000
@@ -946,11 +967,11 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(key_mask))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("bk"),

@@ -813,52 +813,109 @@ def winnowing_select(
     *,
     k: int = 8,
     w: int = 8,
+    chunk_positions: int = 4096,
 ) -> DataFrame:
     """The winnowing SELECTION relation: one row per selected
-    fingerprint, (id, npos, mv) where mv = h·2²⁰ + (2²⁰−1−pos) packs
-    the 40-bit k-gram hash and the rightmost-min position.  Shared by
-    :func:`winnowing_fingerprints` (per-doc audit aggregate) and by
+    fingerprint, (id, npos, h, pos) — the 40-bit k-gram hash and its
+    1-based rightmost-min position in the full document.  Shared by
+    :func:`winnowing_fingerprints` (per-doc audit aggregate), by
+    :func:`winnow_overlap_pairs` (the MOSS matching step), and by
     tests that pin the SIGMOD-2003 guarantee on the raw fingerprint
     sets (any shared substring of length ≥ k+w−1 shares a selected
-    hash)."""
+    hash).
+
+    Long documents chunk TRANSPARENTLY (r12 verdict #4 — the previous
+    spelling raise_error'd past 2²⁰ chars, making million-char crawl
+    pages unrunnable): each document splits into chunks of
+    ``chunk_positions`` gram positions with stride ``chunk_positions −
+    (w−1)``, so consecutive chunks overlap by exactly w−1 positions
+    (= w+k−2 chars) and every w-gram window of the original document
+    is evaluated in EXACTLY ONE chunk.  Winnowing is a local algorithm
+    — each window's rightmost-min decision depends only on the hashes
+    inside the window, and relative position order within a window is
+    offset-invariant — so the union of per-chunk selections
+    re-attributed to parent-document positions IS the unchunked
+    selection set, bit for bit (pinned by tests at forced-small chunk
+    sizes and by the hypothesis property suite).
+
+    Chunking is ALSO the cost fix that makes million-char documents
+    practical: ``substr(text, p, k)`` is O(p) in the JVM (UTF8String
+    scans to the char offset), so hashing every position of an
+    L-char document directly is O(L²) — ~10¹² byte-scans at L = 2²⁰.
+    Materializing each chunk's text once (one O(L) substr per chunk)
+    and hashing chunk-locally makes the gram stage O(L·chunk_positions)
+    — linear in document length at fixed chunk size.
+
+    The rightmost-min tie rule stays encoded in one BIGINT over
+    CHUNK-LOCAL positions: v = h·2²⁰ + (2²⁰−1−p_local), with p_local ≤
+    chunk_positions < 2²⁰ by construction — the packing can no longer
+    overflow at any document length; the global position is decoded
+    and re-attributed (offset + local) AFTER the per-chunk window
+    min."""
     from pyspark.sql import Window
 
     pos_cap = 1 << 20
+    if not (w <= chunk_positions < pos_cap):
+        raise ValueError(
+            f"chunk_positions must be in [w, 2^20): got {chunk_positions}"
+            f" (w={w})"
+        )
+    stride = chunk_positions - (w - 1)
     norm = normalize_text(text_col)
-    # the 2^20 position field in v caps documents at ~1M chars; past
-    # it (2^20-1-p) goes NEGATIVE and v decodes to the wrong hash —
-    # fail the task LOUDLY instead of silently corrupting fingerprints
-    # (chunk longer docs upstream: q_chunk_docs).  The guard is fused
-    # INTO the npos column: a separate assert_true column would be
-    # dropped by column pruning and never evaluate.
     raw_npos = F.length(norm) - F.lit(k - 1)
-    npos = F.when(raw_npos < pos_cap, raw_npos).otherwise(
-        F.raise_error(
-            F.lit(
-                f"winnowing_select: document exceeds the {pos_cap - 1}-"
-                "char position field — chunk it before fingerprinting"
-            )
-        ).cast("int")
-    )
     base = df.select(
         F.col(id_col),
         norm.alias("__norm"),
-        npos.alias("npos"),
+        raw_npos.alias("npos"),
     ).filter(F.col("npos") >= w)
-    grams = base.select(
+    # chunk c covers gram positions [c·stride + 1, c·stride + L] with
+    # L = least(chunk_positions, npos − c·stride); the last chunk index
+    # is floor((npos − w) / stride), and every chunk keeps L ≥ w (no
+    # degenerate tails: (n_chunks−1)·stride < npos − w + 1).  The
+    # chunk TEXT is materialized here — one O(doc) substr per chunk —
+    # and __norm is dropped, so the gram explode below carries only
+    # the ~chunk_positions-char slice.
+    c = F.col("c")
+    chunk_len = F.least(
+        F.lit(chunk_positions), F.col("npos") - c * F.lit(stride)
+    )
+    chunks = base.select(
         F.col(id_col),
         "npos",
-        F.explode(F.sequence(F.lit(1), F.col("npos"))).alias("p"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("npos") - F.lit(w)) / F.lit(stride)),
+            )
+        ).alias("c"),
         F.col("__norm"),
     ).select(
         F.col(id_col),
         "npos",
+        (c * F.lit(stride)).alias("off"),
+        chunk_len.alias("L"),
+        F.col("__norm")
+        .substr(c * F.lit(stride) + F.lit(1), chunk_len + F.lit(k - 1))
+        .alias("__chunk"),
+    )
+    grams = chunks.select(
+        F.col(id_col),
+        "npos",
+        "off",
+        "L",
+        F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
+        F.col("__chunk"),
+    ).select(
+        F.col(id_col),
+        "npos",
+        "off",
+        "L",
         "p",
         (
             F.conv(
                 F.substring(
                     F.md5(
-                        F.col("__norm")
+                        F.col("__chunk")
                         .substr(F.col("p"), F.lit(k))
                         .cast("binary")
                     ),
@@ -872,11 +929,22 @@ def winnowing_select(
             + (F.lit(pos_cap - 1) - F.col("p"))
         ).alias("v"),
     )
-    win = Window.partitionBy(id_col).orderBy("p").rowsBetween(0, w - 1)
+    win = (
+        Window.partitionBy(id_col, "off").orderBy("p").rowsBetween(0, w - 1)
+    )
     return (
         grams.withColumn("mv", F.min("v").over(win))
-        .filter(F.col("p") <= F.col("npos") - F.lit(w - 1))
-        .select(F.col(id_col), "npos", "mv")
+        .filter(F.col("p") <= F.col("L") - F.lit(w - 1))
+        .select(
+            F.col(id_col),
+            "npos",
+            F.shiftright("mv", 20).alias("h"),
+            (
+                F.col("off")
+                + F.lit(pos_cap - 1)
+                - (F.col("mv") % F.lit(pos_cap))
+            ).alias("pos"),
+        )
         .distinct()
     )
 
@@ -908,8 +976,9 @@ def winnowing_fingerprints(
     than window-function tie-breaking: v = h·2²⁰ + (2²⁰−1−pos), so
     MIN(v) picks the smallest hash and, among equal hashes, the
     largest position — one deterministic BIGINT min on both engines.
-    (The 2²⁰ position field caps documents at ~1M chars; chunk longer
-    documents upstream — q_chunk_docs — before fingerprinting.)
+    (Documents of ANY length are handled: winnowing_select chunks
+    long documents transparently with w−1-position overlap, which
+    reproduces the unchunked selection exactly — see its docstring.)
 
     Scale shape: one codegen projection per position row (the hash is
     computed BEFORE the per-document window shuffle, so the exchange
@@ -921,10 +990,11 @@ def winnowing_fingerprints(
     sel = winnowing_select(df, text_col, id_col, k=k, w=w)
     return sel.groupBy(id_col, "npos").agg(
         F.count(F.lit(1)).alias("n_fp"),
-        # shiftright, NOT floor(mv / 2^20): `/` is DOUBLE division and
-        # v occupies 60 bits — the 53-bit mantissa drops the low bits
-        # and floors off-by-one (observed: fp_sum drift of 1-6 per doc)
-        F.sum(F.shiftright(F.col("mv"), 20)).alias("fp_sum"),
+        # h is already the decoded 40-bit hash (winnowing_select
+        # decodes via shiftright, NOT floor(mv / 2^20): `/` is DOUBLE
+        # division and v occupies 60 bits — the 53-bit mantissa drops
+        # the low bits and floors off-by-one)
+        F.sum(F.col("h")).alias("fp_sum"),
     ).select(
         F.col(id_col),
         F.col("npos").cast("long").alias("n_grams"),
@@ -1012,7 +1082,7 @@ def winnow_overlap_pairs(
     # sides) — checkpoint the small (id, h) relation so the md5
     # position pipeline runs ONCE, not once per consumer
     fp = (
-        sel.select(F.col(id_col), F.shiftright("mv", 20).alias("h"))
+        sel.select(F.col(id_col), "h")
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -271,6 +271,17 @@ HEADLINE = [
     "q_emb_drift",
     "q_zipf_fit",
     "q_late_data",
+    # round-13 additions: packing-waste audit, T5 span-corruption
+    # plan, per-rule quality-gate matrix, Heaps'-law vocabulary
+    # growth, dedup cluster-size distribution, Benford first-digit
+    # audit, explicit semi-join reduction
+    "q_pad_waste",
+    "q_span_mask",
+    "q_quality_gates",
+    "q_heaps_fit",
+    "q_cluster_stats",
+    "q_benford",
+    "q_semijoin_reduce",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

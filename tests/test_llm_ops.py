@@ -7,7 +7,13 @@ vs brute force, stub plumbing shapes)."""
 import pytest
 from pyspark.sql import functions as F
 
-from tmp_parquet_merge_spark.operators import dedup, multimodal, similarity, text
+from tmp_parquet_merge_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 
 @pytest.fixture(scope="module")
@@ -2091,3 +2097,94 @@ def test_novelty_lsh_no_pairs_in_risky_jaccard_band():
         assert js, f"sf{sf}: corpus should contain cross-side near-dups"
         risky = [j for j in js if j < 0.85]
         assert not risky, f"sf{sf}: pairs in LSH risky band [0.5,0.85): {risky}"
+
+
+def test_pad_waste_arithmetic(spark):
+    """Closed-form fixture: L=64; a 10-token and a 70-token doc in one
+    source -> naive pads 54 + 58; packed needs ceil(80/64)=2 seqs ->
+    pad 48."""
+    rows = [
+        (0, " ".join(["w"] * 10), "s1"),
+        (1, " ".join(["w"] * 70), "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = curation.pad_waste(df, "text", "source", context_len=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.total_tokens, r.pad_naive) == (2, 80, 54 + 58)
+    assert r.pad_packed == 2 * 64 - 80
+    assert r.pad_rate_naive == round(112 / (80 + 112), 6)
+    assert r.pad_rate_packed == round(48 / 128, 6)
+
+
+def test_span_mask_plan_deterministic_and_non_overlapping(spark):
+    """Spans sit one per equal block (non-overlapping by construction),
+    inside the document, and the draw is a pure function of
+    (doc_id, span_idx) — two runs, identical plans."""
+    rows = [(i, " ".join(f"t{j}" for j in range(120))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = {r.doc_id: r for r in curation.span_mask_plan(df, "text", "doc_id").collect()}
+    b = {r.doc_id: r for r in curation.span_mask_plan(df, "text", "doc_id").collect()}
+    for i in a:
+        assert a[i] == b[i]
+        r = a[i]
+        assert r.n_spans == (120 * 15) // 300 == 6
+        assert r.n_masked == 18
+        starts = [int(s) for s in r.span_starts.split(",")]
+        assert len(starts) == 6
+        B = 120 // 6
+        for k, s in enumerate(starts):
+            # span k (0-based) must lie inside block k and fit 3 tokens
+            assert k * B + 1 <= s <= (k + 1) * B - 2
+        # non-overlapping and sorted by construction
+        assert all(s2 - s1 >= 3 for s1, s2 in zip(starts, starts[1:]))
+    # jitter differs across docs (md5 keyed by doc_id)
+    assert len({a[i].span_starts for i in a}) > 1
+
+
+def test_quality_gate_matrix_rules(spark):
+    """Each rule fires on its crafted violator and nothing else."""
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog today", "s"),  # 10 distinct words: clean
+        (1, "the cat and the dog and the bird and the fish sat", "s"),  # 'the'x4 of 12: top-word fires
+        (2, "short words only", "s"),  # too_short + no stopword + top-word (5*1>3)
+        (3, "spam spam spam spam spam the end of it all now", "s"),  # top-word share 5/11
+        (4, " ".join(["nostopword"] * 15), "s"),  # no stopword + top share
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = curation.quality_gate_matrix(df, "text", "doc_id", "source").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5
+    assert r.n_too_short == 1  # doc 2
+    assert r.n_too_long == 0
+    assert r.n_no_stopword == 2  # docs 2 and 4
+    assert r.n_top_word == 4  # docs 1, 2, 3, 4
+    assert r.n_any_violation == 4  # doc 0 is the only clean one
+
+
+def test_benford_digit_extraction_integer_path(spark, sf_dir):
+    """First-digit histogram covers 1-9, shares sum to 1, and the
+    expected shares are the Benford values."""
+    import math
+
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_benford"].build(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.benford_share == round(math.log10(1 + 1 / r.digit), 6)
+
+
+def test_cluster_stats_rollup_consistency(spark, sf_dir):
+    """The size histogram must roll up exactly from the cluster
+    relation: sum(n_docs) = corpus size, sum over sizes of
+    size*n_clusters = sum(n_docs)."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = REGISTRY["q_cluster_stats"].build(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs_n
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters

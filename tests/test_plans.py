@@ -651,3 +651,21 @@ def test_winnow_overlap_no_nested_loop_and_no_text_shuffle(spark, sf_dir):
     for block in plan.split("\n\n"):
         if block.lstrip().startswith("(") and "Exchange" in block.split("\n")[0]:
             assert "__norm" not in block and "text#" not in block
+
+
+def test_semijoin_reduce_prunes_fact_before_join(spark, sf_dir):
+    """The semi-join reduction must appear as a BROADCAST LeftSemi on
+    the fact side BEFORE the real join — only qualifying lineitem rows
+    may enter the join; and no cartesian/nested-loop anywhere."""
+    tree = plan_tree(build("q_semijoin_reduce", spark, sf_dir))
+    assert "LeftSemi" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "Cartesian" not in tree and "NestedLoop" not in tree
+
+
+def test_heaps_fit_vocabulary_bounded(spark, sf_dir):
+    """Heaps fit: the per-type min-agg and the 10-row running sum are
+    the only shuffles; the final fit aggregates exactly 10 rows (no
+    corpus-sized sort)."""
+    tree = plan_tree(build("q_heaps_fit", spark, sf_dir))
+    assert "Cartesian" not in tree and "NestedLoop" not in tree

@@ -45,19 +45,20 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r12 window
-# spends its changed slots (the media-neardup MIH plan change, the two
-# similarity-margin riders, the five scratch-dir roundtrips), then the
-# pinned r7 hash cohort, the two fixed-oracle r11 failures at tier 0,
-# and ~20 r8 fills via the default tier-2 oldest-first sort.  The frontier
-# VALUES live in queries.py (they drive _DRIVER_FIRST itself); the
-# tightness assertions below use the imported values so they can't
-# drift, and the ROUND PIN here keeps the test non-tautological —
+# The oldest evidence round being drained this round: the r13 window
+# spends its 5 changed slots (the winnowing chunk-composition pair,
+# the simhash band parameterization, the two advisor-fix riders), then
+# the pinned 31-query r8 hash cohort (the stalest evidence — r12
+# verdict #1), the 7 r13 additions at tier 0, and ~7 oldest-r9 fills
+# via the default tier-2 oldest-first sort.  The frontier VALUES live
+# in queries.py (they drive _DRIVER_FIRST itself); the tightness
+# assertions below use the imported values so they can't drift, and
+# the ROUND PIN here keeps the test non-tautological —
 # _DRIVER_FIRST is generated from the same constants, so without this
-# pin any fat-fingered frontier (0 pins nothing; 9 pins ~150 queries
+# pin any fat-fingered frontier (0 pins nothing; 10 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (7, 7), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (8, 7), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )

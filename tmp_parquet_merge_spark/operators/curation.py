@@ -540,3 +540,218 @@ def doc_stitch_candidates(
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "bridge")
     )
+
+
+def pad_waste(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    context_len: int = 64,
+) -> DataFrame:
+    """Padding-waste audit for training-sequence layout: per source,
+    the token volume, the pad tokens burned if each document occupies
+    its own ceil(n_tok/L) sequences (the naive one-doc-per-sequence
+    loader), and the packed lower bound (q_pack_sequences' layout —
+    ceil(total/L) sequences).  The gap between the two pad rates is
+    the packing dividend, the number that justifies running the
+    packer at all — on heterogeneous web corpora the naive loader
+    burns 30-60% of FLOPs on pad (the observation behind every
+    sequence-packing scheme since T5).
+
+    Exact integer arithmetic end to end: ceil division is
+    (n + L - 1) div L, rates are single divisions of BIGINT sums —
+    engine-exact.  One scan, |sources|-row hash-agg; no shuffle
+    beyond it."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    L = context_len
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.size(words(text_col)).cast("long").alias("n_tok"),
+    ).select(
+        "source",
+        "n_tok",
+        # ceil(n_tok / L) * L - n_tok, spelled in integer div
+        (
+            F.expr(f"(n_tok + {L - 1}) div {L}") * F.lit(L) - F.col("n_tok")
+        ).alias("pad_naive"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("pad_naive").alias("pad_naive"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "pad_naive",
+        F.round(
+            F.col("pad_naive") / (F.col("total_tokens") + F.col("pad_naive")),
+            6,
+        ).alias("pad_rate_naive"),
+        (
+            F.expr(f"(total_tokens + {L - 1}) div {L}") * F.lit(L)
+            - F.col("total_tokens")
+        ).alias("pad_packed"),
+        F.round(
+            (
+                F.expr(f"(total_tokens + {L - 1}) div {L}") * F.lit(L)
+                - F.col("total_tokens")
+            )
+            / (
+                F.expr(f"(total_tokens + {L - 1}) div {L}") * F.lit(L)
+            ),
+            6,
+        ).alias("pad_rate_packed"),
+    )
+
+
+def span_mask_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    mask_ratio_pct: int = 15,
+    span_len: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): for
+    each document, the deterministic set of non-overlapping spans the
+    denoising objective would mask — n_spans = floor(n_tok ·
+    ratio / span_len) spans of ``span_len`` tokens, one per equal
+    block of the document, jittered within its block by a pure
+    md5(doc_id, span_index) function.  Emitting the PLAN (span starts,
+    masked-token count, realized mask fraction) rather than mutated
+    text keeps the output compact and engine-exact, and makes the
+    draw reproducible across runs, engines, and corpus growth — the
+    same determinism contract as q_split_assign / q_dsir_sample.
+
+    All arithmetic is integer (block partition + md5-hash jitter mod
+    the block slack); the starts column is a comma-joined string in
+    span order so the driver hash never sees an array cell.  One scan,
+    no shuffle."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    n_tok = F.size(words(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+        F.floor((n_tok * mask_ratio_pct) / F.lit(100 * span_len)).alias(
+            "n_spans"
+        ),
+    )
+    # block b (1-based) of n_spans equal blocks starts at
+    # (b-1)*B + 1 with B = n_tok div n_spans; the span starts at
+    # block_start + jitter, jitter = md5int(id, b) % (B - span_len + 1)
+    starts = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_spans")),
+            lambda b: (
+                (b - 1) * F.expr("n_tok div n_spans")
+                + 1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col(id_col).cast("string"),
+                                b.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (F.expr("n_tok div n_spans") - F.lit(span_len) + 1)
+            ).cast("string"),
+        ),
+        ",",
+    )
+    return base.select(
+        F.col(id_col),
+        "n_tok",
+        "n_spans",
+        (F.col("n_spans") * span_len).alias("n_masked"),
+        F.round((F.col("n_spans") * span_len) / F.col("n_tok"), 6).alias(
+            "mask_frac"
+        ),
+        F.when(F.col("n_spans") > 0, starts)
+        .otherwise(F.lit(""))
+        .alias("span_starts"),
+    )
+
+
+def quality_gate_matrix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Per-source rule-level quality-gate violation matrix — the
+    observability complement of q_curation_pipeline's single verdict:
+    how often each Gopher-style rule fires per source, so a corpus
+    owner sees WHICH gate is eating a source before retuning
+    thresholds (Rae et al. 2021 Table A1 ships exactly this per-rule
+    accounting).
+
+    Rules are spelled in exact integer cross-multiplication so no
+    float ratio is ever compared: mean word length outside [2, 12]
+    ⇔ chars < 2·words or chars > 12·words; top-word share > 20%
+    ⇔ 5·max_count > words.  One explode pass → per-doc hash-agg →
+    |sources|-row rollup; vocabulary never leaves the doc grain."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("source"),
+        F.explode(words(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    per_word = tok.groupBy("doc", "source", "w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("w")).alias("chars"),
+    )
+    per_doc = per_word.groupBy("doc", "source").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum("chars").alias("n_chars"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(
+            F.when(F.col("w").isin("the", "a", "of", "and", "to"), F.col("cnt"))
+            .otherwise(0)
+        ).alias("n_stop"),
+    )
+    flags = per_doc.select(
+        "source",
+        F.when(F.col("n_words") < 10, 1).otherwise(0).alias("v_too_short"),
+        F.when(F.col("n_words") > 1000, 1).otherwise(0).alias("v_too_long"),
+        F.when(
+            (F.col("n_chars") < 2 * F.col("n_words"))
+            | (F.col("n_chars") > 12 * F.col("n_words")),
+            1,
+        )
+        .otherwise(0)
+        .alias("v_word_len"),
+        F.when(5 * F.col("max_cnt") > F.col("n_words"), 1)
+        .otherwise(0)
+        .alias("v_top_word"),
+        F.when(F.col("n_stop") == 0, 1).otherwise(0).alias("v_no_stopword"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v_too_short").alias("n_too_short"),
+        F.sum("v_too_long").alias("n_too_long"),
+        F.sum("v_word_len").alias("n_word_len"),
+        F.sum("v_top_word").alias("n_top_word"),
+        F.sum("v_no_stopword").alias("n_no_stopword"),
+        F.sum(
+            F.greatest(
+                "v_too_short",
+                "v_too_long",
+                "v_word_len",
+                "v_top_word",
+                "v_no_stopword",
+            )
+        ).alias("n_any_violation"),
+    )

@@ -1126,3 +1126,77 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def heaps_fit(
+    df: DataFrame, text_col: str, id_col: str, *, buckets: int = 10
+) -> DataFrame:
+    """Heaps'-law corpus-health fit — the vocabulary-GROWTH companion
+    of :func:`zipf_fit`'s frequency fit: V(n) ≈ K·n^β, estimated as
+    the OLS slope/intercept of ln(cumulative distinct types) against
+    ln(cumulative tokens) at ``buckets`` corpus prefixes (deciles of
+    the doc_id order).  Natural language fits β ≈ 0.4–0.6 (Heaps
+    1978); β → 0 flags a closed template vocabulary, β → 1 flags
+    id/hash spam — the two corpus pathologies a crawl pipeline wants
+    an alarm for before tokenizer training.
+
+    Scale shape: cumulative TYPES need no per-prefix distinct — each
+    type is counted once at the bucket of its FIRST occurrence
+    (min doc_id per word, a vocabulary-bounded hash-agg), then a
+    ``buckets``-row running sum; cumulative tokens are a per-doc count
+    rolled up the same way.  Requires dense 0..n−1 doc ids for the
+    equal-width bucketing (the bundled corpus contract; assert in the
+    caller otherwise).  regr_slope/regr_intercept over ``buckets``
+    rows — same single-rounding parity contract as zipf_fit."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    b = buckets
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(words(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    # tokens per bucket
+    tok_b = tok.groupBy(
+        F.expr(f"doc * {b} div {n_docs}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("toks"))
+    # new types per bucket (bucket of each type's first occurrence)
+    first = tok.groupBy("w").agg(F.min("doc").alias("first_doc"))
+    new_b = first.groupBy(
+        F.expr(f"first_doc * {b} div {n_docs}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = (
+        tok_b.join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(win).alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(win)
+            .alias("cum_types"),
+        )
+    )
+    # + 0.0 canonicalizes IEEE signed zero: a saturated vocabulary
+    # (every type seen in bucket 0) fits slope -0.0 in DuckDB vs 0.0
+    # here, and the driver hashes '-0' != '0' (the q_column_stats
+    # lesson) — the addition is an exact no-op for every other value
+    return pts.agg(
+        (
+            F.round(
+                F.expr("regr_slope(ln(cum_types), ln(cum_tokens))"), 6
+            )
+            + F.lit(0.0)
+        ).alias("heaps_beta"),
+        (
+            F.round(
+                F.expr("regr_intercept(ln(cum_types), ln(cum_tokens))"), 6
+            )
+            + F.lit(0.0)
+        ).alias("heaps_lnk"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("cum_tokens").alias("n_tokens"),
+        F.max("cum_types").alias("n_types"),
+    )

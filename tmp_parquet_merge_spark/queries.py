@@ -1399,38 +1399,11 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    7: (
-        "q_agg_argmax",
-        "q_agg_collect",
-        "q_bpe_merge",
-        "q_csv_roundtrip",
-        "q_curation_pipeline",
-        "q_dedup_canonical",
-        "q_grouped_apply",
-        "q_grouping_sets",
-        "q_join_asof_forward",
-        "q_join_asof_nearest",
-        "q_json_roundtrip",
-        "q_pagerank",
-        "q_salted_join",
-        "q_sql_tpch_q6",
-        "q_stateful_profile",
-        "q_stream_upsert",
-        "q_udf_pandas",
-        "q_union_files",
-        "q_unpivot",
-        "q_upsert",
-        "q_window_ntile",
-        "q_window_session",
-    ),
     8: (
         "q_anomaly_mad",
         "q_anomaly_zscore",
         "q_cdc_apply",
         "q_collocations",
-        "q_dedup_embedding",
-        "q_dedup_prefix",
-        "q_entropy",
         "q_ewma",
         "q_funnel",
         "q_gapfill",
@@ -1438,11 +1411,7 @@ _HASH_GREEN_BY_ROUND = {
         "q_lm_score",
         "q_media_dedup",
         "q_media_metadata",
-        "q_merge_compaction",
-        "q_merge_incremental",
-        "q_metadata_stats",
         "q_mix_rebalance",
-        "q_ngram_freq",
         "q_novelty",
         "q_pack_sequences",
         "q_pivot",
@@ -1454,8 +1423,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_salted_agg",
         "q_sample_reservoir",
         "q_sample_weighted",
-        "q_scalar_json",
-        "q_scalar_map",
         "q_scd2_build",
         "q_sessionize",
         "q_source_overlap",
@@ -1464,8 +1431,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_sql_tpch_q10",
         "q_vector_norm",
         "q_vocab",
-        "q_window_running",
-        "q_window_tumbling",
     ),
     9: (
         "q_agg_basic",
@@ -1473,7 +1438,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_agg_rollup",
         "q_ann_lsh",
         "q_attribution",
-        "q_binary_ingest",
         "q_column_stats",
         "q_contamination",
         "q_dedup_containment",
@@ -1531,7 +1495,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_lang_id",
         "q_lang_id_eval",
         "q_lateral_topn",
-        "q_orc_roundtrip",
         "q_percentiles",
         "q_profile",
         "q_project_one",
@@ -1572,7 +1535,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_dedup_cluster_lsh",
         "q_dedup_editdist",
         "q_dedup_editdist_lsh",
-        "q_dedup_embedding_lsh",
         "q_dedup_minhash",
         "q_dedup_segments",
         "q_dpp_join",
@@ -1584,7 +1546,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_join_asof",
         "q_join_outer",
         "q_lm_bigram",
-        "q_media_neardup",
         "q_merge_files",
         "q_merge_schema_evolution",
         "q_mix_temperature",
@@ -1604,12 +1565,62 @@ _HASH_GREEN_BY_ROUND = {
         "q_sql_scalar_subquery",
         "q_sql_tpch_q3",
         "q_table_diff",
-        "q_text_roundtrip",
         "q_text_stats",
         "q_token_count",
         "q_triangle_count",
         "q_typed_roundtrip",
         "q_zorder_layout",
+    ),
+    12: (
+        "q_agg_argmax",
+        "q_agg_collect",
+        "q_binary_ingest",
+        "q_bpe_merge",
+        "q_csv_roundtrip",
+        "q_curation_pipeline",
+        "q_dedup_canonical",
+        "q_dedup_embedding",
+        "q_dedup_embedding_lsh",
+        "q_dedup_prefix",
+        "q_dedup_simhash",
+        "q_doc_stitch",
+        "q_emb_drift",
+        "q_entropy",
+        "q_grouped_apply",
+        "q_grouped_apply_moments",
+        "q_grouping_sets",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_json_roundtrip",
+        "q_late_data",
+        "q_media_neardup",
+        "q_merge_compaction",
+        "q_merge_incremental",
+        "q_metadata_stats",
+        "q_ngram_freq",
+        "q_novelty_lsh",
+        "q_orc_roundtrip",
+        "q_pagerank",
+        "q_salted_join",
+        "q_scalar_json",
+        "q_scalar_map",
+        "q_shard_balance",
+        "q_sql_tpch_q6",
+        "q_stateful_profile",
+        "q_stream_upsert",
+        "q_text_roundtrip",
+        "q_tokenizer_fertility",
+        "q_udf_pandas",
+        "q_union_files",
+        "q_unpivot",
+        "q_upsert",
+        "q_window_ntile",
+        "q_window_running",
+        "q_window_session",
+        "q_window_tumbling",
+        "q_winnow_overlap",
+        "q_winnowing",
+        "q_zipf_fit",
     ),
 }
 _ROWS_SEEN_BY_ROUND = {
@@ -1619,9 +1630,11 @@ _ROWS_SEEN_BY_ROUND = {
     ),
     10: (
         "q_agg_sketch",
-        "q_dedup_semantic",
         "q_hll_rollup",
         "q_kmeans",
+    ),
+    12: (
+        "q_dedup_semantic",
     ),
 }
 _HASH_GREEN = frozenset(n for ns in _HASH_GREEN_BY_ROUND.values() for n in ns)
@@ -1633,54 +1646,33 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 12) and therefore re-queued regardless
-# of past evidence.  (The full r11 change set re-evidenced in
-# CORRECTNESS_r11 and is folded into the tables above; the two r11
-# driver hash FAILURES — q_tokenizer_fertility / q_shard_balance,
-# bare SUM(BIGINT) oracle columns that DuckDB HUGEINT->float64
-# converted apart from Spark's int64 — are absent from the ledger and
-# queue at tier 0 automatically, now carrying the CAST(... AS BIGINT)
-# oracle fix.)
+# Changed in THIS round (round 13) and therefore re-queued regardless
+# of past evidence.  (The full r12 change set re-evidenced in
+# CORRECTNESS_r12 and is folded into the tables above; CORRECTNESS_r12
+# was 49 hash-green + 1 rows-only, 0 failures.)
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_media_neardup — r12 plan-only change: the banded
-        #    candidate join generalized to multi-index hashing
-        #    (Norouzi et al. 2012; 4 16-bit bands probing Hamming-2
-        #    balls instead of 11 1-key 5.8-bit bands).  Pigeonhole
-        #    exactness holds for the same radius, so the pair set is
-        #    identical and the oracle unchanged (equality test-pinned
-        #    across band configs) — but the candidate generator is new
-        #    code and must re-prove under the driver.
-        "q_media_neardup",
-        #  * q_dedup_embedding_lsh / q_dedup_semantic — r12 advisor
-        #    fixes in operators/similarity.py: the exact-scan
-        #    pre-filter margin now admits the round-up window
-        #    (threshold - 0.5*10^-round_to) so boundary pairs cannot
-        #    be masked before the einsum+round re-verify, and
-        #    _bg_candidate_frac sums the full Hamming ball for
-        #    probe_flips >= 2.  Output-invariant on bundled data, but
-        #    the regime-switch code both queries ride changed.
-        "q_dedup_embedding_lsh",
-        "q_dedup_semantic",
-        #  * q_dedup_simhash — r12 EXACTNESS GRADUATION: token hash
-        #    moved xxhash64 → md5-pieces (DuckDB-spellable), candidate
-        #    join generalized to multi-index hashing (4 16-bit bands ×
-        #    Hamming-2 balls, pigeonhole-exact for radius 8 where the
-        #    r11 banding silently lost distances 4-8), and the query
-        #    now carries a full DuckDB oracle (signatures recomputed in
-        #    SQL, exact all-pairs verify).  Its r9 rows-only evidence
-        #    certified the lossy code; it re-queues as oracle-backed.
+        #  * q_winnowing / q_winnow_overlap — r13 (r12 verdict #4):
+        #    winnowing_select now chunks long documents transparently
+        #    (stride = chunk_positions-(w-1) overlap; selection set
+        #    proven identical at forced-small chunk sizes) and returns
+        #    decoded (h, pos) columns instead of the packed mv.  The
+        #    emitted rows are unchanged on bundled data, but the
+        #    selection relation both queries ride is new code.
+        "q_winnowing",
+        "q_winnow_overlap",
+        #  * q_dedup_simhash — r13: simhash_dedup_pairs band geometry
+        #    parameterized (bands= any divisor of 64) for the r12
+        #    verdict #3 A/B; default 4x16/H2 path re-spelled through
+        #    the generalized width/key-mask arithmetic.
         "q_dedup_simhash",
-        #  * roundtrip family — r12 scratch-dir reuse (per-process
-        #    cached temp dir instead of a fresh mkdtemp per build;
-        #    q_binary_ingest also clears stale fixture files).  The
-        #    emitted rows are unchanged, but the build path is new
-        #    code per the evidence-certifies-the-code rule.
-        "q_csv_roundtrip",
-        "q_orc_roundtrip",
-        "q_json_roundtrip",
-        "q_text_roundtrip",
-        "q_binary_ingest",
+        #  * q_emb_drift — r13 advisor fix: n_ref/n_cur via F.max
+        #    (was nondeterministic F.first; oracle spells MAX).
+        "q_emb_drift",
+        #  * q_late_data — r13 advisor fix: _interval_us now validates
+        #    the interval unit with a diagnostic ValueError; same
+        #    emitted plan, new code path.
+        "q_late_data",
     }
 )
 
@@ -1695,19 +1687,19 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-12 window plan (r11 verdict "Next round" #3): the risk
-# surface is evidence staleness plus the r12 change set.  Changed
-# queries lead (8: the media-neardup MIH plan change, the two
-# similarity-margin riders, the five scratch-dir roundtrips), then the
-# 22-query r7 hash cohort drains (minus the two roundtrips already in
-# the changed set), then tier 0 queues the two never-evidenced r11
-# failures (now carrying their fixed oracles) plus the three r12
-# additions (q_winnowing, q_zipf_fit, q_late_data), and the remaining
-# ~17 slots fill with the oldest r8 greens via the default tier-2
-# oldest-first sort.
-# The displaced r8 tail rotates into round 13.  Rows-only evidence is
-# r9/r10 — fresh enough to wait, so no rows pin.
-_HASH_DRAIN_FRONTIER = 7
+# Round-13 window plan (r12 verdict "Next round" #1): evidence
+# staleness is the only decaying evidence class — the 31-query r8 hash
+# cohort is the stalest, so the frontier moves to 8 and the whole
+# cohort drains this round.  Order: the 5 changed queries lead (the
+# winnowing chunk composition pair, the simhash band
+# parameterization, the two advisor-fix riders), then the 31 r8
+# greens, then tier 0 queues the 7 r13 additions (q_pad_waste,
+# q_span_mask, q_quality_gates, q_heaps_fit, q_cluster_stats,
+# q_benford, q_semijoin_reduce), and the remaining ~7 slots fill with
+# the oldest r9 greens via the default tier-2 oldest-first sort.  The
+# displaced r9 tail rotates into round 14.  Rows-only evidence is
+# r9/r10/r12 — fresh enough to wait, so no rows pin.
+_HASH_DRAIN_FRONTIER = 8
 _ROWS_DRAIN_FRONTIER = 7
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)

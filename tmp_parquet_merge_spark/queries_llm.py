@@ -3458,3 +3458,232 @@ def q_emb_drift(spark, sf_dir):
     is one posexplode pass → (labels×2×dim)-row hash-agg →
     |labels|-row assembly (operators/similarity.py::embedding_drift)."""
     return similarity.embedding_drift(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_pad_waste",
+    oracle=r"""
+        WITH d AS (
+            SELECT source,
+                   len(string_split(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'), ' ')) AS n_tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM((n_tok + 63) // 64 * 64 - n_tok) AS BIGINT)
+                       AS pad_naive
+            FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, total_tokens, pad_naive,
+               round(CAST(pad_naive AS DOUBLE)
+                     / (total_tokens + pad_naive), 6) AS pad_rate_naive,
+               CAST((total_tokens + 63) // 64 * 64 - total_tokens
+                    AS BIGINT) AS pad_packed,
+               round(CAST((total_tokens + 63) // 64 * 64 - total_tokens
+                          AS DOUBLE)
+                     / ((total_tokens + 63) // 64 * 64), 6)
+                   AS pad_rate_packed
+        FROM agg
+    """,
+)
+def q_pad_waste(spark, sf_dir):
+    """Padding-waste audit per source: pad tokens burned by the naive
+    one-doc-per-sequence loader at context 64 vs the packed lower
+    bound — the packing dividend that justifies q_pack_sequences.
+    Exact integer ceil-division arithmetic end to end; one scan +
+    |sources|-row hash-agg (operators/curation.py::pad_waste)."""
+    return curation.pad_waste(
+        t(spark, sf_dir, "documents"), "text", "source", context_len=64
+    )
+
+
+@query(
+    "q_span_mask",
+    oracle=r"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'), ' ')) AS n_tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_tok, (n_tok * 15) // 300 AS n_spans
+            FROM d
+        )
+        SELECT doc_id, n_tok, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_spans * 3 AS BIGINT) AS n_masked,
+               round(CAST(n_spans * 3 AS DOUBLE) / n_tok, 6) AS mask_frac,
+               CASE WHEN n_spans > 0 THEN array_to_string(
+                   list_transform(generate_series(1, n_spans), s ->
+                       CAST((s - 1) * (n_tok // n_spans) + 1
+                            + (('0x' || substring(md5(
+                                  CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(s AS VARCHAR)), 1, 8))::BIGINT
+                               % (n_tok // n_spans - 2)) AS VARCHAR)),
+                   ',') ELSE '' END AS span_starts
+        FROM b
+    """,
+)
+def q_span_mask(spark, sf_dir):
+    """T5-style span-corruption PLAN (Raffel et al. 2020): per doc the
+    deterministic non-overlapping mask spans — floor(n_tok·0.15/3)
+    spans of 3 tokens, one per equal block, jittered inside its block
+    by a pure md5(doc_id, span_idx) function, so the draw is
+    reproducible across runs, engines, and corpus growth (the
+    q_split_assign determinism contract).  Integer arithmetic only;
+    starts emitted as a CSV string so the driver hash never sees an
+    array cell (operators/curation.py::span_mask_plan)."""
+    return curation.span_mask_plan(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        mask_ratio_pct=15, span_len=3,
+    )
+
+
+@query(
+    "q_quality_gates",
+    oracle=r"""
+        WITH t0 AS (
+            SELECT doc_id, source,
+                   unnest(string_split(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ),
+        t1 AS (SELECT * FROM t0 WHERE w <> ''),
+        pw AS (
+            SELECT doc_id, source, w, COUNT(*) AS cnt,
+                   SUM(len(w)) AS chars
+            FROM t1 GROUP BY 1, 2, 3
+        ),
+        pd AS (
+            SELECT doc_id, source, SUM(cnt) AS n_words,
+                   SUM(chars) AS n_chars, MAX(cnt) AS max_cnt,
+                   SUM(CASE WHEN w IN ('the','a','of','and','to')
+                       THEN cnt ELSE 0 END) AS n_stop
+            FROM pw GROUP BY 1, 2
+        ),
+        fl AS (
+            SELECT source,
+                   CASE WHEN n_words < 10 THEN 1 ELSE 0 END AS v1,
+                   CASE WHEN n_words > 1000 THEN 1 ELSE 0 END AS v2,
+                   CASE WHEN n_chars < 2 * n_words
+                          OR n_chars > 12 * n_words
+                        THEN 1 ELSE 0 END AS v3,
+                   CASE WHEN 5 * max_cnt > n_words THEN 1 ELSE 0 END AS v4,
+                   CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS v5
+            FROM pd
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(v1) AS BIGINT) AS n_too_short,
+               CAST(SUM(v2) AS BIGINT) AS n_too_long,
+               CAST(SUM(v3) AS BIGINT) AS n_word_len,
+               CAST(SUM(v4) AS BIGINT) AS n_top_word,
+               CAST(SUM(v5) AS BIGINT) AS n_no_stopword,
+               CAST(SUM(GREATEST(v1, v2, v3, v4, v5)) AS BIGINT)
+                   AS n_any_violation
+        FROM fl GROUP BY source
+    """,
+)
+def q_quality_gates(spark, sf_dir):
+    """Per-source rule-level quality-gate violation matrix — which
+    Gopher-style gate fires how often per source (Rae et al. 2021
+    Table A1's per-rule accounting), the observability complement of
+    q_curation_pipeline's single verdict.  Every rule is an exact
+    integer cross-multiplication (mean word length bounds ⇔ chars vs
+    2·/12·words; top-word share > 20% ⇔ 5·max_cnt > words) — no float
+    thresholds to drift cross-engine
+    (operators/curation.py::quality_gate_matrix)."""
+    return curation.quality_gate_matrix(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
+@query(
+    "q_heaps_fit",
+    oracle=f"""
+        WITH {_W},
+        tk0 AS (SELECT doc_id, unnest(ws) AS w FROM w),
+        tk AS (SELECT * FROM tk0 WHERE w <> ''),
+        n AS (SELECT COUNT(*) AS nd FROM documents),
+        tb AS (
+            SELECT doc_id * 10 // nd AS bucket, COUNT(*) AS toks
+            FROM tk, n GROUP BY 1
+        ),
+        fw AS (SELECT w, MIN(doc_id) AS first_doc FROM tk GROUP BY 1),
+        nb AS (
+            SELECT first_doc * 10 // nd AS bucket,
+                   COUNT(*) AS new_types
+            FROM fw, n GROUP BY 1
+        ),
+        pts AS (
+            SELECT tb.bucket,
+                   SUM(toks) OVER (ORDER BY tb.bucket) AS cum_tokens,
+                   SUM(COALESCE(new_types, 0)) OVER (ORDER BY tb.bucket)
+                       AS cum_types
+            FROM tb LEFT JOIN nb USING (bucket)
+        )
+        SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 6) + 0.0
+                   AS heaps_beta,
+               round(regr_intercept(ln(cum_types), ln(cum_tokens)), 6) + 0.0
+                   AS heaps_lnk,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(MAX(cum_tokens) AS BIGINT) AS n_tokens,
+               CAST(MAX(cum_types) AS BIGINT) AS n_types
+        FROM pts
+    """,
+)
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit — the companion corpus-health
+    alarm to q_zipf_fit: OLS of ln(cumulative types) vs ln(cumulative
+    tokens) at 10 corpus-prefix deciles.  β ≈ 0.4–0.6 for natural
+    language; → 0 flags a closed template vocabulary, → 1 flags
+    id/hash spam.  Cumulative types without per-prefix distinct: each
+    type counts once at the bucket of its FIRST occurrence
+    (vocabulary-bounded min-agg), then a 10-row running sum
+    (operators/text.py::heaps_fit)."""
+    return text.heaps_fit(
+        t(spark, sf_dir, "documents"), "text", "doc_id", buckets=10
+    )
+
+
+@query(
+    "q_cluster_stats",
+    oracle=f"""
+        SELECT size AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(size) AS BIGINT) AS n_docs
+        FROM (
+            SELECT cluster_id, COUNT(*) AS size
+            FROM ({_CLUSTER_ORACLE}) c
+            GROUP BY 1
+        ) s
+        GROUP BY 1
+    """,
+)
+def q_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup observability
+    rollup every production dedup run reports before applying survivor
+    selection (how much of the corpus sits in 2-member pairs vs
+    100-member re-crawl storms decides whether keep-longest is safe or
+    a template cluster needs manual review).  Reuses the exact-pair
+    connected-components pipeline of q_dedup_cluster (capped exact
+    twin; the LSH pipeline is the uncapped path) and adds two bounded
+    hash-aggs: |clusters| rows, then |distinct sizes| rows."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+    )
+    clusters = dedup.dedup_clusters(pairs, docs, "doc_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy(F.col("size").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("n_docs"),
+    )

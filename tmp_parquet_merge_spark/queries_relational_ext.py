@@ -2804,3 +2804,108 @@ def q_dq_audit(spark, sf_dir):
     for part in (fk2, uniq, rng, nonempty):
         out = out.unionByName(part)
     return out
+
+
+@query(
+    "q_benford",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit
+            FROM orders
+        ),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / total, 6) AS share,
+               round(log10(1 + 1.0 / digit), 6) AS benford_share,
+               round(pow(CAST(n AS DOUBLE) / total
+                         - log10(1 + 1.0 / digit), 2)
+                     / log10(1 + 1.0 / digit), 6) AS chi_term
+        FROM c, tot
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-data / generator-bug alarm for financial
+    fact tables (Benford 1938; Nigrini's forensic-accounting use):
+    per digit 1-9 the observed share vs the log10(1+1/d) expectation
+    and the chi-square contribution.  The digit is derived through
+    EXACT integer paths (floor → BIGINT → first character) — never by
+    stringifying a float (engine float formatting differs) and never
+    via log10(x) bucketing (1-ulp boundary flips at powers of ten).
+    One scan, 9-row hash-agg, broadcast 1-row total."""
+    o = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    per = o.select(digit.alias("digit"))
+    counts = per.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = per.agg(F.count(F.lit(1)).alias("total"))
+    share = F.col("n") / F.col("total")
+    expected = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(F.pow(share - expected, F.lit(2)) / expected, 6).alias(
+            "chi_term"
+        ),
+    )
+
+
+@query(
+    "q_semijoin_reduce",
+    oracle="""
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    """,
+)
+def q_semijoin_reduce(spark, sf_dir):
+    """Semi-join reduction — the classic distributed-join technique
+    (Bernstein & Chiu 1981) spelled explicitly: before the
+    lineitem⋈orders shuffle join, the fact side is pre-filtered by a
+    BROADCAST LEFT SEMI join on the filtered dimension's distinct
+    keys, so only qualifying fact rows (~1/5 here) ever enter the
+    join exchange.  At 100 TB this is the difference between
+    shuffling the full lineitem and shuffling the selectivity
+    fraction; Spark's own DPP does this for PARTITION keys only —
+    this is the row-grain version for non-partition predicates.
+    Semantically a no-op (the oracle is the plain join), plan-asserted
+    in tests: LeftSemi + BroadcastHashJoin before the exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select(F.col("o_orderkey").alias("__k")).distinct()
+    reduced = li.join(
+        F.broadcast(keys),
+        li["l_orderkey"] == F.col("__k"),
+        "left_semi",
+    )
+    joined = reduced.join(o, reduced["l_orderkey"] == o["o_orderkey"])
+    return (
+        joined.groupBy(
+            # TIMESTAMP (not DATE) on BOTH sides: DuckDB's
+            # date_trunc('month', ts) yields DATE, which fetchdf turns
+            # into datetime64 ('...T00:00:00') while Spark DATE cells
+            # isoformat as '1995-01-01' — a driver hash mismatch that
+            # check_oracle's normalizer masks but driver_sim catches
+            F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -282,6 +282,8 @@ HEADLINE = [
     "q_cluster_stats",
     "q_benford",
     "q_semijoin_reduce",
+    "q_graph_degree",
+    "q_ab_assign",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

@@ -341,3 +341,36 @@ def test_join_asof_tolerance_gates_stale_matches(spark, sf_dir):
             assert tol[eid] == (None, None), eid
             gated += 1
     assert kept and gated  # both behaviors exercised on the bundled data
+
+
+def test_graph_degree_handshake_invariant(spark, sf_dir):
+    """Σ degree·n_nodes = 2·|edges| (handshake lemma) and every degree
+    is ≥ 1 (isolated nodes never enter the edge relation)."""
+    from tmp_parquet_merge_spark.operators import graph
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_graph_degree"].build(spark, sf_dir).collect()
+    assert rows and all(r.degree >= 1 for r in rows)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_edges = (
+        graph.cooccurrence_pairs(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+        )
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert sum(r.degree * r.n_nodes for r in rows) == 2 * n_edges
+
+
+def test_ab_assign_deterministic_partition(spark, sf_dir):
+    """The arms partition the user set deterministically: two builds
+    agree exactly, and n_users sums to the distinct-user count."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["q_ab_assign"].build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["q_ab_assign"].build(spark, sf_dir).collect()))
+    assert a == b
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r[1] for r in a) == ev.select("user_id").distinct().count()
+    assert {r[0] for r in a} == {"control", "treatment"}

@@ -2909,3 +2909,105 @@ def q_semijoin_reduce(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lp a JOIN lp b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT a AS node, b AS nbr FROM e
+            UNION ALL
+            SELECT b, a FROM e
+        ),
+        deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY 1)
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
+    """,
+)
+def q_graph_degree(spark, sf_dir):
+    """Degree distribution of the co-purchase graph — the graph
+    observability rollup that decides every downstream graph plan
+    (a power-law tail means the PageRank/triangle joins need skew
+    handling on the hub nodes; a flat distribution means plain hash
+    joins are fine).  Edges are the DISTINCT co-occurrence pairs
+    (array-local expansion, one shuffle on l_orderkey); degree = the
+    distinct-neighbor count via a symmetrized union + hash-agg; the
+    histogram is a second |distinct degrees|-row agg.  Output is
+    bounded by the degree support, independent of corpus size."""
+    from tmp_parquet_merge_spark.operators import graph
+
+    edges = (
+        graph.cooccurrence_pairs(
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            "l_orderkey",
+            "l_partkey",
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "q_ab_assign",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, event_id, value,
+                   CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                                 1, 8))::BIGINT % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS arm
+            FROM events
+        )
+        SELECT arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_value
+        FROM u GROUP BY arm
+    """,
+)
+def q_ab_assign(spark, sf_dir):
+    """Deterministic A/B experiment assignment + per-arm metric
+    readout: users hash into control/treatment by md5(user_id) — the
+    assignment is a pure function of the unit id (no RNG, no
+    assignment table to store or join), stable under re-runs and new
+    data, which is what makes the experiment analyzable from raw
+    events alone (the q_split_assign determinism contract applied to
+    experimentation).  Per-arm metrics: distinct users, event count,
+    decimal-exact value total, mean value per event.  One scan; the
+    distinct-user count is the only two-phase agg."""
+    e = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    return (
+        e.select(arm.alias("arm"), "user_id", "value")
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+        )
+    )

@@ -284,6 +284,8 @@ HEADLINE = [
     "q_semijoin_reduce",
     "q_graph_degree",
     "q_ab_assign",
+    "q_heavy_hitters",
+    "q_bloom_novelty",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

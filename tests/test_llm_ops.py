@@ -2188,3 +2188,66 @@ def test_cluster_stats_rollup_consistency(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == docs_n
     for r in rows:
         assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_cms_overestimate_one_sided(spark, sf_dir):
+    """The count-min invariant: est >= exact for EVERY reported token
+    (one-sided error), and the estimates are deterministic across
+    builds."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["q_heavy_hitters"].build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["q_heavy_hitters"].build(spark, sf_dir).collect()))
+    assert a == b and len(a) == 20
+    for token, exact_cnt, cms_est, over in a:
+        assert cms_est >= exact_cnt
+        assert over == cms_est - exact_cnt
+
+
+def test_cms_exact_on_sparse_fixture(spark):
+    """With vocabulary << width the buckets rarely collide: every
+    estimate equals its exact count on a tiny corpus."""
+    rows = [(i, f"tok{i} tok{i} filler{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = text.cms_heavy_hitters(df, "text", "doc_id", top_k=10).collect()
+    assert out and all(r.overestimate == 0 for r in out)
+
+
+def test_bloom_novelty_no_false_negatives(spark, sf_dir):
+    """Bloom's contract: every exact duplicate MUST be flagged
+    maybe_seen (no false negatives); false_positive is exactly the
+    maybe_seen - seen_exact gap; and the gate is deterministic."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_bloom_novelty"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.seen_exact == 1:
+            assert r.maybe_seen == 1, f"false negative at doc {r.doc_id}"
+        assert r.false_positive == (1 if (r.maybe_seen and not r.seen_exact) else 0)
+
+
+def test_bloom_novelty_planted_duplicate(spark):
+    """A planted exact cross-side duplicate must flag maybe_seen=1 AND
+    seen_exact=1; a unique doc must be seen_exact=0 (and, at m=2^14
+    with 2 old docs, maybe_seen=0 — 3 specific bits colliding by
+    chance is ~(6/16384)^3)."""
+    rows = [
+        (0, "the shared crawl page body"),      # old
+        (2, "some other existing document"),    # old
+        (1, "the shared crawl page body"),      # new: exact dup of 0
+        (3, "a genuinely novel document here"), # new: novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r
+        for r in dedup.bloom_novelty(
+            df.filter(F.col("doc_id") % 2 == 1),
+            df.filter(F.col("doc_id") % 2 == 0),
+            "text",
+            "doc_id",
+        ).collect()
+    }
+    assert out[1].maybe_seen == 1 and out[1].seen_exact == 1
+    assert out[3].seen_exact == 0 and out[3].maybe_seen == 0
+    assert out[3].false_positive == 0

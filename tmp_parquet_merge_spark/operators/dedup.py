@@ -1262,3 +1262,100 @@ def novelty_neardup(
         .distinct()
     )
     return new_df.select(F.col(id_col)).join(dup_new, id_col, "left_anti")
+
+
+def bloom_novelty(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    m: int = 1 << 14,
+) -> DataFrame:
+    """Bloom-filter novelty gate with its false-positive rate measured
+    in-query: the existing corpus's content digests populate a Bloom
+    filter (``k`` md5-derived bit positions over ``m`` bits); a
+    new-batch document is ``maybe_seen`` iff ALL ``k`` of its positions
+    are set (Bloom 1970 — no false negatives, one-sided false
+    positives).  Output per new-batch row: (id, maybe_seen,
+    seen_exact, false_positive) where seen_exact is the exact-digest
+    truth (q_novelty's anti-join), so the emitted rows certify the
+    filter's FPR on this corpus rather than assuming the (1-e^{-kn/m})^k
+    formula.
+
+    Scale story: the filter is the ≤ m-row set-bit relation — FIXED
+    state regardless of corpus size (the reason object stores front
+    their digest indexes with exactly this structure) — built with one
+    distinct over k·|old| ints and BROADCAST to the new batch; the
+    new side never shuffles.  Like the CMS twin
+    (text.cms_heavy_hitters), the md5 bit positions are deterministic,
+    so the whole gate — filter build included — carries an exact
+    cross-engine oracle; the seen_exact column is the verify stage and
+    drops at open scale (or stays, as the shadow-audit rate)."""
+    norm = normalize_text(text_col)
+
+    def positions(side: DataFrame):
+        d = side.select(F.col(id_col), F.sha2(norm, 256).alias("dig"))
+        return d.select(
+            F.col(id_col),
+            "dig",
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("dig"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                ).alias(f"p{i}")
+                for i in range(k)
+            ],
+        )
+
+    old_pos = positions(old_df)
+    bits = (
+        old_pos.select(
+            F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias(
+                "bit"
+            )
+        )
+        .distinct()
+    )
+    new_pos = positions(new_df).localCheckpoint(eager=False)
+    probe = new_pos.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias("bit"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bits.select(F.col("bit"), F.lit(1).alias("__hit"))),
+            "bit",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.coalesce("__hit", F.lit(0))).alias("all_set"))
+    )
+    old_digs = old_df.select(F.sha2(norm, 256).alias("dig")).distinct()
+    exact = new_pos.join(
+        F.broadcast(old_digs.select("dig", F.lit(1).alias("__seen"))),
+        "dig",
+        "left",
+    ).select(
+        F.col(id_col), F.coalesce("__seen", F.lit(0)).alias("seen_exact")
+    )
+    return (
+        hits.join(exact, id_col)
+        .select(
+            F.col(id_col),
+            F.col("all_set").cast("int").alias("maybe_seen"),
+            F.col("seen_exact").cast("int").alias("seen_exact"),
+            (
+                (F.col("all_set") == 1) & (F.col("seen_exact") == 0)
+            ).cast("int").alias("false_positive"),
+        )
+    )

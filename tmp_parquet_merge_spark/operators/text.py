@@ -1200,3 +1200,101 @@ def heaps_fit(
         F.max("cum_tokens").alias("n_tokens"),
         F.max("cum_types").alias("n_types"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-k
+    word types (Cormode & Muthukrishnan 2005) — with the sketch's
+    defining one-sided error surfaced per row: (token, exact count,
+    CMS estimate, overestimate ≥ 0).
+
+    Unlike the HLL/GK sketch family (rows-only: their estimators are
+    engine-private), a CMS built on md5-derived bucket hashes is FULLY
+    DETERMINISTIC — DuckDB recomputes the identical d×w counter table
+    in SQL, so this sketch carries an exact cross-engine oracle (the
+    q_dedup_simhash graduation pattern applied to a frequency sketch).
+
+    Scale story: the counter table is FIXED d·w state (4096 cells
+    here) regardless of vocabulary size — the bounded-memory frequency
+    table for unbounded token streams; counters partial-aggregate
+    map-side, so the shuffle carries ≤ d·w rows per partition.  The
+    exact column is the verify stage (vocabulary-bounded hash-agg +
+    heap cut); at open scale it drops and the sketch stands alone."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    tok = df.select(F.explode(words(text_col)).alias("w")).filter(
+        F.col("w") != ""
+    )
+
+    def bucket(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    # d×w counter table: one hash-agg over (row, bucket) pairs
+    counters = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            bucket(i, F.col("w")).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # exact top-k types (the verify stage, vocabulary-bounded)
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(top_k)
+    )
+    probes = exact.select(
+        "w",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        bucket(i, F.col("w")).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("w", "exact_cnt", "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )

@@ -3687,3 +3687,126 @@ def q_cluster_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("size").alias("n_docs"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=r"""
+        WITH tok AS (
+            SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+                '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ),
+        tk AS (SELECT w FROM tok WHERE w <> ''),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+        rb AS (
+            SELECT row,
+                   ('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || w),
+                                      1, 8))::BIGINT % 1024 AS bucket
+            FROM tk, rows_
+        ),
+        counters AS (
+            SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM rb GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM tk GROUP BY 1
+            ORDER BY exact_cnt DESC, w LIMIT 20
+        ),
+        probes AS (
+            SELECT w, exact_cnt, row,
+                   ('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || w),
+                                      1, 8))::BIGINT % 1024 AS bucket
+            FROM exact, rows_
+        )
+        SELECT p.w AS token, p.exact_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+               CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+        FROM probes p JOIN counters c USING (row, bucket)
+        GROUP BY 1, 2
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with the sketch's one-sided error surfaced per row: the corpus
+    top-20 word types with exact count, CMS estimate (d=4 × w=1024
+    md5-bucket counters), and the overestimate ≥ 0.  Unlike the
+    HLL/GK family (engine-private estimators, rows-only), md5-derived
+    buckets are fully deterministic, so this SKETCH carries an exact
+    cross-engine oracle — the q_dedup_simhash graduation pattern
+    applied to a frequency sketch.  The counter table is fixed d·w
+    state regardless of vocabulary size — the bounded-memory frequency
+    path for unbounded token streams
+    (operators/text.py::cms_heavy_hitters)."""
+    return text.cms_heavy_hitters(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        depth=4, width=1024, top_k=20,
+    )
+
+
+@query(
+    "q_bloom_novelty",
+    oracle=r"""
+        WITH nrm AS (
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g')) AS dig
+            FROM documents
+        ),
+        ks AS (SELECT unnest(generate_series(0, 2)) AS i),
+        old_bits AS (
+            SELECT DISTINCT
+                   ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || dig),
+                                      1, 8))::BIGINT % 16384 AS bit
+            FROM nrm, ks WHERE doc_id % 2 = 0
+        ),
+        new_pos AS (
+            SELECT doc_id, dig,
+                   ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || dig),
+                                      1, 8))::BIGINT % 16384 AS bit
+            FROM nrm, ks WHERE doc_id % 2 = 1
+        ),
+        hits AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                       AS all_set
+            FROM new_pos np LEFT JOIN old_bits b ON np.bit = b.bit
+            GROUP BY 1
+        ),
+        ex AS (
+            SELECT n.doc_id,
+                   CASE WHEN n.dig IN (SELECT dig FROM nrm
+                                       WHERE doc_id % 2 = 0)
+                        THEN 1 ELSE 0 END AS seen_exact
+            FROM nrm n WHERE n.doc_id % 2 = 1
+        )
+        SELECT h.doc_id,
+               CAST(h.all_set AS INTEGER) AS maybe_seen,
+               CAST(ex.seen_exact AS INTEGER) AS seen_exact,
+               CAST(CASE WHEN h.all_set = 1 AND ex.seen_exact = 0
+                         THEN 1 ELSE 0 END AS INTEGER) AS false_positive
+        FROM hits h JOIN ex ON h.doc_id = ex.doc_id
+    """,
+)
+def q_bloom_novelty(spark, sf_dir):
+    """Bloom-filter novelty gate with its false-positive rate measured
+    in-query: the existing corpus (even ids) populates a k=3, m=2^14
+    md5-bit Bloom filter; each new-batch document (odd ids) reports
+    maybe_seen (no false negatives), the exact-digest truth, and the
+    false_positive flag — certifying the filter's FPR on THIS corpus
+    instead of assuming the analytic formula.  The filter is a ≤ m-row
+    set-bit relation — fixed broadcastable state regardless of corpus
+    size, the structure object stores front their digest indexes with;
+    deterministic md5 positions make the whole gate (filter build
+    included) exactly oracle-checkable
+    (operators/dedup.py::bloom_novelty)."""
+    d = t(spark, sf_dir, "documents")
+    return dedup.bloom_novelty(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        "text",
+        "doc_id",
+        k=3,
+        m=1 << 14,
+    )

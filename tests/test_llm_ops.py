@@ -2163,6 +2163,27 @@ def test_quality_gate_matrix_rules(spark):
     assert r.n_any_violation == 4  # doc 0 is the only clean one
 
 
+def test_quality_gate_matrix_counts_zero_word_docs(spark):
+    """r13 review finding: empty / whitespace-only documents — the
+    worst-quality inputs the too-short gate exists for — must stay in
+    the matrix (n_words = 0 fires too_short and no_stopword), not
+    silently vanish from the per-source accounting."""
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog today", "s"),
+        (1, "", "s"),
+        (2, "   \t  ", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = curation.quality_gate_matrix(df, "text", "doc_id", "source").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 3
+    assert r.n_too_short == 2
+    assert r.n_no_stopword == 2
+    assert r.n_top_word == 0  # 5*0 > 0 is false for empty docs
+    assert r.n_any_violation == 2
+
+
 def test_benford_digit_extraction_integer_path(spark, sf_dir):
     """First-digit histogram covers 1-9, shares sum to 1, and the
     expected shares are the Benford values."""

@@ -389,6 +389,14 @@ def test_interval_us_rejects_unknown_units():
 
     assert _interval_us("10 minutes") == 600_000_000
     assert _interval_us("2 hours") == 7_200_000_000
-    for bad in ("10 min", "1 day", "minutes", "ten minutes"):
+    for bad in (
+        "10 min",
+        "1 day",
+        "minutes",
+        "ten minutes",
+        "-10 minutes",   # negative threshold would count EVERY event late
+        "--10 minutes",
+        "0 minutes",
+    ):
         with _pytest.raises(ValueError, match="unsupported watermark interval"):
             _interval_us(bad)

@@ -704,6 +704,9 @@ def quality_gate_matrix(
     |sources|-row rollup; vocabulary never leaves the doc grain."""
     from tmp_parquet_merge_spark.operators.dedup import words
 
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(source_col).alias("source")
+    )
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.col(source_col).alias("source"),
@@ -713,7 +716,7 @@ def quality_gate_matrix(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.length("w")).alias("chars"),
     )
-    per_doc = per_word.groupBy("doc", "source").agg(
+    per_doc_tok = per_word.groupBy("doc", "source").agg(
         F.sum("cnt").alias("n_words"),
         F.sum("chars").alias("n_chars"),
         F.max("cnt").alias("max_cnt"),
@@ -721,6 +724,18 @@ def quality_gate_matrix(
             F.when(F.col("w").isin("the", "a", "of", "and", "to"), F.col("cnt"))
             .otherwise(0)
         ).alias("n_stop"),
+    )
+    # LEFT join back from the corpus so zero-word documents (empty or
+    # whitespace-only — the WORST-quality inputs the too-short gate
+    # exists for) stay in the matrix with n_words = 0 instead of
+    # silently vanishing from the per-source accounting
+    per_doc = base.join(per_doc_tok, ["doc", "source"], "left").select(
+        "doc",
+        "source",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("max_cnt", F.lit(0)).alias("max_cnt"),
+        F.coalesce("n_stop", F.lit(0)).alias("n_stop"),
     )
     flags = per_doc.select(
         "source",

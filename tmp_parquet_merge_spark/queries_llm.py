@@ -622,6 +622,22 @@ _CLUSTER_ORACLE = f"""
 """
 
 
+def _exact_cluster_assignments(spark, sf_dir):
+    """The capped exact-pair connected-components pipeline shared by
+    q_dedup_cluster and q_cluster_stats (single Spark-side source for
+    the single _CLUSTER_ORACLE both oracles derive from — a parameter
+    change here cannot drift one query away from its oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < _PAIR_CAP),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+    )
+    return dedup.dedup_clusters(pairs, docs, "doc_id")
+
+
 @query("q_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def q_dedup_cluster(spark, sf_dir):
     """Connected components over the near-dup pairs — the dedup
@@ -637,15 +653,7 @@ def q_dedup_cluster(spark, sf_dir):
     q_dedup_cluster_lsh below, whose pair source shuffles
     O(docs × bands) and which tests assert equal on the bundled
     corpora."""
-    docs = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < _PAIR_CAP),
-        "text",
-        "doc_id",
-        n=3,
-        threshold=0.5,
-    )
-    return dedup.dedup_clusters(pairs, docs, "doc_id")
+    return _exact_cluster_assignments(spark, sf_dir)
 
 
 @query("q_dedup_cluster_lsh", oracle=_uncapped(_CLUSTER_ORACLE))
@@ -3557,12 +3565,21 @@ def q_span_mask(spark, sf_dir):
                    SUM(len(w)) AS chars
             FROM t1 GROUP BY 1, 2, 3
         ),
-        pd AS (
+        pd0 AS (
             SELECT doc_id, source, SUM(cnt) AS n_words,
                    SUM(chars) AS n_chars, MAX(cnt) AS max_cnt,
                    SUM(CASE WHEN w IN ('the','a','of','and','to')
                        THEN cnt ELSE 0 END) AS n_stop
             FROM pw GROUP BY 1, 2
+        ),
+        pd AS (
+            SELECT d.doc_id, d.source,
+                   COALESCE(pd0.n_words, 0) AS n_words,
+                   COALESCE(pd0.n_chars, 0) AS n_chars,
+                   COALESCE(pd0.max_cnt, 0) AS max_cnt,
+                   COALESCE(pd0.n_stop, 0) AS n_stop
+            FROM documents d LEFT JOIN pd0
+              ON d.doc_id = pd0.doc_id AND d.source = pd0.source
         ),
         fl AS (
             SELECT source,
@@ -3671,15 +3688,7 @@ def q_cluster_stats(spark, sf_dir):
     connected-components pipeline of q_dedup_cluster (capped exact
     twin; the LSH pipeline is the uncapped path) and adds two bounded
     hash-aggs: |clusters| rows, then |distinct sizes| rows."""
-    docs = t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < _PAIR_CAP),
-        "text",
-        "doc_id",
-        n=3,
-        threshold=0.5,
-    )
-    clusters = dedup.dedup_clusters(pairs, docs, "doc_id")
+    clusters = _exact_cluster_assignments(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("size")
     )

@@ -293,10 +293,18 @@ def _interval_us(threshold: str) -> int:
         "hours": 3_600_000_000,
     }
     parts = threshold.split()
-    if len(parts) != 2 or parts[1] not in units or not parts[0].lstrip("-").isdigit():
+    # isdigit (no sign handling): a negative watermark threshold is
+    # nonsense — late_us >= 0 always, so `late_us > -N` would count
+    # EVERY event late, silently
+    if (
+        len(parts) != 2
+        or parts[1] not in units
+        or not parts[0].isdigit()
+        or int(parts[0]) < 1
+    ):
         raise ValueError(
             f"unsupported watermark interval {threshold!r}: expected "
-            f"'<int> <unit>' with unit one of {sorted(set(units))}"
+            f"'<positive int> <unit>' with unit one of {sorted(set(units))}"
         )
     n, unit = parts
     return int(n) * units[unit]

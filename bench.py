@@ -286,6 +286,8 @@ HEADLINE = [
     "q_ab_assign",
     "q_heavy_hitters",
     "q_bloom_novelty",
+    "q_dedup_containment_lsh",
+    "q_anomaly_rate",
 ]
 
 # queries whose build() performs an eager layout write; bench reports

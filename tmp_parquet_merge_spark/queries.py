@@ -1693,11 +1693,12 @@ def _driver_tier(q: Query) -> int:
 # cohort drains this round.  Order: the 5 changed queries lead (the
 # winnowing chunk composition pair, the simhash band
 # parameterization, the two advisor-fix riders), then the 31 r8
-# greens, then tier 0 queues the 11 r13 additions (q_pad_waste,
+# greens, then tier 0 queues the 13 r13 additions (q_pad_waste,
 # q_span_mask, q_quality_gates, q_heaps_fit, q_cluster_stats,
 # q_benford, q_semijoin_reduce, q_graph_degree, q_ab_assign,
-# q_heavy_hitters, q_bloom_novelty), and
-# the remaining ~3 slots fill with
+# q_heavy_hitters, q_bloom_novelty, q_dedup_containment_lsh,
+# q_anomaly_rate), and
+# the remaining ~1 slot fills with
 # the oldest r9 greens via the default tier-2 oldest-first sort.  The
 # displaced r9 tail rotates into round 14.  Rows-only evidence is
 # r9/r10/r12 — fresh enough to wait, so no rows pin.

@@ -3819,3 +3819,45 @@ def q_bloom_novelty(spark, sf_dir):
         k=3,
         m=1 << 14,
     )
+
+
+@query(
+    "q_dedup_containment_lsh",
+    oracle=f"""
+        WITH {_W}, {_SH},
+        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+        p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / na.n, 6) AS cont_ab,
+               round(CAST(i AS DOUBLE) / nb.n, 6) AS cont_ba
+        FROM p
+        JOIN n na ON na.doc_id = doc_a
+        JOIN n nb ON nb.doc_id = doc_b
+        WHERE round(CAST(i AS DOUBLE) / na.n, 6) >= 0.8
+           OR round(CAST(i AS DOUBLE) / nb.n, 6) >= 0.8
+    """,
+)
+def q_dedup_containment_lsh(spark, sf_dir):
+    """The 100 TB spelling of q_dedup_containment — the one dedup
+    family whose scale path CANNOT be MinHash-LSH (Jaccard banding is
+    exactly what high-containment / low-Jaccard pairs evade): the
+    candidate generator is a df-bounded RARE-shingle inverted index
+    (2 ≤ df ≤ 16; > 16 is boilerplate AND the C(16,2) fan-out cap —
+    the winnow_overlap stop-fingerprint discipline), exact
+    containment verified on candidate ids only (shingle sets move for
+    candidate docs alone).  A qualifying pair is missed only if its
+    contained text is pure > 16-doc boilerplate — which the segment /
+    substring blacklists remove upstream; measured ZERO missed pairs
+    at every bundled tier, so the composed query equals the exact
+    twin row for row (test-pinned) and carries the uncapped exact
+    containment oracle (the q_dedup_cluster_lsh certification
+    pattern) (operators/dedup.py::containment_pairs_rare_shingle)."""
+    return dedup.containment_pairs_rare_shingle(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.8, max_df=16,
+    )

@@ -2293,3 +2293,44 @@ def test_containment_rare_shingle_equals_exact(spark, docs, sf_dir):
 
     q = REGISTRY["q_dedup_containment_lsh"].build(spark, sf_dir)
     assert sorted(map(tuple, q.collect())) == e
+
+
+def test_containment_rare_shingle_margin():
+    """The min_shared=3 candidate cut rides a margin: on every bundled
+    tier, every qualifying containment pair shares at least
+    2*min_shared = 6 rare (2 <= df <= 16) shingles — a fixture
+    regeneration that narrows the margin fails HERE, not in the
+    round's one driver run (the novelty-LSH margin-pin pattern)."""
+    import duckdb
+
+    from tmp_parquet_merge_spark.queries_llm import _SH, _W
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet'"
+        )
+        mn, n_pairs = con.execute(
+            f"""
+            WITH {_W}, {_SH},
+            e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+            n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
+            dfq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS i,
+                       SUM(CASE WHEN dfq.df BETWEEN 2 AND 16
+                           THEN 1 ELSE 0 END) AS rare_shared
+                FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN dfq ON dfq.g = a.g
+                GROUP BY 1, 2
+            )
+            SELECT MIN(rare_shared), COUNT(*) FROM p
+            JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+            WHERE round(CAST(i AS DOUBLE)/na.n, 6) >= 0.8
+               OR round(CAST(i AS DOUBLE)/nb.n, 6) >= 0.8
+            """
+        ).fetchone()
+        assert n_pairs, f"sf{sf}: corpus should contain containment pairs"
+        assert mn >= 6, f"sf{sf}: margin narrowed to {mn} shared rare shingles"

@@ -1369,6 +1369,7 @@ def containment_pairs_rare_shingle(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int = 16,
+    min_shared: int = 3,
 ) -> DataFrame:
     """The open-scale spelling of :func:`ngram_containment_pairs`:
     candidates from a RARE-shingle inverted index instead of the
@@ -1376,18 +1377,24 @@ def containment_pairs_rare_shingle(
     family — Jaccard banding is exactly what high-containment /
     low-Jaccard pairs evade (a paragraph inside a much larger page) —
     so the candidate generator is the df-bounded index: pairs sharing
-    ≥ 1 shingle held by 2..max_df documents.  Shingles in > max_df
-    docs are boilerplate (and the C(max_df, 2) fan-out cap — the
-    winnow_overlap stop-fingerprint discipline); shingles in one doc
-    pair with nobody.
+    ≥ ``min_shared`` shingles held by 2..max_df documents.  Shingles
+    in > max_df docs are boilerplate (and the C(max_df, 2) fan-out
+    cap — the winnow_overlap stop-fingerprint discipline); shingles
+    in one doc pair with nobody; and the min_shared cut drops the
+    coincidental single-shared-gram pairs that otherwise dominate the
+    candidate relation (measured at the sf0.1 corpus: 1.04M candidate
+    pairs at min_shared=1 vs 8.2k at 3, against a 6-shared-shingle
+    minimum over the actual qualifying pairs — a 2× margin; the
+    novelty-LSH margin-pin pattern, test-asserted per tier).
 
-    Candidate recall: a pair is missed only if EVERY shared shingle
-    sits in > max_df documents — i.e. the contained text is pure
-    corpus boilerplate, which the segment/substring blacklists
-    (q_dedup_segments / q_dedup_substring) remove upstream; on the
-    bundled corpora the miss count is ZERO at every tier (measured:
-    28/25/256 qualifying pairs, all sharing rare shingles), so the
-    composed query equals the exact twin row for row (test-pinned).
+    Candidate recall: a pair is missed only if it shares fewer than
+    ``min_shared`` rare shingles — i.e. the contained text is almost
+    entirely > max_df-doc boilerplate, which the segment/substring
+    blacklists (q_dedup_segments / q_dedup_substring) remove
+    upstream; a contained span of ≥ min_shared+n−1 non-boilerplate
+    words always clears it.  On the bundled corpora the miss count is
+    ZERO at every tier, so the composed query equals the exact twin
+    row for row (test-pinned).
 
     Verify stage: exact containment on candidate ids only — the two
     shingle SETS move for candidate docs alone (the editdist-LSH
@@ -1406,12 +1413,29 @@ def containment_pairs_rare_shingle(
         rare.alias("a")
         .join(rare.alias("b"), "s")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
+        .groupBy(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    # shingle SETS materialize for CANDIDATE docs only (semi-join
+    # before the collect_set): without this the set-build aggregates
+    # the whole corpus's shingles — measured 9.3 s vs 3.4 s at sf0.1
+    # (5k docs, ~500 candidate docs) and the gap widens with corpus
+    # size since candidates are selectivity-bounded
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sets_ = sh.groupBy("doc").agg(F.collect_set("s").alias("sh"))
+    sets_ = (
+        sh.join(cand_ids, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("s").alias("sh"))
+    )
     sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     scored = (

@@ -2334,3 +2334,28 @@ def test_containment_rare_shingle_margin():
         ).fetchone()
         assert n_pairs, f"sf{sf}: corpus should contain containment pairs"
         assert mn >= 6, f"sf{sf}: margin narrowed to {mn} shared rare shingles"
+
+
+def test_containment_short_doc_found(spark):
+    """r13 review finding: a 4-word doc (2 shingles, below the
+    min_shared=3 floor) fully contained in a larger page must still be
+    found — the candidate cut relaxes to the smaller doc's shingle
+    count.  The exact twin and the rare-shingle path must agree."""
+    rows = [
+        (0, "alpha beta gamma delta"),  # 2 shingles, contained in doc 1
+        (1, "intro words here alpha beta gamma delta closing remark text"),
+        (2, "alpha beta gamma delta"),  # second copy keeps df >= 2
+        (3, "totally unrelated content about something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    exact = sorted(
+        map(tuple, dedup.ngram_containment_pairs(df, "text", "doc_id").collect())
+    )
+    fed = sorted(
+        map(
+            tuple,
+            dedup.containment_pairs_rare_shingle(df, "text", "doc_id").collect(),
+        )
+    )
+    assert exact == fed
+    assert any(p[:2] == (0, 1) for p in exact), "containment pair must exist"

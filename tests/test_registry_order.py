@@ -46,11 +46,11 @@ def test_sort_keys_are_monotonic():
 
 
 # The oldest evidence round being drained this round: the r13 window
-# spends its 5 changed slots (the winnowing chunk-composition pair,
-# the simhash band parameterization, the two advisor-fix riders), then
-# the pinned 31-query r8 hash cohort (the stalest evidence — r12
-# verdict #1), the 13 r13 additions at tier 0, and ~1 oldest-r9 fill
-# via the default tier-2 oldest-first sort.  The frontier VALUES live
+# spends its 6 changed slots (the winnowing chunk-composition pair,
+# the simhash band parameterization, the two advisor-fix riders, the
+# containment-oracle refactor), then the pinned 31-query r8 hash
+# cohort (the stalest evidence — r12 verdict #1), and the 13 r13
+# additions at tier 0 — filling the window exactly.  The frontier VALUES live
 # in queries.py (they drive _DRIVER_FIRST itself); the tightness
 # assertions below use the imported values so they can't drift, and
 # the ROUND PIN here keeps the test non-tautological —

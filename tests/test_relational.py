@@ -389,3 +389,37 @@ def test_anomaly_rate_warmup_and_zscore(spark, sf_dir):
             assert r.is_spike == 0
         else:
             assert r.is_spike == (1 if r.rate_z > 3 else 0)
+
+
+def test_rate_spikes_spine_closed_form(spark):
+    """Closed-form fixture for the dense-spine rate detector: warm-up
+    hours are suppressed, a completely EVENTLESS hour materializes as
+    an n_events=0 row that fires the stall alarm, and a 100-event
+    burst fires the spike alarm — the two failure modes the dense
+    spine exists for (a ROWS frame over observed hours only would
+    skip the stalled hour entirely)."""
+    from datetime import datetime, timedelta
+
+    from tmp_parquet_merge_spark.operators.relational import rate_spikes
+
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(36):
+        if h == 30:
+            continue  # the stall: no events at all this hour
+        n = 100 if h == 35 else (9 if h % 2 == 0 else 11)
+        for i in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i % 60), "a"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, event_type: string")
+    out = {r.hour.hour + 24 * (r.hour.day - 1): r for r in rate_spikes(df).collect()}
+    # warm-up: hours 0..11 suppressed (fewer than 12 trailing rows)
+    assert min(out) == 12 and len(out) == 36 - 12
+    stall = out[30]
+    assert stall.n_events == 0 and stall.is_stall == 1 and stall.is_spike == 0
+    spike = out[35]
+    assert spike.n_events == 100 and spike.is_spike == 1 and spike.is_stall == 0
+    for h, r in out.items():
+        if h not in (30, 35):
+            assert r.is_spike == 0 and r.is_stall == 0, (h, r)

@@ -1387,21 +1387,32 @@ def containment_pairs_rare_shingle(
     minimum over the actual qualifying pairs — a 2× margin; the
     novelty-LSH margin-pin pattern, test-asserted per tier).
 
-    Candidate recall: a pair is missed only if it shares fewer than
-    ``min_shared`` rare shingles — i.e. the contained text is almost
-    entirely > max_df-doc boilerplate, which the segment/substring
-    blacklists (q_dedup_segments / q_dedup_substring) remove
-    upstream; a contained span of ≥ min_shared+n−1 non-boilerplate
-    words always clears it.  On the bundled corpora the miss count is
-    ZERO at every tier, so the composed query equals the exact twin
-    row for row (test-pinned).
+    Candidate recall: the cut relaxes to
+    ``least(min_shared, n_sh_small)`` so short documents (< min_shared
+    shingles) fully contained in a page are still candidates (all
+    their shingles are shared); a pair is missed only if its shared
+    RARE-shingle count falls below that floor — i.e. the contained
+    text is almost entirely > max_df-doc boilerplate, which the
+    segment/substring blacklists (q_dedup_segments /
+    q_dedup_substring) remove upstream; a contained span of
+    ≥ min_shared+n−1 non-boilerplate words always clears it.  On the
+    bundled corpora the miss count is ZERO at every tier, so the
+    composed query equals the exact twin row for row (test-pinned).
 
     Verify stage: exact containment on candidate ids only — the two
     shingle SETS move for candidate docs alone (the editdist-LSH
     candidates pattern), never a corpus-wide pair join."""
-    sh = shingle_rows(df, text_col, id_col, n=n).localCheckpoint(
-        eager=False
-    )
+    from pyspark.sql import Window
+
+    sh0 = shingle_rows(df, text_col, id_col, n=n)
+    # per-doc distinct-shingle count rides WITH the rows (the
+    # _sized_shingles discipline) so the candidate cut below can relax
+    # for short documents without any post-aggregation join
+    sh = sh0.select(
+        "doc",
+        "s",
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_sh"),
+    ).localCheckpoint(eager=False)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         dfreq.filter(
@@ -1409,6 +1420,12 @@ def containment_pairs_rare_shingle(
         ).select("s"),
         "s",
     )
+    # the cut relaxes to the SMALLER doc's shingle count: a 2-shingle
+    # document fully contained in a page shares all 2 of its shingles
+    # and must not be structurally excluded by the min_shared floor
+    # (review r13: the short-doc hole — the uncapped exact oracle
+    # includes such pairs, so excluding them here is a parity bug
+    # waiting for the first sub-5-word fixture doc)
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "s")
@@ -1416,8 +1433,15 @@ def containment_pairs_rare_shingle(
         .groupBy(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("__shared"))
-        .filter(F.col("__shared") >= min_shared)
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.min("a.n_sh").alias("__na"),
+            F.min("b.n_sh").alias("__nb"),
+        )
+        .filter(
+            F.col("__shared")
+            >= F.least(F.lit(min_shared), F.col("__na"), F.col("__nb"))
+        )
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )

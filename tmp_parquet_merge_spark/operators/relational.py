@@ -389,3 +389,78 @@ def key_skew_profile(df, key_col: str, label: str, top_n: int = 10):
             ).alias("skew_factor"),
         )
     )
+
+
+def rate_spikes(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    *,
+    trail: int = 24,
+    min_periods: int = 12,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Event-rate spike AND stall detection over a DENSE hourly spine:
+    hourly counts per type are materialized for EVERY hour between the
+    type's first and last event (missing hours = 0), then each hour is
+    scored against its own trailing ``trail``-hour window (current
+    hour excluded from its baseline).  The dense spine is what makes
+    the detector honest: a complete stall produces a ZERO row that
+    both raises the stall alarm (z < −z_thresh) and drags the
+    baseline, and the trailing window is true wall-clock hours — a ROWS
+    frame over observed hours only would silently skip gaps (the exact
+    failure a stall detector exists to catch).
+
+    Scale shape: the corpus-size work is one hash-agg to the
+    (type, hour) grain; the spine is |types| × hours — thousands of
+    rows per year per type — and the per-type windows are bounded.
+    Warm-up hours (< min_periods trailing observations) are
+    suppressed."""
+    h = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = h.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    dense = spine.join(h, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-trail, -1)
+    )
+    w = dense.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.count(F.lit(1)).over(tw).alias("n_prev"),
+        F.avg("n_events").over(tw).alias("mean_prev"),
+        F.stddev_samp("n_events").over(tw).alias("sd_prev"),
+    )
+    z = F.when(
+        F.col("sd_prev") > 0,
+        F.round(
+            (F.col("n_events") - F.col("mean_prev")) / F.col("sd_prev"), 6
+        ),
+    )
+    return w.filter(F.col("n_prev") >= min_periods).select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("mean_prev", 6).alias("mean_24h"),
+        z.alias("rate_z"),
+        F.when(z > z_thresh, 1).otherwise(0).cast("int").alias("is_spike"),
+        F.when(z < -z_thresh, 1).otherwise(0).cast("int").alias("is_stall"),
+    )

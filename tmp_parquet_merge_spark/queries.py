@@ -1666,6 +1666,12 @@ _CHANGED_THIS_ROUND = frozenset(
         #    verdict #3 A/B; default 4x16/H2 path re-spelled through
         #    the generalized width/key-mask arithmetic.
         "q_dedup_simhash",
+        #  * q_dedup_containment — r13: oracle moved to the shared
+        #    _CONTAINMENT_ORACLE constant (byte-identical SQL, builder
+        #    untouched) so the LSH twin registers _uncapped() of the
+        #    same string; re-queued under the strict
+        #    evidence-certifies-the-code rule.
+        "q_dedup_containment",
         #  * q_emb_drift — r13 advisor fix: n_ref/n_cur via F.max
         #    (was nondeterministic F.first; oracle spells MAX).
         "q_emb_drift",
@@ -1693,13 +1699,11 @@ def _driver_tier(q: Query) -> int:
 # cohort drains this round.  Order: the 5 changed queries lead (the
 # winnowing chunk composition pair, the simhash band
 # parameterization, the two advisor-fix riders), then the 31 r8
-# greens, then tier 0 queues the 13 r13 additions (q_pad_waste,
+# greens, then tier 0 queues the 13 r13 additions (filling the window exactly) (q_pad_waste,
 # q_span_mask, q_quality_gates, q_heaps_fit, q_cluster_stats,
 # q_benford, q_semijoin_reduce, q_graph_degree, q_ab_assign,
 # q_heavy_hitters, q_bloom_novelty, q_dedup_containment_lsh,
-# q_anomaly_rate), and
-# the remaining ~1 slot fills with
-# the oldest r9 greens via the default tier-2 oldest-first sort.  The
+# q_anomaly_rate).  The
 # displaced r9 tail rotates into round 14.  Rows-only evidence is
 # r9/r10/r12 — fresh enough to wait, so no rows pin.
 _HASH_DRAIN_FRONTIER = 8

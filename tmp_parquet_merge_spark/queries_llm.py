@@ -2110,9 +2110,7 @@ def q_ann_pq(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_containment",
-    oracle=f"""
+_CONTAINMENT_ORACLE = f"""
         WITH {_W_CAP}, {_SH},
         e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
         n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
@@ -2129,8 +2127,10 @@ def q_ann_pq(spark, sf_dir):
         JOIN n nb ON nb.doc_id = doc_b
         WHERE round(CAST(i AS DOUBLE) / na.n, 6) >= 0.8
            OR round(CAST(i AS DOUBLE) / nb.n, 6) >= 0.8
-    """,
-)
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAINMENT_ORACLE)
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric shingle-containment near-dup pairs (either direction
     ≥ 0.8): the sub-document-inclusion detector Jaccard misses — a
@@ -3821,27 +3821,7 @@ def q_bloom_novelty(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_containment_lsh",
-    oracle=f"""
-        WITH {_W}, {_SH},
-        e AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
-        n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY 1),
-        p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               round(CAST(i AS DOUBLE) / na.n, 6) AS cont_ab,
-               round(CAST(i AS DOUBLE) / nb.n, 6) AS cont_ba
-        FROM p
-        JOIN n na ON na.doc_id = doc_a
-        JOIN n nb ON nb.doc_id = doc_b
-        WHERE round(CAST(i AS DOUBLE) / na.n, 6) >= 0.8
-           OR round(CAST(i AS DOUBLE) / nb.n, 6) >= 0.8
-    """,
-)
+@query("q_dedup_containment_lsh", oracle=_uncapped(_CONTAINMENT_ORACLE))
 def q_dedup_containment_lsh(spark, sf_dir):
     """The 100 TB spelling of q_dedup_containment — the one dedup
     family whose scale path CANNOT be MinHash-LSH (Jaccard banding is

@@ -3022,66 +3022,62 @@ def q_ab_assign(spark, sf_dir):
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
         ),
+        b AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM h GROUP BY 1
+        ),
+        sp AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ),
+        d AS (
+            SELECT sp.event_type, sp.hour,
+                   COALESCE(h.n_events, 0) AS n_events
+            FROM sp LEFT JOIN h
+              ON sp.event_type = h.event_type AND sp.hour = h.hour
+        ),
         w AS (
             SELECT event_type, hour, n_events,
                    COUNT(*) OVER tw AS n_prev,
                    AVG(n_events) OVER tw AS mean_prev,
                    STDDEV_SAMP(n_events) OVER tw AS sd_prev
-            FROM h
+            FROM d
             WINDOW tw AS (PARTITION BY event_type ORDER BY hour
                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
         )
-        SELECT event_type, hour, n_events,
+        SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
                round(mean_prev, 6) AS mean_24h,
                CASE WHEN sd_prev > 0
                     THEN round((n_events - mean_prev) / sd_prev, 6)
                     END AS rate_z,
                CAST(CASE WHEN sd_prev > 0
                           AND round((n_events - mean_prev) / sd_prev, 6) > 3
-                         THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+                         THEN 1 ELSE 0 END AS INTEGER) AS is_spike,
+               CAST(CASE WHEN sd_prev > 0
+                          AND round((n_events - mean_prev) / sd_prev, 6) < -3
+                         THEN 1 ELSE 0 END AS INTEGER) AS is_stall
         FROM w WHERE n_prev >= 12
     """,
 )
 def q_anomaly_rate(spark, sf_dir):
-    """Event-RATE spike detection — the time-local, count-based
-    complement of q_anomaly_zscore's global value outliers (the ops
-    alarm for crawler storms / pipeline stalls): hourly event counts
-    per type, each scored against its own trailing-24h window (rows
-    24 preceding..1 preceding — the current hour never contaminates
-    its own baseline), z > 3 flags a spike; hours with < 12 trailing
-    observations are warm-up and suppressed.  Counts are exact
-    integers; mean/stddev/z are single roundings of window moments
-    over those integers (the q_zipf_fit regr parity contract).  Plan:
-    one hash-agg to the (type, hour) grain — the only corpus-size
-    shuffle — then bounded per-type windows."""
-    from pyspark.sql import Window
+    """Event-RATE spike AND stall detection — the time-local,
+    count-based complement of q_anomaly_zscore's global value
+    outliers (the ops alarm for crawler storms and pipeline stalls):
+    hourly counts per type over a DENSE hour spine (missing hours
+    materialize as 0 — a stalled hour is a ROW that raises the stall
+    alarm and drags the baseline, and the trailing-24h window is true
+    wall-clock hours, not 24 observed rows), each hour scored against
+    rows 24 preceding..1 preceding so the current hour never
+    contaminates its own baseline; |z| > 3 flags spike/stall,
+    warm-up hours (< 12 trailing) suppressed.  Counts are exact
+    integers; moments are single roundings (the q_zipf_fit parity
+    contract).  Plan: one corpus-size hash-agg to the (type, hour)
+    grain, a |types| x hours spine, bounded per-type windows
+    (operators/relational.py::rate_spikes)."""
+    from tmp_parquet_merge_spark.operators.relational import rate_spikes
 
-    e = t(spark, sf_dir, "events")
-    h = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    tw = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
-    )
-    w = h.select(
-        "event_type",
-        "hour",
-        "n_events",
-        F.count(F.lit(1)).over(tw).alias("n_prev"),
-        F.avg("n_events").over(tw).alias("mean_prev"),
-        F.stddev_samp("n_events").over(tw).alias("sd_prev"),
-    )
-    z = F.when(
-        F.col("sd_prev") > 0,
-        F.round((F.col("n_events") - F.col("mean_prev")) / F.col("sd_prev"), 6),
-    )
-    return w.filter(F.col("n_prev") >= 12).select(
-        "event_type",
-        "hour",
-        "n_events",
-        F.round("mean_prev", 6).alias("mean_24h"),
-        z.alias("rate_z"),
-        F.when(z > 3, 1).otherwise(0).cast("int").alias("is_spike"),
+    return rate_spikes(
+        t(spark, sf_dir, "events"), "ts", "event_type",
+        trail=24, min_periods=12, z_thresh=3.0,
     )

@@ -1903,7 +1903,7 @@ def test_simhash_mih_exact_vs_bruteforce(spark):
     )
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="divide 64"):
+    with _pytest.raises(ValueError, match="divisor of 64"):
         dedup.simhash_dedup_pairs(df, "text", "doc_id", bands=5)
 
 
@@ -2142,6 +2142,34 @@ def test_span_mask_plan_deterministic_and_non_overlapping(spark):
     assert len({a[i].span_starts for i in a}) > 1
 
 
+def test_span_mask_plan_param_validation(spark):
+    """r13 advisor: ratios implying blocks smaller than span_len (or
+    non-positive parameters) are rejected loudly; the extreme VALID
+    ratio (100%) still yields non-NULL in-bounds starts (jitter
+    modulus >= 1 for every doc)."""
+    import pytest as _pytest
+
+    rows = [(i, " ".join(f"t{j}" for j in range(7 + 13 * i))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="mask_ratio_pct"):
+        curation.span_mask_plan(df, "text", "doc_id", mask_ratio_pct=101)
+    with _pytest.raises(ValueError, match="mask_ratio_pct"):
+        curation.span_mask_plan(df, "text", "doc_id", mask_ratio_pct=0)
+    with _pytest.raises(ValueError, match="span_len"):
+        curation.span_mask_plan(df, "text", "doc_id", span_len=0)
+    out = curation.span_mask_plan(
+        df, "text", "doc_id", mask_ratio_pct=100, span_len=3
+    ).collect()
+    for r in out:
+        assert r.span_starts is not None
+        if r.n_spans > 0:
+            starts = [int(s) for s in r.span_starts.split(",")]
+            assert len(starts) == r.n_spans
+            B = r.n_tok // r.n_spans
+            for k, s in enumerate(starts):
+                assert k * B + 1 <= s <= k * B + (B - 3) + 1
+
+
 def test_quality_gate_matrix_rules(spark):
     """Each rule fires on its crafted violator and nothing else."""
     rows = [
@@ -2359,3 +2387,107 @@ def test_containment_short_doc_found(spark):
     )
     assert exact == fed
     assert any(p[:2] == (0, 1) for p in exact), "containment pair must exist"
+
+
+def test_containment_short_doc_boilerplate_shingle_found(spark):
+    """r13 advisor: the candidate floor must relax to the smaller
+    doc's RARE (2 <= df <= max_df) shingle count, not its total
+    shingle count.  Doc 0 has 3 shingles of which one ('alpha beta
+    gamma') is boilerplate (df > max_df, absent from the index); a
+    total-count floor of least(3, 3) = 3 can never be met by its 2
+    indexable shingles, so the old spelling structurally missed the
+    pair despite full containment."""
+    rows = [
+        # 5 words -> 3 shingles: 'alpha beta gamma' (boilerplate),
+        # 'beta gamma delta', 'gamma delta echo' (rare, df=2: docs 0+1)
+        (0, "alpha beta gamma delta echo"),
+        (1, "alpha beta gamma delta echo foxtrot golf hotel india"),
+    ]
+    # 20 fillers carrying ONLY the 'alpha beta gamma' shingle of doc
+    # 0's set -> its df = 22 > max_df = 16
+    rows += [
+        (10 + i, f"alpha beta gamma unique{i} filler{i} tail{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    exact = {
+        p[:2]
+        for p in map(
+            tuple, dedup.ngram_containment_pairs(df, "text", "doc_id").collect()
+        )
+    }
+    fed = {
+        p[:2]
+        for p in map(
+            tuple,
+            dedup.containment_pairs_rare_shingle(df, "text", "doc_id").collect(),
+        )
+    }
+    assert (0, 1) in exact, "containment pair must exist in the exact twin"
+    assert (0, 1) in fed, (
+        "rare-shingle path must find the short doc whose set includes a "
+        "boilerplate shingle (the rare-count floor fix)"
+    )
+
+
+def test_simhash_bands_one_rejected(spark):
+    """bands=1 (width 64) divides 64 but its key mask exceeds the
+    signed LongType literal range — rejected with a diagnostic
+    instead of failing at plan build (r13 advisor)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="divisor of 64"):
+        dedup.simhash_dedup_pairs(df, "text", "doc_id", bands=1, max_hamming=2)
+
+
+def test_bpe_train_matches_reference(spark):
+    """Multi-round BPE training (r13 verdict #4) against a pure-Python
+    Sennrich et al. reference: greedy left-to-right non-overlapping
+    merge, (count DESC, pair ASC) tie-break.  The fixture forces the
+    overlap case (runs of the same symbol), a multi-char merge in a
+    later round, and a count tie."""
+    import collections
+
+    corpus = (
+        ["aaaa aaa banana bandana"] * 3
+        + ["ananas banana aaaa"] * 2
+        + ["ba na na aaaa aaaa"]
+    )
+
+    def ref_bpe(word_counts, k):
+        vocab = {w: list(w) for w in word_counts}
+        merges = []
+        for step in range(1, k + 1):
+            pc = collections.Counter()
+            for w, c in word_counts.items():
+                sy = vocab[w]
+                for i in range(len(sy) - 1):
+                    pc[(sy[i], sy[i + 1])] += c
+            if not pc:
+                break
+            (l, r), n = min(
+                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((step, l, r, l + r, n))
+            for w, sy in vocab.items():
+                out = []
+                for s in sy:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return merges
+
+    wc = collections.Counter(w for line in corpus for w in line.split())
+    expected = ref_bpe(wc, 6)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = [tuple(r) for r in text.bpe_train(df, "text", n_merges=6).collect()]
+    assert got == expected
+    # the fixture must actually exercise a multi-symbol merge (a rule
+    # whose lhs or rhs is itself a merged symbol) — otherwise 6 rounds
+    # degenerate into 6 independent char-pair picks
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in expected)

@@ -219,3 +219,57 @@ def test_winnowing_million_char_doc_runs():
     ps = [r.pos for r in sel]
     assert min(ps) >= 1 and max(ps) > (1 << 20)
     assert len(sel) == row.n_fp
+
+
+def test_winnowing_repartitioned_chunks_equal_and_parallel(spark):
+    """r13 verdict #5's done-criterion: with the opt-in
+    repartition_chunks_above, (a) the selected-hash sets are identical
+    to the default path at every threshold placement (all docs big,
+    mixed, none big), and (b) the big-doc branch's gram stage runs
+    AFTER a (id, off) repartition whose partitioning the window
+    REUSES — exactly one extra Exchange in the two-branch plan (the
+    repartition), not two (no second exchange for the big branch's
+    window)."""
+    import random
+
+    rng = random.Random(29)
+    texts = [
+        (0, "".join(rng.choice(_ALPHA) for _ in range(1200))),
+        (1, "".join(rng.choice("abcdefgh ") for _ in range(300))),
+        (2, "ab c" * 150),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def sel(**kw):
+        got = {}
+        for r in winnowing_select(
+            df, "text", "doc_id", k=_K, w=_W, chunk_positions=64, **kw
+        ).collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+        return got
+
+    base = sel()
+    for thresh in (0, 400, 10**9):  # all / mixed / no docs in big branch
+        assert sel(repartition_chunks_above=thresh) == base, thresh
+
+    def n_exchanges(plan_df):
+        s = plan_df._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange")
+
+    default_plan = winnowing_select(
+        df, "text", "doc_id", k=_K, w=_W, chunk_positions=64
+    )
+    both_plan = winnowing_select(
+        df,
+        "text",
+        "doc_id",
+        k=_K,
+        w=_W,
+        chunk_positions=64,
+        repartition_chunks_above=400,
+    )
+    d, b = n_exchanges(default_plan), n_exchanges(both_plan)
+    # default: window exchange + distinct exchange.  two-branch: small
+    # window exchange + big REPARTITION (reused by its window) +
+    # distinct — exactly one more, not two.
+    assert b == d + 1, (d, b)

@@ -45,12 +45,12 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r13 window
-# spends its 6 changed slots (the winnowing chunk-composition pair,
-# the simhash band parameterization, the two advisor-fix riders, the
-# containment-oracle refactor), then the pinned 31-query r8 hash
-# cohort (the stalest evidence — r12 verdict #1), and the 13 r13
-# additions at tier 0 — filling the window exactly.  The frontier VALUES live
+# The oldest evidence round being drained this round: the r14 window
+# leads with its 3 tier-0 names (q_bpe_train NEW, plus the two
+# re-queued advisor-fix queries q_dedup_containment_lsh / q_span_mask),
+# then the pinned 45-query r9 hash cohort (the stalest evidence — r13
+# verdict #1); the 2 remaining slots fall to the oldest r10 greens via
+# tier-2 ordering.  The frontier VALUES live
 # in queries.py (they drive _DRIVER_FIRST itself); the tightness
 # assertions below use the imported values so they can't drift, and
 # the ROUND PIN here keeps the test non-tautological —
@@ -58,7 +58,7 @@ def test_sort_keys_are_monotonic():
 # pin any fat-fingered frontier (0 pins nothing; 10 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (8, 7), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (9, 9), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )

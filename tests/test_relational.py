@@ -423,3 +423,8 @@ def test_rate_spikes_spine_closed_form(spark):
     for h, r in out.items():
         if h not in (30, 35):
             assert r.is_spike == 0 and r.is_stall == 0, (h, r)
+    # r13 advisor: the baseline column is named from the trail
+    # parameter — registered trail=24 keeps its historical name, a
+    # 48-hour caller is not handed a column claiming a 24h window
+    assert "mean_24h" in rate_spikes(df).columns
+    assert "mean_48h" in rate_spikes(df, trail=48).columns

@@ -630,9 +630,27 @@ def span_mask_plan(
     All arithmetic is integer (block partition + md5-hash jitter mod
     the block slack); the starts column is a comma-joined string in
     span order so the driver hash never sees an array cell.  One scan,
-    no shuffle."""
+    no shuffle.
+
+    Parameter validation (r13 advisor): with mask_ratio_pct ≤ 100 the
+    block B = n_tok div n_spans satisfies B ≥ floor(100·span_len /
+    mask_ratio_pct) ≥ span_len whenever n_spans > 0, so the jitter
+    modulus B − span_len + 1 is always ≥ 1; ratios > 100 (or
+    non-positive parameters) would drive it ≤ 0 and are rejected
+    loudly here instead of yielding NULL starts.  The divisor inside
+    the starts expression is additionally spelled
+    ``greatest(n_spans, 1)`` so n_spans = 0 rows never divide by zero
+    regardless of ANSI mode (the when-guard already blanks their
+    output)."""
     from tmp_parquet_merge_spark.operators.dedup import words
 
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1: got {span_len}")
+    if not 1 <= mask_ratio_pct <= 100:
+        raise ValueError(
+            "mask_ratio_pct must be in [1, 100] (ratios above 100 imply "
+            f"blocks smaller than span_len): got {mask_ratio_pct}"
+        )
     n_tok = F.size(words(text_col)).cast("long")
     base = df.select(
         F.col(id_col),
@@ -648,7 +666,7 @@ def span_mask_plan(
         F.transform(
             F.sequence(F.lit(1), F.col("n_spans")),
             lambda b: (
-                (b - 1) * F.expr("n_tok div n_spans")
+                (b - 1) * F.expr("n_tok div greatest(n_spans, 1)")
                 + 1
                 + F.conv(
                     F.substring(
@@ -665,7 +683,11 @@ def span_mask_plan(
                     16,
                     10,
                 ).cast("long")
-                % (F.expr("n_tok div n_spans") - F.lit(span_len) + 1)
+                % (
+                    F.expr("n_tok div greatest(n_spans, 1)")
+                    - F.lit(span_len)
+                    + 1
+                )
             ).cast("string"),
         ),
         ",",

@@ -943,8 +943,15 @@ def simhash_dedup_pairs(
     dominates."""
     import math as _math
 
-    if bands < 1 or 64 % bands != 0:
-        raise ValueError(f"bands must divide 64: got {bands}")
+    # bands=1 (width 64) is rejected even though it divides 64: its
+    # key mask 2^64-1 and any ball mask with bit 63 set exceed Spark's
+    # signed LongType literal range, so the plan build would fail with
+    # an opaque overflow instead of this diagnostic (r13 advisor).
+    if bands < 2 or 64 % bands != 0:
+        raise ValueError(
+            f"bands must be a divisor of 64 in [2, 64] (band width "
+            f"<= 32 so key masks fit a signed 64-bit literal): got {bands}"
+        )
     width = 64 // bands
     f = max_hamming // bands
     ball_n = sum(_math.comb(width, j) for j in range(f + 1))
@@ -1388,44 +1395,51 @@ def containment_pairs_rare_shingle(
     novelty-LSH margin-pin pattern, test-asserted per tier).
 
     Candidate recall: the cut relaxes to
-    ``least(min_shared, n_sh_small)`` so short documents (< min_shared
-    shingles) fully contained in a page are still candidates (all
-    their shingles are shared); a pair is missed only if its shared
-    RARE-shingle count falls below that floor — i.e. the contained
-    text is almost entirely > max_df-doc boilerplate, which the
-    segment/substring blacklists (q_dedup_segments /
-    q_dedup_substring) remove upstream; a contained span of
-    ≥ min_shared+n−1 non-boilerplate words always clears it.  On the
-    bundled corpora the miss count is ZERO at every tier, so the
-    composed query equals the exact twin row for row (test-pinned).
+    ``least(min_shared, rare_na, rare_nb)`` where rare_n is the doc's
+    RARE (2 ≤ df ≤ max_df) shingle count — NOT its total shingle
+    count (the r13 advisor hole: a short doc whose shingles include
+    even one boilerplate df > max_df shingle would keep a floor it
+    can never meet, because boilerplate shingles are absent from the
+    index).  A doc that shares ALL of its rare shingles is therefore
+    always a candidate; a pair is missed only when the contained
+    text's shingles are ENTIRELY boilerplate (rare_n = 0 → no index
+    rows at all), which the segment/substring blacklists
+    (q_dedup_segments / q_dedup_substring) remove upstream; a
+    contained span of ≥ min_shared+n−1 non-boilerplate words always
+    clears the unrelaxed floor.  On the bundled corpora the miss
+    count is ZERO at every tier, so the composed query equals the
+    exact twin row for row (test-pinned); the hypothesis property
+    suite (tests/test_property_containment.py) drives adversarial
+    boilerplate-heavy corpora against a pure-Python exact reference
+    and asserts the boilerplate-only class is the ONLY miss class.
 
     Verify stage: exact containment on candidate ids only — the two
     shingle SETS move for candidate docs alone (the editdist-LSH
     candidates pattern), never a corpus-wide pair join."""
     from pyspark.sql import Window
 
-    sh0 = shingle_rows(df, text_col, id_col, n=n)
-    # per-doc distinct-shingle count rides WITH the rows (the
-    # _sized_shingles discipline) so the candidate cut below can relax
-    # for short documents without any post-aggregation join
-    sh = sh0.select(
-        "doc",
-        "s",
-        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_sh"),
-    ).localCheckpoint(eager=False)
+    sh = shingle_rows(df, text_col, id_col, n=n).localCheckpoint(
+        eager=False
+    )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
+    rare0 = sh.join(
         dfreq.filter(
             (F.col("df") >= 2) & (F.col("df") <= F.lit(max_df))
         ).select("s"),
         "s",
     )
-    # the cut relaxes to the SMALLER doc's shingle count: a 2-shingle
-    # document fully contained in a page shares all 2 of its shingles
-    # and must not be structurally excluded by the min_shared floor
-    # (review r13: the short-doc hole — the uncapped exact oracle
-    # includes such pairs, so excluding them here is a parity bug
-    # waiting for the first sub-5-word fixture doc)
+    # the per-doc RARE-shingle count rides WITH the index rows (the
+    # _sized_shingles discipline) so the candidate cut below can relax
+    # for short documents without any post-aggregation join.  It must
+    # be the rare count, not the doc's total shingle count: shingles
+    # with df > max_df never enter the index, so a total-count floor
+    # would structurally exclude a short doc carrying even one
+    # boilerplate shingle despite full containment (r13 advisor).
+    rare = rare0.select(
+        "doc",
+        "s",
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("rare_n"),
+    )
     cand = (
         rare.alias("a")
         .join(rare.alias("b"), "s")
@@ -1435,8 +1449,8 @@ def containment_pairs_rare_shingle(
         )
         .agg(
             F.count(F.lit(1)).alias("__shared"),
-            F.min("a.n_sh").alias("__na"),
-            F.min("b.n_sh").alias("__nb"),
+            F.min("a.rare_n").alias("__na"),
+            F.min("b.rare_n").alias("__nb"),
         )
         .filter(
             F.col("__shared")

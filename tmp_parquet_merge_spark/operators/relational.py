@@ -415,7 +415,12 @@ def rate_spikes(
     (type, hour) grain; the spine is |types| × hours — thousands of
     rows per year per type — and the per-type windows are bounded.
     Warm-up hours (< min_periods trailing observations) are
-    suppressed."""
+    suppressed.
+
+    The baseline-mean column is named from the parameter
+    (``mean_{trail}h``) so a caller passing trail=48 is not handed a
+    column whose name misstates its window (r13 advisor); the
+    registered trail=24 output is byte-identical to before."""
     h = (
         df.groupBy(
             F.col(type_col).alias("event_type"),
@@ -459,7 +464,7 @@ def rate_spikes(
         "event_type",
         "hour",
         "n_events",
-        F.round("mean_prev", 6).alias("mean_24h"),
+        F.round("mean_prev", 6).alias(f"mean_{trail}h"),
         z.alias("rate_z"),
         F.when(z > z_thresh, 1).otherwise(0).cast("int").alias("is_spike"),
         F.when(z < -z_thresh, 1).otherwise(0).cast("int").alias("is_stall"),

@@ -814,6 +814,7 @@ def winnowing_select(
     k: int = 8,
     w: int = 8,
     chunk_positions: int = 4096,
+    repartition_chunks_above: int | None = None,
 ) -> DataFrame:
     """The winnowing SELECTION relation: one row per selected
     fingerprint, (id, npos, h, pos) — the 40-bit k-gram hash and its
@@ -851,7 +852,26 @@ def winnowing_select(
     chunk_positions < 2²⁰ by construction — the packing can no longer
     overflow at any document length; the global position is decoded
     and re-attributed (offset + local) AFTER the per-chunk window
-    min."""
+    min.
+
+    ``repartition_chunks_above`` (r13 verdict #5, opt-in): documents
+    with more than that many gram positions get their already-
+    materialized ≤ chunk_positions+k−1-char chunk SLICES repartitioned
+    on (id, chunk-offset) before the gram explode — an explicit,
+    bounded exception to the text-never-shuffles invariant that moves
+    O(doc bytes) once, for exactly the pathological documents whose
+    gram hashing would otherwise run as ONE map-side task (the
+    per-position md5 work sits in the projection feeding the window's
+    (id, off) exchange, i.e. in the task holding the parent row; a
+    handful of 100 MB outliers in a real crawl shard straggle there).
+    The window then REUSES the repartition's hashpartitioning — no
+    second exchange for the big-doc branch (plan-asserted in tests) —
+    and the shuffle moves ~4 KB of slice text per chunk instead of the
+    ~40 B × chunk_positions of gram rows the window exchange moves for
+    the in-place branch, so the opt-in is also strictly fewer shuffle
+    bytes for the docs it touches.  Default None keeps the expression
+    tree byte-identical to the single-branch spelling (selection-set
+    equality at both settings is pinned in the property suite)."""
     from pyspark.sql import Window
 
     pos_cap = 1 << 20
@@ -898,55 +918,71 @@ def winnowing_select(
         .substr(c * F.lit(stride) + F.lit(1), chunk_len + F.lit(k - 1))
         .alias("__chunk"),
     )
-    grams = chunks.select(
-        F.col(id_col),
-        "npos",
-        "off",
-        "L",
-        F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
-        F.col("__chunk"),
-    ).select(
-        F.col(id_col),
-        "npos",
-        "off",
-        "L",
-        "p",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.col("__chunk")
-                        .substr(F.col("p"), F.lit(k))
-                        .cast("binary")
-                    ),
-                    1,
-                    10,
-                ),
-                16,
-                10,
-            ).cast("long")
-            * F.lit(pos_cap)
-            + (F.lit(pos_cap - 1) - F.col("p"))
-        ).alias("v"),
-    )
-    win = (
-        Window.partitionBy(id_col, "off").orderBy("p").rowsBetween(0, w - 1)
-    )
-    return (
-        grams.withColumn("mv", F.min("v").over(win))
-        .filter(F.col("p") <= F.col("L") - F.lit(w - 1))
-        .select(
+    def _selected(chunk_rel: DataFrame) -> DataFrame:
+        grams = chunk_rel.select(
             F.col(id_col),
             "npos",
-            F.shiftright("mv", 20).alias("h"),
+            "off",
+            "L",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("p"),
+            F.col("__chunk"),
+        ).select(
+            F.col(id_col),
+            "npos",
+            "off",
+            "L",
+            "p",
             (
-                F.col("off")
-                + F.lit(pos_cap - 1)
-                - (F.col("mv") % F.lit(pos_cap))
-            ).alias("pos"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.col("__chunk")
+                            .substr(F.col("p"), F.lit(k))
+                            .cast("binary")
+                        ),
+                        1,
+                        10,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * F.lit(pos_cap)
+                + (F.lit(pos_cap - 1) - F.col("p"))
+            ).alias("v"),
         )
-        .distinct()
+        win = (
+            Window.partitionBy(id_col, "off")
+            .orderBy("p")
+            .rowsBetween(0, w - 1)
+        )
+        return (
+            grams.withColumn("mv", F.min("v").over(win))
+            .filter(F.col("p") <= F.col("L") - F.lit(w - 1))
+            .select(
+                F.col(id_col),
+                "npos",
+                F.shiftright("mv", 20).alias("h"),
+                (
+                    F.col("off")
+                    + F.lit(pos_cap - 1)
+                    - (F.col("mv") % F.lit(pos_cap))
+                ).alias("pos"),
+            )
+        )
+
+    if repartition_chunks_above is None:
+        return _selected(chunks).distinct()
+    # per-branch selection: the big-doc branch's chunk slices shuffle
+    # once on (id, off) and its window reuses that partitioning; the
+    # small-doc branch keeps the in-place plan.  Selections are
+    # per-chunk-local, so the union of branch selections is the
+    # whole-corpus selection set (same argument as chunk composition).
+    thresh = F.lit(int(repartition_chunks_above))
+    small = chunks.filter(F.col("npos") <= thresh)
+    big = chunks.filter(F.col("npos") > thresh).repartition(
+        F.col(id_col), F.col("off")
     )
+    return _selected(small).unionAll(_selected(big)).distinct()
 
 
 def winnowing_fingerprints(
@@ -1297,4 +1333,99 @@ def cms_heavy_hitters(
         "exact_cnt",
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Multi-round BPE tokenizer TRAINING (Sennrich, Haddow & Birch,
+    ACL 2016 §3.2): ``n_merges`` fixed rounds, each picking the
+    corpus-weighted most-frequent adjacent symbol pair and rewriting
+    the vocabulary by greedy left-to-right non-overlapping merge —
+    the iterative form of the single q_bpe_merge step, and the last
+    published-algorithm family the tokenizer story was missing
+    (fertility / perplexity / vocab already exist).
+
+    Returns the merge TABLE (step, lhs, rhs, merged, n) — the
+    tokenizer artifact itself, deterministic via (count DESC, pair
+    ASC) tie-break, so the whole training loop is exactly
+    oracle-checkable (the q_pagerank fixed-round discipline).
+
+    Scale shape (the q_pagerank loop discipline): ONE corpus scan
+    reduces to the (word, count) vocabulary relation — everything
+    after is vocabulary-sized, which is what makes BPE trainable on a
+    100 TB corpus (every production tokenizer trains this way:
+    corpus → word histogram → merges over the histogram).  Each round
+    is a vocabulary-sized pair hash-agg, a 1-row argmax collect
+    (bounded driver state, the k-means contract), and a
+    vocabulary-sized array fold; per-round relations are
+    localCheckpoint'd so plan depth stays constant across rounds.
+
+    The symbol-array fold is pure JVM higher-order-function code
+    (``F.aggregate``): merging pair (l, r) replaces the accumulator's
+    last element when it equals l and the incoming symbol equals r —
+    exactly greedy left-to-right non-overlap, since the merged symbol
+    l||r can never equal l.  No UDF anywhere.
+    """
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("wd"))
+        .filter(F.length("wd") >= 1)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = vocab.select(
+        "wd", "c", F.split("wd", "").alias("sy")
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_rows = (
+            cur.filter(F.size("sy") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1), i -> "
+                        "concat(element_at(sy, i), ' ', "
+                        "element_at(sy, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        pair, n = pair_rows[0].pair, pair_rows[0].n
+        lhs, rhs = pair.split(" ")
+        merged = lhs + rhs
+        merges.append((step, lhs, rhs, merged, n))
+        l_lit, r_lit, m_lit = F.lit(lhs), F.lit(rhs), F.lit(merged)
+        folded = F.aggregate(
+            F.col("sy"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_lit)
+                & (x == r_lit),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(m_lit)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select("wd", "c", folded.alias("sy")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges,
+        "step: int, lhs: string, rhs: string, merged: string, n: bigint",
     )

@@ -1399,39 +1399,6 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # round number orders tier-2 re-verification: oldest greens re-enter
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
-    8: (
-        "q_anomaly_mad",
-        "q_anomaly_zscore",
-        "q_cdc_apply",
-        "q_collocations",
-        "q_ewma",
-        "q_funnel",
-        "q_gapfill",
-        "q_interleave_sources",
-        "q_lm_score",
-        "q_media_dedup",
-        "q_media_metadata",
-        "q_mix_rebalance",
-        "q_novelty",
-        "q_pack_sequences",
-        "q_pivot",
-        "q_props_parse",
-        "q_quantile_norm",
-        "q_resample_ffill",
-        "q_retention_cohort",
-        "q_rolling_median",
-        "q_salted_agg",
-        "q_sample_reservoir",
-        "q_sample_weighted",
-        "q_scd2_build",
-        "q_sessionize",
-        "q_source_overlap",
-        "q_sql_exists",
-        "q_sql_tpch_q1",
-        "q_sql_tpch_q10",
-        "q_vector_norm",
-        "q_vocab",
-    ),
     9: (
         "q_agg_basic",
         "q_agg_distinct",
@@ -1440,7 +1407,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_attribution",
         "q_column_stats",
         "q_contamination",
-        "q_dedup_containment",
         "q_dedup_ngram",
         "q_dq_audit",
         "q_embedding_quantize",
@@ -1582,9 +1548,7 @@ _HASH_GREEN_BY_ROUND = {
         "q_dedup_embedding",
         "q_dedup_embedding_lsh",
         "q_dedup_prefix",
-        "q_dedup_simhash",
         "q_doc_stitch",
-        "q_emb_drift",
         "q_entropy",
         "q_grouped_apply",
         "q_grouped_apply_moments",
@@ -1592,7 +1556,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_join_asof_forward",
         "q_join_asof_nearest",
         "q_json_roundtrip",
-        "q_late_data",
         "q_media_neardup",
         "q_merge_compaction",
         "q_merge_incremental",
@@ -1618,9 +1581,59 @@ _HASH_GREEN_BY_ROUND = {
         "q_window_running",
         "q_window_session",
         "q_window_tumbling",
+        "q_zipf_fit",
+    ),
+    13: (
+        "q_ab_assign",
+        "q_anomaly_mad",
+        "q_anomaly_rate",
+        "q_anomaly_zscore",
+        "q_benford",
+        "q_bloom_novelty",
+        "q_cdc_apply",
+        "q_cluster_stats",
+        "q_collocations",
+        "q_dedup_containment",
+        "q_dedup_containment_lsh",
+        "q_dedup_simhash",
+        "q_emb_drift",
+        "q_ewma",
+        "q_funnel",
+        "q_gapfill",
+        "q_graph_degree",
+        "q_heaps_fit",
+        "q_heavy_hitters",
+        "q_interleave_sources",
+        "q_late_data",
+        "q_lm_score",
+        "q_media_dedup",
+        "q_media_metadata",
+        "q_mix_rebalance",
+        "q_novelty",
+        "q_pack_sequences",
+        "q_pad_waste",
+        "q_pivot",
+        "q_props_parse",
+        "q_quality_gates",
+        "q_quantile_norm",
+        "q_resample_ffill",
+        "q_retention_cohort",
+        "q_rolling_median",
+        "q_salted_agg",
+        "q_sample_reservoir",
+        "q_sample_weighted",
+        "q_scd2_build",
+        "q_semijoin_reduce",
+        "q_sessionize",
+        "q_source_overlap",
+        "q_span_mask",
+        "q_sql_exists",
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q10",
+        "q_vector_norm",
+        "q_vocab",
         "q_winnow_overlap",
         "q_winnowing",
-        "q_zipf_fit",
     ),
 }
 _ROWS_SEEN_BY_ROUND = {
@@ -1646,39 +1659,49 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 13) and therefore re-queued regardless
-# of past evidence.  (The full r12 change set re-evidenced in
-# CORRECTNESS_r12 and is folded into the tables above; CORRECTNESS_r12
-# was 49 hash-green + 1 rows-only, 0 failures.)
+# Changed in THIS round (round 14) and therefore re-queued regardless
+# of past evidence.  (The full r13 change set re-evidenced in
+# CORRECTNESS_r13 and is folded into the tables above; CORRECTNESS_r13
+# was 44 hash-green + 6 rows-only, 0 failures.)
+#
+# Re-queue RULE (r14, codifying the exemption the r13 advisor asked to
+# have documented): a query re-queues iff the change can alter its
+# EMITTED ROWS OR PLAN for the registered parameterization.  Exempt,
+# when a committed test pins the registered output: (a) added input
+# validation that only rejects previously-crashing parameterizations
+# with an identical plan for valid ones (r14: simhash bands >= 2 guard
+# — q_dedup_simhash's bands=4 plan is byte-identical, pinned by
+# test_simhash_bands_one_rejected + the pigeonhole suite), (b)
+# pure helper extractions with byte-identical output, (c) opt-in
+# parameters whose default preserves the exact expression tree (r14:
+# rate_spikes' trail-parameterized alias — f"mean_{24}h" == "mean_24h",
+# pinned in test_rate_spikes_spine_closed_form; winnowing's
+# repartition_chunks_above=None default, equality pinned in
+# tests/test_property_winnowing.py).  r13's q_late_data re-queue
+# predates this rule.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_winnowing / q_winnow_overlap — r13 (r12 verdict #4):
-        #    winnowing_select now chunks long documents transparently
-        #    (stride = chunk_positions-(w-1) overlap; selection set
-        #    proven identical at forced-small chunk sizes) and returns
-        #    decoded (h, pos) columns instead of the packed mv.  The
-        #    emitted rows are unchanged on bundled data, but the
-        #    selection relation both queries ride is new code.
-        "q_winnowing",
-        "q_winnow_overlap",
-        #  * q_dedup_simhash — r13: simhash_dedup_pairs band geometry
-        #    parameterized (bands= any divisor of 64) for the r12
-        #    verdict #3 A/B; default 4x16/H2 path re-spelled through
-        #    the generalized width/key-mask arithmetic.
-        "q_dedup_simhash",
-        #  * q_dedup_containment — r13: oracle moved to the shared
-        #    _CONTAINMENT_ORACLE constant (byte-identical SQL, builder
-        #    untouched) so the LSH twin registers _uncapped() of the
-        #    same string; re-queued under the strict
-        #    evidence-certifies-the-code rule.
-        "q_dedup_containment",
-        #  * q_emb_drift — r13 advisor fix: n_ref/n_cur via F.max
-        #    (was nondeterministic F.first; oracle spells MAX).
-        "q_emb_drift",
-        #  * q_late_data — r13 advisor fix: _interval_us now validates
-        #    the interval unit with a diagnostic ValueError; same
-        #    emitted plan, new code path.
-        "q_late_data",
+        #  * q_bpe_train — NEW in r14 (r13 verdict #4): multi-round
+        #    BPE training.  Rides this set (rather than plain tier 0)
+        #    so first-exposure evidence leads the window and cannot be
+        #    displaced by window-size jitter.
+        "q_bpe_train",
+        #  * q_dedup_containment_lsh — r14 (r13 advisor + verdict
+        #    "what's wrong" #2): containment_pairs_rare_shingle's
+        #    short-doc relaxation now floors the candidate cut by the
+        #    per-doc RARE (2 <= df <= max_df) shingle count instead of
+        #    the doc's TOTAL shingle count — a short doc carrying even
+        #    one boilerplate shingle was structurally excluded before.
+        #    The candidate relation (and so the registered query's
+        #    recall guarantee) is new code.
+        "q_dedup_containment_lsh",
+        #  * q_span_mask — r14 (r13 advisor): parameter validation
+        #    (mask_ratio_pct in [1,100], span_len >= 1) plus the jitter
+        #    divisor re-spelled `n_tok div greatest(n_spans, 1)` so
+        #    n_spans=0 rows never divide by zero under ANSI.  Output
+        #    identical for the registered defaults but the emitted
+        #    expression tree changed -> re-queue under the rule above.
+        "q_span_mask",
     }
 )
 
@@ -1693,21 +1716,22 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-13 window plan (r12 verdict "Next round" #1): evidence
-# staleness is the only decaying evidence class — the 31-query r8 hash
-# cohort is the stalest, so the frontier moves to 8 and the whole
-# cohort drains this round.  Order: the 5 changed queries lead (the
-# winnowing chunk composition pair, the simhash band
-# parameterization, the two advisor-fix riders), then the 31 r8
-# greens, then tier 0 queues the 13 r13 additions (filling the window exactly) (q_pad_waste,
-# q_span_mask, q_quality_gates, q_heaps_fit, q_cluster_stats,
-# q_benford, q_semijoin_reduce, q_graph_degree, q_ab_assign,
-# q_heavy_hitters, q_bloom_novelty, q_dedup_containment_lsh,
-# q_anomaly_rate).  The
-# displaced r9 tail rotates into round 14.  Rows-only evidence is
-# r9/r10/r12 — fresh enough to wait, so no rows pin.
-_HASH_DRAIN_FRONTIER = 8
-_ROWS_DRAIN_FRONTIER = 7
+# Round-14 window plan (r13 verdict "Next round" #1): the 45-query r9
+# hash cohort (the TPC-H completion set, q_rank_fusion,
+# q_schema_widening, the r9 window/streaming queries) is now the
+# stalest evidence class, so the frontier moves to 9 and the whole
+# cohort drains this round.  Order: the 3 tier-0 names lead (q_bpe_train
+# NEW this round — it rides _CHANGED_THIS_ROUND so first-exposure
+# evidence cannot be displaced by window-size jitter — plus the 2
+# re-queued advisor-fix queries), then the 45 r9 greens; remaining
+# window slots fall to tier 2, which orders the r10 greens oldest-first
+# (the verdict's "top up with the oldest r10s").  Rows-only evidence is
+# r9/r10/r12; the judge's "45-query r9 cohort" counts the two r9
+# rows-only queries (q_ann_ivf, q_ann_pq), so the rows frontier moves
+# to 9 with the hash frontier — the whole histogram bucket drains and
+# the evidence floor lands at r10.
+_HASH_DRAIN_FRONTIER = 9
+_ROWS_DRAIN_FRONTIER = 9
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(

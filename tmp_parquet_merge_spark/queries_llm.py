@@ -2389,6 +2389,91 @@ def q_bpe_merge(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled ``n_merges``-round BPE training as one DuckDB query —
+    round-for-round the SQL spelling of text.bpe_train (the q_pagerank
+    fixed-iteration oracle discipline).  Each round k: pair counts
+    from round k-1's vocabulary representation, the (count DESC, pair
+    ASC) argmax as a 1-row CTE, then the greedy left-to-right
+    non-overlapping merge applied via ``list_reduce`` over a
+    space-separated symbol string (symbols never contain spaces —
+    words are whitespace-split — so suffix-compare against
+    ``' ' || lhs`` aligns exactly with the last whole symbol, the same
+    invariant Spark's array fold uses via element_at(acc, -1))."""
+    cte = [
+        _W.strip(),
+        """u AS (
+            SELECT wd, COUNT(*) AS c
+            FROM (SELECT unnest(ws) AS wd FROM w)
+            WHERE length(wd) >= 1 GROUP BY 1
+        )""",
+        """v0 AS (
+            SELECT wd, c,
+                   ' ' || array_to_string(string_split(wd, ''), ' ') AS s
+            FROM u
+        )""",
+    ]
+    for k in range(1, n_merges + 1):
+        cte.append(f"""p{k} AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1])) AS pair, c
+            FROM (SELECT string_split(substr(s, 2), ' ') AS l, c
+                  FROM v{k - 1})
+            WHERE len(l) >= 2
+        )""")
+        cte.append(f"""m{k} AS (
+            SELECT {k} AS step, pair, CAST(SUM(c) AS BIGINT) AS n
+            FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+        )""")
+        cte.append(f"""v{k} AS (
+            SELECT t.wd, t.c,
+                   list_reduce(
+                       list_prepend('', string_split(substr(t.s, 2), ' ')),
+                       (acc, x) -> CASE
+                           WHEN x = string_split(m.pair, ' ')[2]
+                            AND right(acc,
+                                  length(string_split(m.pair, ' ')[1]) + 1)
+                                = ' ' || string_split(m.pair, ' ')[1]
+                           THEN left(acc, length(acc)
+                                  - length(string_split(m.pair, ' ')[1]) - 1)
+                                || ' ' || replace(m.pair, ' ', '')
+                           ELSE acc || ' ' || x END) AS s
+            FROM v{k - 1} t CROSS JOIN m{k} m
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(cte)
+        + f"""
+        SELECT CAST(step AS INTEGER) AS step,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged, n
+        FROM ({union})
+        ORDER BY step"""
+    )
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle(8))
+def q_bpe_train(spark, sf_dir):
+    """Multi-round BPE tokenizer training (r13 verdict #4): 8 fixed
+    merge rounds over the documents corpus — the iterative form of
+    q_bpe_merge's single step, completing the tokenizer family
+    (fertility / perplexity / vocab / single-merge already exist).
+    Returns the merge table itself (step, lhs, rhs, merged, n); at
+    sf0.001 round 8 already merges a multi-character symbol
+    ('p' + 'ar'), so the iteration is structurally exercised at every
+    tier.  Scale: one corpus scan reduces to the word histogram;
+    every round after is vocabulary-sized with a 1-row argmax collect
+    (operators/text.py::bpe_train — the q_pagerank loop discipline).
+    Reference surface: wesm/tmp-parquet-merge has no tokenizer; this
+    extends the mandated LLM-pipeline family."""
+    return text.bpe_train(t(spark, sf_dir, "documents"), "text", n_merges=8)
+
+
 @query(
     "q_lm_score",
     oracle=f"""

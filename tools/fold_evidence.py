@@ -7,7 +7,12 @@ bodies) for tmp_parquet_merge_spark/queries.py — each query listed
 under the LATEST round that evidenced it, hash-pass and rows-only kept
 separate, names the registry no longer knows flagged loudly.
 
-Usage: python tools/fold_evidence.py [--evidence-dir DIR]
+Usage: python tools/fold_evidence.py [--evidence-dir DIR] [--markdown]
+
+``--markdown`` emits the cumulative EVIDENCE.md table instead (r13
+verdict #8): one row per registered query — latest evidence round,
+evidence kind, staleness histogram at the top — so any reader can
+verify the coverage claim without re-folding the CORRECTNESS files.
 (cwd-independent; DIR defaults to the repo root — tests point it at a
 synthesized fixture dir so assertions never depend on which live
 CORRECTNESS artifacts happen to exist at HEAD)
@@ -36,6 +41,9 @@ sys.path.insert(0, ROOT)
 def main(argv: list[str] | None = None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     evidence_dir = ROOT
+    markdown = "--markdown" in args
+    if markdown:
+        args.remove("--markdown")
     if "--evidence-dir" in args:
         i = args.index("--evidence-dir")
         try:
@@ -122,6 +130,52 @@ def main(argv: list[str] | None = None) -> int:
                 print(f'        "{n}",')
             print("    ),")
         print("}")
+
+    if markdown:
+        never = [
+            n for n in REGISTRY
+            if n not in latest_hash and n not in latest_rows
+        ]
+        hist: dict[int, int] = {}
+        for r in list(latest_hash.values()) + list(latest_rows.values()):
+            hist[r] = hist.get(r, 0) + 1
+        print("# EVIDENCE — cumulative driver-evidence ledger")
+        print()
+        print(
+            "Generated by `python tools/fold_evidence.py --markdown` from "
+            "every\nCORRECTNESS_r*.json at HEAD; regenerate at round "
+            "close.  One row per\nregistered query: the LATEST round "
+            "whose driver run evidenced it, and the\nevidence kind "
+            "(hash = oracle value-hash match at sf0.01; rows-only = "
+            "ran and\nproduced rows, reserved for queries without a "
+            "DuckDB-expressible oracle)."
+        )
+        print()
+        print(
+            f"Registered queries: **{len(REGISTRY)}** — "
+            f"hash-evidenced {len(latest_hash)}, "
+            f"rows-only {len(latest_rows)}, "
+            f"never-evidenced {len(never)}"
+            + (f" ({sorted(never)})" if never else "")
+        )
+        print()
+        print("Staleness histogram (latest evidence round -> queries):")
+        print()
+        print("| round | queries |")
+        print("|---|---|")
+        for r in sorted(hist):
+            print(f"| r{r} | {hist[r]} |")
+        print()
+        print("| query | latest evidence | kind |")
+        print("|---|---|---|")
+        for n in sorted(REGISTRY):
+            if n in latest_hash:
+                print(f"| `{n}` | r{latest_hash[n]} | hash |")
+            elif n in latest_rows:
+                print(f"| `{n}` | r{latest_rows[n]} | rows-only |")
+            else:
+                print(f"| `{n}` | — | NEVER |")
+        return 0
 
     dump("_HASH_GREEN_BY_ROUND", latest_hash)
     dump("_ROWS_SEEN_BY_ROUND", latest_rows)

@@ -177,6 +177,8 @@ HEADLINE = [
     "q_transition_matrix",
     "q_triangle_count",
     "q_bpe_merge",
+    "q_bpe_train",
+    "q_bpe_apply",
     # round-3 wave 5: the TPC-H completion set (correlated MIN, profit
     # rollup, global-threshold HAVING, priority classes, scalar-MAX
     # view, distinct-agg + NOT IN, per-part avg threshold, nested

@@ -2491,3 +2491,56 @@ def test_bpe_train_matches_reference(spark):
     # whose lhs or rhs is itself a merged symbol) — otherwise 6 rounds
     # degenerate into 6 independent char-pair picks
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in expected)
+
+
+def test_bpe_apply_matches_reference(spark):
+    """The APPLY half: per-source word/token sums under the corpus's
+    own trained merges must match a pure-Python train+apply."""
+    import collections
+
+    docs = [
+        (0, "aaaa banana aaa", "web"),
+        (1, "bandana ananas", "web"),
+        (2, "aaaa aaaa na na", "books"),
+        (3, "banana", "books"),
+    ]
+
+    def train_apply(word_counts, k):
+        vocab = {w: list(w) for w in word_counts}
+        for _ in range(k):
+            pc = collections.Counter()
+            for w, c in word_counts.items():
+                sy = vocab[w]
+                for i in range(len(sy) - 1):
+                    pc[(sy[i], sy[i + 1])] += c
+            if not pc:
+                break
+            (l, r), _ = min(
+                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            for w, sy in vocab.items():
+                out = []
+                for s in sy:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return vocab
+
+    wc = collections.Counter(w for _, t_, _ in docs for w in t_.split())
+    fitted = train_apply(wc, 4)
+    want = {}
+    for _, t_, src in docs:
+        ws = t_.split()
+        d = want.setdefault(src, [0, 0])
+        d[0] += len(ws)
+        d[1] += sum(len(fitted[w]) for w in ws)
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, source: string")
+    got = {
+        r.source: (r.n_words, r.n_tokens, r.fertility)
+        for r in text.bpe_apply(df, "text", "source", n_merges=4).collect()
+    }
+    assert set(got) == set(want)
+    for src, (nw, nt) in want.items():
+        assert got[src] == (nw, nt, round(nt / nw, 6)), src

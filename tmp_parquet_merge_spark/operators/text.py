@@ -1379,10 +1379,23 @@ def bpe_train(
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    merges, _ = _bpe_loop(vocab, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "step: int, lhs: string, rhs: string, merged: string, n: bigint",
+    )
+
+
+def _bpe_loop(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """The BPE training loop over a (wd, c) word histogram: returns
+    the merge list AND the final vocabulary symbolization (wd, c, sy)
+    — shared by :func:`bpe_train` (emits the merge table) and
+    :func:`bpe_apply` (tokenizes the corpus with the final sy)."""
     cur = vocab.select(
         "wd", "c", F.split("wd", "").alias("sy")
     ).localCheckpoint(eager=False)
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pair_rows = (
@@ -1425,7 +1438,58 @@ def bpe_train(
         cur = cur.select("wd", "c", folded.alias("sy")).localCheckpoint(
             eager=False
         )
-    return spark.createDataFrame(
-        merges,
-        "step: int, lhs: string, rhs: string, merged: string, n: bigint",
+    return merges, cur
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    n_merges: int = 8,
+) -> DataFrame:
+    """The APPLY half of BPE training (the engine's blacklist-APPLIED
+    pattern: q_segments_clean / q_substring_clean): tokenize the
+    corpus under the ``n_merges``-rule tokenizer :func:`bpe_train`
+    fits on the SAME corpus, and report the per-source token economics
+    (word count, BPE token count, fertility = tokens/word) — the
+    number a tokenizer owner reads to see which source pays the most
+    subword splits under the corpus's own merges.
+
+    One corpus scan → the (source, word, cnt) hash-agg; the training
+    histogram is its re-aggregation (no second scan), the trained
+    symbolization joins back on the word key, and the result is a
+    |sources|-row aggregate.  Nothing after the first hash-agg exceeds
+    vocabulary × sources rows at any corpus scale."""
+    from tmp_parquet_merge_spark.operators.dedup import words
+
+    sw = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(words(text_col)).alias("wd"),
+        )
+        .filter(F.length("wd") >= 1)
+        .groupBy("source", "wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = sw.groupBy("wd").agg(F.sum("cnt").alias("c"))
+    _, fitted = _bpe_loop(vocab, n_merges)
+    tok = fitted.select("wd", F.size("sy").cast("long").alias("n_sym"))
+    return (
+        sw.join(tok, "wd")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("source")
     )

@@ -1681,11 +1681,13 @@ _EVIDENCE_ROUND = {
 # predates this rule.
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_bpe_train — NEW in r14 (r13 verdict #4): multi-round
-        #    BPE training.  Rides this set (rather than plain tier 0)
-        #    so first-exposure evidence leads the window and cannot be
-        #    displaced by window-size jitter.
+        #  * q_bpe_train / q_bpe_apply — NEW in r14 (r13 verdict #4):
+        #    multi-round BPE training and its corpus-tokenization
+        #    APPLY half.  They ride this set (rather than plain tier
+        #    0) so first-exposure evidence leads the window and cannot
+        #    be displaced by window-size jitter.
         "q_bpe_train",
+        "q_bpe_apply",
         #  * q_dedup_containment_lsh — r14 (r13 advisor + verdict
         #    "what's wrong" #2): containment_pairs_rare_shingle's
         #    short-doc relaxation now floors the candidate cut by the
@@ -1720,12 +1722,14 @@ def _driver_tier(q: Query) -> int:
 # hash cohort (the TPC-H completion set, q_rank_fusion,
 # q_schema_widening, the r9 window/streaming queries) is now the
 # stalest evidence class, so the frontier moves to 9 and the whole
-# cohort drains this round.  Order: the 3 tier-0 names lead (q_bpe_train
-# NEW this round — it rides _CHANGED_THIS_ROUND so first-exposure
-# evidence cannot be displaced by window-size jitter — plus the 2
-# re-queued advisor-fix queries), then the 45 r9 greens; remaining
-# window slots fall to tier 2, which orders the r10 greens oldest-first
-# (the verdict's "top up with the oldest r10s").  Rows-only evidence is
+# cohort drains this round.  Order: the 4 tier-0 names lead
+# (q_bpe_train + q_bpe_apply NEW this round — they ride
+# _CHANGED_THIS_ROUND so first-exposure evidence cannot be displaced
+# by window-size jitter — plus the 2 re-queued advisor-fix queries),
+# then the 45 r9 greens (43 hash + the 2 r9 rows-only); the one
+# remaining window slot falls to tier 2, which orders the r10 greens
+# oldest-first (the verdict's "top up with the oldest r10s").
+# Rows-only evidence is
 # r9/r10/r12; the judge's "45-query r9 cohort" counts the two r9
 # rows-only queries (q_ann_ivf, q_ann_pq), so the rows frontier moves
 # to 9 with the hash frontier — the whole histogram bucket drains and

@@ -2407,6 +2407,27 @@ def _bpe_train_oracle(n_merges: int) -> str:
             FROM (SELECT unnest(ws) AS wd FROM w)
             WHERE length(wd) >= 1 GROUP BY 1
         )""",
+    ] + _bpe_round_ctes(n_merges)
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(cte)
+        + f"""
+        SELECT CAST(step AS INTEGER) AS step,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged, n
+        FROM ({union})
+        ORDER BY step"""
+    )
+
+
+def _bpe_round_ctes(n_merges: int) -> list[str]:
+    """The shared v0/p{k}/m{k}/v{k} round CTEs over a ``u`` (wd, c)
+    histogram CTE — assembled by both the train and apply oracles."""
+    cte = [
         """v0 AS (
             SELECT wd, c,
                    ' ' || array_to_string(string_split(wd, ''), ' ') AS s
@@ -2441,19 +2462,56 @@ def _bpe_train_oracle(n_merges: int) -> str:
                            ELSE acc || ' ' || x END) AS s
             FROM v{k - 1} t CROSS JOIN m{k} m
         )""")
-    union = "\n            UNION ALL ".join(
-        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
-    )
+    return cte
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """The APPLY oracle: the same round CTEs fitted on the corpus-wide
+    histogram (re-aggregated from the per-source one, as Spark does),
+    final symbolization joined back to (source, wd, cnt), per-source
+    BIGINT word/token sums and the IEEE fertility division."""
+    cte = [
+        r"""sw AS (
+            SELECT source, wd, COUNT(*) AS cnt FROM (
+                SELECT source,
+                       unnest(string_split(regexp_replace(
+                           lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS wd
+                FROM documents)
+            WHERE length(wd) >= 1 GROUP BY 1, 2
+        )""",
+        """u AS (
+            SELECT wd, CAST(SUM(cnt) AS BIGINT) AS c FROM sw GROUP BY 1
+        )""",
+    ] + _bpe_round_ctes(n_merges)
     return (
         "WITH "
         + ",\n        ".join(cte)
         + f"""
-        SELECT CAST(step AS INTEGER) AS step,
-               string_split(pair, ' ')[1] AS lhs,
-               string_split(pair, ' ')[2] AS rhs,
-               replace(pair, ' ', '') AS merged, n
-        FROM ({union})
-        ORDER BY step"""
+        SELECT t.source,
+               CAST(SUM(t.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(t.cnt * len(string_split(substr(v.s, 2), ' ')))
+                    AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(t.cnt * len(string_split(substr(v.s, 2), ' ')))
+                          AS BIGINT)
+                     / CAST(SUM(t.cnt) AS BIGINT), 6) AS fertility
+        FROM sw t JOIN v{n_merges} v USING (wd)
+        GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@query("q_bpe_apply", oracle=_bpe_apply_oracle(8))
+def q_bpe_apply(spark, sf_dir):
+    """The APPLY half of BPE training (the engine's blacklist-APPLIED
+    pattern): tokenize the corpus under the 8-rule tokenizer
+    q_bpe_train fits on the same corpus and report per-source token
+    economics — words, BPE tokens, fertility (tokens/word), the
+    number that shows which source pays the most subword splits.
+    One corpus scan → (source, word, cnt) hash-agg; the training
+    histogram is its re-aggregation (no second scan); everything
+    after is vocabulary × sources-bounded
+    (operators/text.py::bpe_apply)."""
+    return text.bpe_apply(
+        t(spark, sf_dir, "documents"), "text", "source", n_merges=8
     )
 
 

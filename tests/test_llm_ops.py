@@ -2449,39 +2449,16 @@ def test_bpe_train_matches_reference(spark):
     later round, and a count tie."""
     import collections
 
+    from bpe_reference import ref_bpe
+
     corpus = (
         ["aaaa aaa banana bandana"] * 3
         + ["ananas banana aaaa"] * 2
         + ["ba na na aaaa aaaa"]
     )
 
-    def ref_bpe(word_counts, k):
-        vocab = {w: list(w) for w in word_counts}
-        merges = []
-        for step in range(1, k + 1):
-            pc = collections.Counter()
-            for w, c in word_counts.items():
-                sy = vocab[w]
-                for i in range(len(sy) - 1):
-                    pc[(sy[i], sy[i + 1])] += c
-            if not pc:
-                break
-            (l, r), n = min(
-                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
-            )
-            merges.append((step, l, r, l + r, n))
-            for w, sy in vocab.items():
-                out = []
-                for s in sy:
-                    if out and out[-1] == l and s == r:
-                        out[-1] = l + r
-                    else:
-                        out.append(s)
-                vocab[w] = out
-        return merges
-
     wc = collections.Counter(w for line in corpus for w in line.split())
-    expected = ref_bpe(wc, 6)
+    expected, _ = ref_bpe(wc, 6)
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(corpus)], "doc_id: long, text: string"
     )
@@ -2498,6 +2475,8 @@ def test_bpe_apply_matches_reference(spark):
     own trained merges must match a pure-Python train+apply."""
     import collections
 
+    from bpe_reference import ref_bpe
+
     docs = [
         (0, "aaaa banana aaa", "web"),
         (1, "bandana ananas", "web"),
@@ -2505,31 +2484,8 @@ def test_bpe_apply_matches_reference(spark):
         (3, "banana", "books"),
     ]
 
-    def train_apply(word_counts, k):
-        vocab = {w: list(w) for w in word_counts}
-        for _ in range(k):
-            pc = collections.Counter()
-            for w, c in word_counts.items():
-                sy = vocab[w]
-                for i in range(len(sy) - 1):
-                    pc[(sy[i], sy[i + 1])] += c
-            if not pc:
-                break
-            (l, r), _ = min(
-                pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
-            )
-            for w, sy in vocab.items():
-                out = []
-                for s in sy:
-                    if out and out[-1] == l and s == r:
-                        out[-1] = l + r
-                    else:
-                        out.append(s)
-                vocab[w] = out
-        return vocab
-
     wc = collections.Counter(w for _, t_, _ in docs for w in t_.split())
-    fitted = train_apply(wc, 4)
+    _, fitted = ref_bpe(wc, 4)
     want = {}
     for _, t_, src in docs:
         ws = t_.split()

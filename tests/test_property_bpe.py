@@ -14,38 +14,13 @@ import collections
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from bpe_reference import ref_bpe
 from tmp_parquet_merge_spark.operators.text import bpe_apply, bpe_train
 
 _WORD = st.text(alphabet="ab", min_size=1, max_size=6)
 _DOC = st.lists(_WORD, min_size=1, max_size=8).map(" ".join)
 _CORPUS = st.lists(_DOC, min_size=1, max_size=5)
 _K = 3
-
-
-def _ref_train(word_counts: dict, k: int):
-    vocab = {w: list(w) for w in word_counts}
-    merges = []
-    for step in range(1, k + 1):
-        pc = collections.Counter()
-        for w, c in word_counts.items():
-            sy = vocab[w]
-            for i in range(len(sy) - 1):
-                pc[(sy[i], sy[i + 1])] += c
-        if not pc:
-            break
-        (l, r), n = min(
-            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
-        )
-        merges.append((step, l, r, l + r, n))
-        for w, sy in vocab.items():
-            out = []
-            for s in sy:
-                if out and out[-1] == l and s == r:
-                    out[-1] = l + r
-                else:
-                    out.append(s)
-            vocab[w] = out
-    return merges, vocab
 
 
 @settings(
@@ -56,7 +31,7 @@ def _ref_train(word_counts: dict, k: int):
 @given(corpus=_CORPUS)
 def test_bpe_train_and_apply_match_reference(spark, corpus):
     wc = collections.Counter(w for d in corpus for w in d.split())
-    want_merges, fitted = _ref_train(wc, _K)
+    want_merges, fitted = ref_bpe(wc, _K)
     rows = [(i, d, "s%d" % (i % 2)) for i, d in enumerate(corpus)]
     df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
 
@@ -76,3 +51,39 @@ def test_bpe_train_and_apply_match_reference(spark, corpus):
     assert set(got_apply) == set(want_apply)
     for s, (nw, nt) in want_apply.items():
         assert got_apply[s] == (nw, nt, round(nt / nw, 6)), s
+
+
+def test_bpe_oracle_pair_exhaustion_parity(spark):
+    """Mid-round r14 review: when the corpus's pair space exhausts
+    before n_merges rounds, Spark's loop BREAKs and keeps the last
+    symbolization; the oracle's empty m{k} must leave v{k} unchanged
+    (LEFT JOIN ON TRUE), not empty it — both engines, same tiny
+    corpus, same rows."""
+    import duckdb
+
+    from tmp_parquet_merge_spark.queries_llm import (
+        _bpe_apply_oracle,
+        _bpe_train_oracle,
+    )
+
+    docs = [(1, "ab c", "en", "web", 4), (2, "ab", "en", "books", 2)]
+    df = spark.createDataFrame(
+        docs, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    got_train = [tuple(r) for r in bpe_train(df, "text", n_merges=3).collect()]
+    got_apply = [
+        tuple(r) for r in bpe_apply(df, "text", "source", n_merges=3).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(str(d) for d in docs)
+        + ") t(doc_id, text, lang, source, n_chars)"
+    )
+    want_train = con.execute(_bpe_train_oracle(3)).fetchall()
+    want_apply = con.execute(_bpe_apply_oracle(3)).fetchall()
+    assert got_train == want_train == [(1, "a", "b", "ab", 2)]
+    assert sorted(got_apply) == sorted(want_apply) == [
+        ("books", 1, 1, 1.0),
+        ("web", 2, 2, 1.0),
+    ]

@@ -46,11 +46,11 @@ def test_sort_keys_are_monotonic():
 
 
 # The oldest evidence round being drained this round: the r14 window
-# leads with its 3 tier-0 names (q_bpe_train NEW, plus the two
-# re-queued advisor-fix queries q_dedup_containment_lsh / q_span_mask),
-# then the pinned 45-query r9 hash cohort (the stalest evidence — r13
-# verdict #1); the 2 remaining slots fall to the oldest r10 greens via
-# tier-2 ordering.  The frontier VALUES live
+# leads with its 4 tier-0 names (q_bpe_train + q_bpe_apply NEW, plus
+# the two re-queued advisor-fix queries q_dedup_containment_lsh /
+# q_span_mask), then the pinned 45-query r9 cohort (43 hash + the 2
+# r9 rows-only — the stalest evidence, r13 verdict #1); the single
+# remaining slot falls to the oldest r10 green via tier-2 ordering.  The frontier VALUES live
 # in queries.py (they drive _DRIVER_FIRST itself); the tightness
 # assertions below use the imported values so they can't drift, and
 # the ROUND PIN here keeps the test non-tautological —

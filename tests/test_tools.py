@@ -263,8 +263,11 @@ def test_fold_evidence_oracle_status_rules(tmp_path):
     )
     r = _run_fold(tmp_path, "--evidence-dir", str(ev))
     assert r.returncode == 0
-    assert f"# NOTE: {rows_only} hash-green in r3 but now oracle-less" in r.stdout
-    assert f"# NOTE: {oracled} rows-only evidence (r3) but now has an" in r.stdout
+    # diagnostic NOTE lines go to stderr (r14: --markdown output must
+    # pipe clean into EVIDENCE.md without ledger-comment preamble)
+    assert f"# NOTE: {rows_only} hash-green in r3 but now oracle-less" in r.stderr
+    assert f"# NOTE: {oracled} rows-only evidence (r3) but now has an" in r.stderr
+    assert "# NOTE" not in r.stdout
     # rows_only landed in the rows table; oracled is pending again
     (never_line,) = [
         ln for ln in r.stdout.splitlines() if "never driver-evidenced" in ln

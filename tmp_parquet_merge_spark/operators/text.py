@@ -977,6 +977,13 @@ def winnowing_select(
     # small-doc branch keeps the in-place plan.  Selections are
     # per-chunk-local, so the union of branch selections is the
     # whole-corpus selection set (same argument as chunk composition).
+    # The chunk relation is localCheckpoint'd (the shared-subplan
+    # discipline: containment_pairs_rare_shingle, _bpe_loop) so the
+    # two branches do not each re-scan and re-normalize the corpus —
+    # the checkpoint holds the materialized slices once (mid-round r14
+    # review; without it the opt-in silently added a full extra corpus
+    # scan, the very cost it exists to avoid).
+    chunks = chunks.localCheckpoint(eager=False)
     thresh = F.lit(int(repartition_chunks_above))
     small = chunks.filter(F.col("npos") <= thresh)
     big = chunks.filter(F.col("npos") > thresh).repartition(

@@ -2447,8 +2447,16 @@ def _bpe_round_ctes(n_merges: int) -> list[str]:
             SELECT {k} AS step, pair, CAST(SUM(c) AS BIGINT) AS n
             FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
         )""")
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when round k's pair space
+        # is exhausted m{k} is EMPTY, and a cross join would empty
+        # v{k} and every later round — the apply oracle would then
+        # return zero rows while Spark's loop break keeps the last
+        # symbolization (mid-round r14 review).  With the left join an
+        # empty m{k} leaves s unchanged, matching the break exactly
+        # (p{k+1} recomputes the same pairs, m{k+1} stays empty).
         cte.append(f"""v{k} AS (
             SELECT t.wd, t.c,
+                   CASE WHEN m.pair IS NULL THEN t.s ELSE
                    list_reduce(
                        list_prepend('', string_split(substr(t.s, 2), ' ')),
                        (acc, x) -> CASE
@@ -2459,8 +2467,8 @@ def _bpe_round_ctes(n_merges: int) -> list[str]:
                            THEN left(acc, length(acc)
                                   - length(string_split(m.pair, ' ')[1]) - 1)
                                 || ' ' || replace(m.pair, ' ', '')
-                           ELSE acc || ' ' || x END) AS s
-            FROM v{k - 1} t CROSS JOIN m{k} m
+                           ELSE acc || ' ' || x END) END AS s
+            FROM v{k - 1} t LEFT JOIN m{k} m ON TRUE
         )""")
     return cte
 

@@ -8,6 +8,8 @@ under the LATEST round that evidenced it, hash-pass and rows-only kept
 separate, names the registry no longer knows flagged loudly.
 
 Usage: python tools/fold_evidence.py [--evidence-dir DIR] [--markdown]
+(diagnostic NOTE/WARNING lines go to stderr so --markdown output pipes
+clean into EVIDENCE.md)
 
 ``--markdown`` emits the cumulative EVIDENCE.md table instead (r13
 verdict #8): one row per registered query — latest evidence round,
@@ -84,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
 
     unknown = (set(latest_hash) | set(latest_rows)) - set(REGISTRY)
     if unknown:
-        print(f"# WARNING: evidence for unregistered names: {sorted(unknown)}")
+        print(
+            f"# WARNING: evidence for unregistered names: {sorted(unknown)}",
+            file=sys.stderr,
+        )
 
     # Evidence tier must match the query's CURRENT oracle status:
     # _driver_tier consults _HASH_GREEN only for oracle-backed queries
@@ -99,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
             latest_rows[name] = max(latest_rows.get(name, 0), rnd)
             print(
                 f"# NOTE: {name} hash-green in r{rnd} but now oracle-less"
-                " -> moved to rows table"
+                " -> moved to rows table",
+                file=sys.stderr,
             )
     for name in sorted(latest_rows):
         if name in REGISTRY and REGISTRY[name].oracle is not None:
@@ -108,7 +114,8 @@ def main(argv: list[str] | None = None) -> int:
                 continue  # hash evidence carries the query; rows noise
             print(
                 f"# NOTE: {name} rows-only evidence (r{rnd}) but now has an"
-                " oracle -> dropped (re-queues at tier 0)"
+                " oracle -> dropped (re-queues at tier 0)",
+                file=sys.stderr,
             )
     # a name can hold BOTH kinds of evidence (ran rows-only in one
     # round, hash-matched in another while oracle-backed): the tables

@@ -11,6 +11,7 @@ are always re-queued, and nothing is lost in the reshuffle.
 from tmp_parquet_merge_spark.queries import (
     REGISTRY,
     _CHANGED_THIS_ROUND,
+    _DRAIN_DEFERRED,
     _DRIVER_FIRST,
     _EVIDENCE_ROUND,
     _HASH_DRAIN_FRONTIER,
@@ -46,11 +47,14 @@ def test_sort_keys_are_monotonic():
 
 
 # The oldest evidence round being drained this round: the r14 window
-# leads with its 4 tier-0 names (q_bpe_train + q_bpe_apply NEW, plus
-# the two re-queued advisor-fix queries q_dedup_containment_lsh /
-# q_span_mask), then the pinned 45-query r9 cohort (43 hash + the 2
-# r9 rows-only — the stalest evidence, r13 verdict #1); the single
-# remaining slot falls to the oldest r10 green via tier-2 ordering.  The frontier VALUES live
+# leads with its 10 tier-0 names (q_bpe_train + q_bpe_apply NEW, the
+# two advisor-fix re-queues q_dedup_containment_lsh / q_span_mask,
+# and the six mid-round-review re-queues — q_anomaly_rate, the asof
+# family, q_funnel), then the r9 hash cohort minus the two
+# _DRAIN_DEFERRED overflow names; the review fixes cost the window
+# its rows-only slots (q_ann_ivf/q_ann_pq wait for r15, frontier back
+# to 7) and two hash greens (explicit _DRAIN_DEFERRED, re-queued
+# FIRST in r15 by oldest-first tier-2 ordering).  The frontier VALUES live
 # in queries.py (they drive _DRIVER_FIRST itself); the tightness
 # assertions below use the imported values so they can't drift, and
 # the ROUND PIN here keeps the test non-tautological —
@@ -58,7 +62,7 @@ def test_sort_keys_are_monotonic():
 # pin any fat-fingered frontier (0 pins nothing; 10 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (9, 9), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (9, 7), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )
@@ -91,11 +95,25 @@ def test_named_evidence_debts_lead():
     # and the frontiers are tight: no UNCHANGED query with evidence
     # at or below its kind's frontier is left outside the pinned prefix
     for n, q in REGISTRY.items():
-        if n in _DRIVER_FIRST or n in _CHANGED_THIS_ROUND:
+        if (
+            n in _DRIVER_FIRST
+            or n in _CHANGED_THIS_ROUND
+            or n in _DRAIN_DEFERRED
+        ):
             continue
         assert not _stale(n, q) or _EVIDENCE_ROUND.get(n, 0) == 0, (
             f"{n} (evidence r{_EVIDENCE_ROUND.get(n)}) is staler than "
             "the drain frontier but not pinned in _DRIVER_FIRST"
+        )
+    # the deferral list is an overflow valve, not a hiding place: every
+    # deferred name must be evidenced, unchanged, and FIRST in line
+    # after the pinned prefix (oldest-first tier-2 ordering)
+    names = list(REGISTRY)
+    for n in _DRAIN_DEFERRED:
+        assert n in REGISTRY and _EVIDENCE_ROUND.get(n, 0) > 0, n
+        assert n not in _CHANGED_THIS_ROUND, n
+        assert names.index(n) < len(_DRIVER_FIRST) + len(_DRAIN_DEFERRED) + 1, (
+            f"{n} deferred but not first in the tier-2 queue"
         )
 
 

@@ -428,3 +428,123 @@ def test_rate_spikes_spine_closed_form(spark):
     # 48-hour caller is not handed a column claiming a 24h window
     assert "mean_24h" in rate_spikes(df).columns
     assert "mean_48h" in rate_spikes(df, trail=48).columns
+
+
+def test_asof_join_null_right_time_matches_nothing(spark):
+    """r14 review: a right row with a NULL time must never be
+    carried — backward's NULLS-FIRST sort placed it before every real
+    row, so left rows with no true at-or-before match silently took
+    its values."""
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k: long, t: long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k: long, rt: long, val: double"
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, "k", "t", "rt", ["val"], direction=direction
+        ).collect()
+        assert len(out) == 1 and out[0].val is None, direction
+    # and a NULL-time right row must not SHADOW an earlier real match
+    right2 = spark.createDataFrame(
+        [(1, None, 99.0), (1, 3, 7.0)], "k: long, rt: long, val: double"
+    )
+    out = asof_join(left, right2, "k", "t", "rt", ["val"]).collect()
+    assert out[0].val == 7.0
+
+
+def test_asof_join_right_time_ties_deterministic(spark):
+    """r14 review: two right rows sharing (key, time) resolve to the
+    greatest right_values tuple — a defined total order instead of
+    shuffle-order nondeterminism.  Pinned across several partition
+    layouts so a lucky ordering cannot pass."""
+    from tmp_parquet_merge_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k: long, t: long")
+    rows = [(1, 10, v) for v in (5.0, 1.0, 9.0, 3.0)]
+    for nparts in (1, 2, 4):
+        right = spark.createDataFrame(
+            rows, "k: long, rt: long, val: double"
+        ).repartition(nparts)
+        out = asof_join(left, right, "k", "t", "rt", ["val"]).collect()
+        assert out[0].val == 9.0, nparts
+
+
+def test_upsert_missing_target_column_rejected(spark):
+    """r14 review: a partial-schema updates frame silently NULLed the
+    absent target columns on every matched row — now a loud
+    ValueError."""
+    import pytest as _pytest
+
+    from tmp_parquet_merge_spark.operators.relational import upsert
+
+    target = spark.createDataFrame([(1, "a", 2.0)], "k: long, name: string, bal: double")
+    updates = spark.createDataFrame([(1, 3.0)], "k: long, bal: double")
+    with _pytest.raises(ValueError, match="missing target columns"):
+        upsert(target, updates, ["k"])
+
+
+def test_upsert_keys_only_duplicate_guard_fires(spark):
+    """r14 review: with a keys-only target the duplicate guard used to
+    live in non-existent non-key columns and never evaluated; it is
+    now fused into the key columns and must still raise."""
+    import pytest as _pytest
+
+    from tmp_parquet_merge_spark.operators.relational import upsert
+
+    target = spark.createDataFrame([(1,)], "k: long")
+    dup = spark.createDataFrame([(1,), (1,)], "k: long")
+    with _pytest.raises(Exception, match="multiple update rows"):
+        upsert(target, dup, ["k"]).collect()
+    # non-duplicate keys-only apply still unions cleanly
+    ok = spark.createDataFrame([(1,), (2,)], "k: long")
+    got = sorted(r.k for r in upsert(target, ok, ["k"]).collect())
+    assert got == [1, 2]
+
+
+def test_rate_spikes_constant_baseline_flags(spark):
+    """r14 review: the cron-heartbeat regime — a perfectly constant
+    baseline makes sd = 0 and z undefined, but the alarms must still
+    fire on any deviation (exact comparison against the constant);
+    rate_z stays NULL there."""
+    from datetime import datetime, timedelta
+
+    from tmp_parquet_merge_spark.operators.relational import rate_spikes
+
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(40):
+        if h == 30:
+            continue  # total stall hour
+        n = 50 if h == 38 else 5  # constant 5/hour heartbeat, one burst
+        for i in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, minutes=i % 60), "hb"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, event_type: string")
+    out = {r.hour.hour + 24 * (r.hour.day - 1): r for r in rate_spikes(df).collect()}
+    stall = out[30]
+    assert stall.n_events == 0 and stall.is_stall == 1 and stall.rate_z is None
+    spike = out[38]
+    assert spike.n_events == 50 and spike.is_spike == 1
+    quiet = [r for h, r in out.items() if h in (20, 25)]
+    for r in quiet:
+        assert r.is_spike == 0 and r.is_stall == 0 and r.rate_z is None
+
+
+def test_rate_spikes_null_type_excluded(spark):
+    """r14 review: NULL event_type rows are excluded up front — the
+    spine equi-join can never match a NULL key, so keeping them
+    produced all-zero corrupt series."""
+    from datetime import datetime, timedelta
+
+    from tmp_parquet_merge_spark.operators.relational import rate_spikes
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=i % 20, minutes=i % 60), None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, event_type: string")
+    assert rate_spikes(df).count() == 0

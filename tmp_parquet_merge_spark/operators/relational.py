@@ -53,7 +53,15 @@ def asof_join(
     under a reversed clock.  Equality-join ASOF semantics hold at the
     edges: a NULL join key or NULL left time matches nothing (SQL
     ``right_time <= left_time ON key = key`` is never true there), so
-    those left rows come back with NULL right values.
+    those left rows come back with NULL right values; a RIGHT row with
+    a NULL time likewise matches nothing (its struct is never built —
+    without that guard the backward sort's NULLS-FIRST placement would
+    carry it into every left row with no real at-or-before match,
+    r14 review).  Ties among right rows sharing (key, time) resolve
+    deterministically to the greatest ``right_values`` tuple (the
+    struct is the final window sort key); without a total order the
+    carried row would depend on shuffle order and flake cross-run
+    hash comparison.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -77,13 +85,17 @@ def asof_join(
     # the when() has no otherwise, so padding rows contribute nothing
     # to the ignorenulls carry)
     u = u.withColumn(
-        "__rv", F.when(F.col("__side") == 0, F.struct(*right_values))
+        "__rv",
+        F.when(
+            (F.col("__side") == 0) & F.col("__t").isNotNull(),
+            F.struct(*right_values),
+        ),
     )
 
     t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(t_order, F.col("__side").asc())
+        .orderBy(t_order, F.col("__side").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # NULL key / NULL left time: equality-join ASOF never matches
@@ -225,7 +237,12 @@ def funnel(
     input already pruned by the stage predicate before it shuffles.
     The survivor sets shrink monotonically, so later stages are
     progressively cheaper; no window over the full event stream is
-    ever needed.
+    ever needed.  Each stage's survivor relation is localCheckpoint'd
+    (the shared-subplan discipline): the final union references stage
+    i from branches i..k−1, and Spark does NOT dedupe common subplans
+    across union branches — without the checkpoint the plan re-scans
+    the event table and re-runs ~k(k+1)/2 stage aggregations instead
+    of k (r14 review).
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
@@ -242,6 +259,7 @@ def funnel(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )
+        cur = cur.localCheckpoint(eager=False)
         label = " > ".join(stages[: i + 1])
         counts.append(
             cur.agg(F.count(F.lit(1)).alias("n_users")).select(
@@ -283,6 +301,20 @@ def upsert(
     """
     if on_duplicate not in ("error", "allow"):
         raise ValueError(f"on_duplicate must be error|allow: {on_duplicate}")
+    # a target column absent from the updates schema has no defined
+    # MERGE semantics here: silently NULLing it on matched rows (the
+    # old behavior) is data destruction on every partial-schema CDC
+    # apply (r14 review) — demand an explicit projection instead
+    missing = [
+        c for c in target.columns
+        if c not in keys and c not in updates.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"upsert: updates schema is missing target columns {missing}; "
+            "select them (carrying the old value) or drop them from the "
+            "target projection first"
+        )
     # string-qualified references survive self-joins (updates often
     # derive from the target, which trips Spark's ambiguity check on
     # DataFrame-object column references)
@@ -325,14 +357,23 @@ def upsert(
                 )
             ).cast("boolean"),
         ).otherwise(matched)
+    non_key = [c for c in target.columns if c not in keys]
     out_cols = []
     for name in target.columns:
         if name in keys:
-            out_cols.append(F.coalesce(uc(name), tc(name)).alias(name))
+            kcol = F.coalesce(uc(name), tc(name))
+            if on_duplicate == "error" and not non_key:
+                # keys-only target: no non-key column exists to host
+                # the duplicate guard, so it would never be evaluated
+                # (r14 review) — fuse it into the key columns instead.
+                # `matched` embeds the raise_error branch; the
+                # tautological when() is value-neutral (kcol either
+                # way) and Catalyst does not fold it (test-pinned).
+                kcol = F.when(matched | ~matched, kcol)
+            out_cols.append(kcol.alias(name))
         else:
-            ucol = uc(name) if name in updates.columns else F.lit(None)
             out_cols.append(
-                F.when(matched, ucol).otherwise(tc(name)).alias(name)
+                F.when(matched, uc(name)).otherwise(tc(name)).alias(name)
             )
     return t.join(u, cond, "full_outer").select(*out_cols)
 
@@ -420,9 +461,22 @@ def rate_spikes(
     The baseline-mean column is named from the parameter
     (``mean_{trail}h``) so a caller passing trail=48 is not handed a
     column whose name misstates its window (r13 advisor); the
-    registered trail=24 output is byte-identical to before."""
+    registered trail=24 output is byte-identical to before.
+
+    Constant-baseline alarms (r14 review): when the trailing window is
+    perfectly constant, sd_prev = 0 and z is undefined (NULL) — but
+    that is exactly the regime where ANY deviation is the most
+    obvious (a cron heartbeat emitting 5 events/hour that dies).  The
+    flags therefore fall back to an exact comparison against the
+    constant baseline: sd_prev = 0 ∧ n_events > mean_prev ⇒ spike,
+    < mean_prev ⇒ stall (an infinite-|z| reading); rate_z itself
+    stays NULL there, honestly undefined.  Rows with a NULL
+    ``type_col`` are EXCLUDED up front: a NULL key never equi-joins
+    back to its own spine, so their hours would all read n_events = 0
+    — silently corrupt (r14 review)."""
     h = (
-        df.groupBy(
+        df.filter(F.col(type_col).isNotNull())
+        .groupBy(
             F.col(type_col).alias("event_type"),
             F.date_trunc("hour", F.col(ts_col)).alias("hour"),
         )
@@ -460,12 +514,18 @@ def rate_spikes(
             (F.col("n_events") - F.col("mean_prev")) / F.col("sd_prev"), 6
         ),
     )
+    spike = F.when(F.col("sd_prev") > 0, z > F.lit(float(z_thresh))).otherwise(
+        F.col("n_events") > F.col("mean_prev")
+    )
+    stall = F.when(F.col("sd_prev") > 0, z < F.lit(-float(z_thresh))).otherwise(
+        F.col("n_events") < F.col("mean_prev")
+    )
     return w.filter(F.col("n_prev") >= min_periods).select(
         "event_type",
         "hour",
         "n_events",
         F.round("mean_prev", 6).alias(f"mean_{trail}h"),
         z.alias("rate_z"),
-        F.when(z > z_thresh, 1).otherwise(0).cast("int").alias("is_spike"),
-        F.when(z < -z_thresh, 1).otherwise(0).cast("int").alias("is_stall"),
+        F.when(spike, 1).otherwise(0).cast("int").alias("is_spike"),
+        F.when(stall, 1).otherwise(0).cast("int").alias("is_stall"),
     )

@@ -1697,6 +1697,37 @@ _CHANGED_THIS_ROUND = frozenset(
         #    The candidate relation (and so the registered query's
         #    recall guarantee) is new code.
         "q_dedup_containment_lsh",
+        #  * q_anomaly_rate — r14 mid-round review: rate_spikes now
+        #    (a) excludes NULL event_type rows up front (a NULL key
+        #    never equi-joins to its spine — its hours all read
+        #    n_events = 0, silently corrupt) and (b) fires the
+        #    spike/stall alarms on a perfectly constant baseline
+        #    (sd = 0, the cron-heartbeat regime) via exact comparison
+        #    against the constant; oracle updated to match.
+        "q_anomaly_rate",
+        #  * q_join_asof / q_join_asof_forward / q_join_asof_nearest /
+        #    q_join_asof_tolerance — r14 mid-round review: asof_join
+        #    (a) never carries a NULL-time right row (backward's
+        #    NULLS-FIRST sort handed its values to every left row with
+        #    no real at-or-before match) and (b) totals the window
+        #    order with the right-values struct so ties among right
+        #    rows sharing (key, time) resolve deterministically
+        #    instead of by shuffle order.
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_join_asof_tolerance",
+        #  * q_funnel — r14 mid-round review: each stage's survivor
+        #    relation is localCheckpoint'd — the union branches each
+        #    re-ran the whole stage chain (~k(k+1)/2 aggregations and
+        #    k corpus scans instead of k and 1).
+        "q_funnel",
+        #  * q_upsert is NOT re-queued: the r14 upsert changes are
+        #    validation-only for the registered parameterization
+        #    (missing-column ValueError; the keys-only duplicate-guard
+        #    fusion is a branch the registered full-schema target
+        #    never takes) — plan byte-identical, exemption (a)/(c)
+        #    above, pinned in tests/test_relational.py.
         #  * q_span_mask — r14 (r13 advisor): parameter validation
         #    (mask_ratio_pct in [1,100], span_len >= 1) plus the jitter
         #    divisor re-spelled `n_tok div greatest(n_spans, 1)` so
@@ -1730,12 +1761,26 @@ def _driver_tier(q: Query) -> int:
 # remaining window slot falls to tier 2, which orders the r10 greens
 # oldest-first (the verdict's "top up with the oldest r10s").
 # Rows-only evidence is
-# r9/r10/r12; the judge's "45-query r9 cohort" counts the two r9
-# rows-only queries (q_ann_ivf, q_ann_pq), so the rows frontier moves
-# to 9 with the hash frontier — the whole histogram bucket drains and
-# the evidence floor lands at r10.
+# r9/r10/r12.  The mid-round review fixes re-queued 4 extra queries
+# (the asof family + q_anomaly_rate), so the 50-slot window can no
+# longer hold the whole r9 histogram bucket: the two r9 ROWS-ONLY
+# queries (q_ann_ivf, q_ann_pq — the weaker evidence class, and not
+# in the verdict's named cohort) wait for r15 (rows frontier stays
+# 7), and ONE hash green is explicitly deferred via _DRAIN_DEFERRED
+# below.  Correctness fixes outrank re-verification freshness.
 _HASH_DRAIN_FRONTIER = 9
-_ROWS_DRAIN_FRONTIER = 9
+_ROWS_DRAIN_FRONTIER = 7
+
+# Explicit overflow deferral (r14): the window holds changed (10) +
+# the r9 hash cohort (43, one of them — q_join_asof_tolerance —
+# already changed) = 52 of 50.  q_filter_pushdown and q_filter_nulls
+# — static-filter scans whose code is untouched since r2 and whose
+# semantics the plan-shape suite pins independently — defer to r15,
+# where oldest-first tier-2 ordering re-queues them FIRST.  Any name
+# here must still be registered and evidenced; the registry-order
+# tests exempt exactly this set from the frontier-tightness
+# assertion.
+_DRAIN_DEFERRED = frozenset({"q_filter_pushdown", "q_filter_nulls"})
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(
@@ -1743,7 +1788,7 @@ _DRIVER_FIRST: tuple[str, ...] = tuple(
     for r in sorted(_HASH_GREEN_BY_ROUND)
     if r <= _HASH_DRAIN_FRONTIER
     for n in _HASH_GREEN_BY_ROUND[r]
-    if n not in _CHANGED_THIS_ROUND
+    if n not in _CHANGED_THIS_ROUND and n not in _DRAIN_DEFERRED
 ) + tuple(
     n
     for r in sorted(_ROWS_SEEN_BY_ROUND)

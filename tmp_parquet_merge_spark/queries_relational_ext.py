@@ -1060,7 +1060,7 @@ def q_sql_tpch_q5(spark, sf_dir):
         WITH b AS (
             SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
                    event_type, COUNT(*) AS n_events
-            FROM events GROUP BY 1, 2
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
         ),
         r AS (
             SELECT *, ROW_NUMBER() OVER (
@@ -3052,11 +3052,17 @@ def q_ab_assign(spark, sf_dir):
                     THEN round((n_events - mean_prev) / sd_prev, 6)
                     END AS rate_z,
                CAST(CASE WHEN sd_prev > 0
-                          AND round((n_events - mean_prev) / sd_prev, 6) > 3
-                         THEN 1 ELSE 0 END AS INTEGER) AS is_spike,
+                         THEN CASE WHEN round((n_events - mean_prev)
+                                             / sd_prev, 6) > 3
+                                   THEN 1 ELSE 0 END
+                         WHEN n_events > mean_prev THEN 1 ELSE 0
+                    END AS INTEGER) AS is_spike,
                CAST(CASE WHEN sd_prev > 0
-                          AND round((n_events - mean_prev) / sd_prev, 6) < -3
-                         THEN 1 ELSE 0 END AS INTEGER) AS is_stall
+                         THEN CASE WHEN round((n_events - mean_prev)
+                                             / sd_prev, 6) < -3
+                                   THEN 1 ELSE 0 END
+                         WHEN n_events < mean_prev THEN 1 ELSE 0
+                    END AS INTEGER) AS is_stall
         FROM w WHERE n_prev >= 12
     """,
 )
@@ -3070,7 +3076,11 @@ def q_anomaly_rate(spark, sf_dir):
     wall-clock hours, not 24 observed rows), each hour scored against
     rows 24 preceding..1 preceding so the current hour never
     contaminates its own baseline; |z| > 3 flags spike/stall,
-    warm-up hours (< 12 trailing) suppressed.  Counts are exact
+    warm-up hours (< 12 trailing) suppressed.  A perfectly constant
+    baseline (sd = 0, the cron-heartbeat regime) flags by exact
+    comparison against the constant instead — z stays NULL but the
+    alarms still fire (r14 review); NULL event_type rows are excluded
+    up front (a NULL key never equi-joins to its spine).  Counts are exact
     integers; moments are single roundings (the q_zipf_fit parity
     contract).  Plan: one corpus-size hash-agg to the (type, hour)
     grain, a |types| x hours spine, bounded per-type windows

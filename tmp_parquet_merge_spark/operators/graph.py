@@ -160,6 +160,8 @@ def pagerank(
     check_every: int = 1,
     checkpoint_every: int = 1,
     num_partitions: int | None = None,
+    symmetric: bool = False,
+    broadcast_state_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``).
 
@@ -210,6 +212,35 @@ def pagerank(
     only run on checkpointed rounds, so ``check_every`` is effectively
     rounded up to a multiple of it.  Ranks are bit-identical for any
     value — it is a physical knob like ``num_partitions``.
+
+    ``symmetric=True`` (r14 optimization round, guide §2.4 "remove
+    shuffles outright"): the caller asserts every edge is present in
+    both directions (q_pagerank's :func:`symmetrize` output).  Then
+    the node set IS the out-degree key set — the nodes union+distinct
+    pass over the edge cache, the left-join that attaches degrees to
+    possibly-degree-less nodes, and the dangling probe job all
+    disappear (a symmetric graph cannot have a node without
+    out-edges).  Results are identical by construction; the generic
+    default keeps the full dangling-aware path.
+
+    ``broadcast_state_max_nodes`` (r14 optimization round, guide §3.1
+    / §2.4): when the driver-known node count is at or under this gate,
+    each round's two state joins run as broadcast-hash joins — the
+    rank state (~32 B/node) broadcasts into the contributions join, so
+    the persisted edge cache streams through with NO exchange and NO
+    sort on either side, and the contributions aggregate broadcasts
+    back into the state update.  A round then pays exactly ONE small
+    exchange (the dst-keyed aggregate) instead of two state exchanges
+    + a state repartition.  Per-round partial-aggregation layout is
+    governed by the edge cache's pinned partitioning in BOTH paths, so
+    inflow sums accumulate in the same order and ranks stay
+    bit-identical (oracle-verified at every bundled tier).  The gate
+    is a node-count bound (~64 MB broadcast at the default), NOT a
+    cores-derived constant: above it — any genuinely large graph —
+    the sort-merge path over the pre-partitioned cache is unchanged.
+    The broadcast path checkpoints every round (a lazily-stacked
+    broadcast would re-execute prior rounds inside the broadcast
+    build), so ``checkpoint_every`` applies only above the gate.
     """
     from tmp_parquet_merge_spark.operators._iter_cache import keyed_edge_cache
 
@@ -221,29 +252,61 @@ def pagerank(
     # join's distribution AND ordering every round, and unpersists on
     # any exit; see operators/_iter_cache.py for the full rationale.
     with keyed_edge_cache(edges, "src", num_partitions) as edges:
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .unionByName(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        n_nodes = nodes.count()
-        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        # node, deg (0 for dangling), rank, prev (rank one round back)
-        state = (
-            nodes.join(out_deg, nodes.node == out_deg.src, "left")
-            .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-            .withColumn("rank", F.lit(1.0 / n_nodes))
-            .withColumn("prev", F.lit(0.0))
-        )
-        if num_partitions:
-            state = state.repartition(num_partitions, "node")
-        state = state.localCheckpoint()
-        has_dangling = state.filter(F.col("deg") == 0).limit(1).count() > 0
+        if symmetric:
+            # every node has out-edges: the degree table IS the node
+            # set — no union+distinct pass, no degree left-join, and
+            # no dangling probe job (deg > 0 by construction)
+            out_deg = edges.groupBy("src").agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            state = out_deg.select(
+                F.col("src").alias("node"), "deg"
+            ).localCheckpoint()
+            n_nodes = state.count()
+            state = state.select(
+                "node",
+                "deg",
+                F.lit(1.0 / n_nodes).alias("rank"),
+                F.lit(0.0).alias("prev"),
+            )
+            if num_partitions:
+                state = state.repartition(num_partitions, "node")
+            state = state.localCheckpoint()
+            has_dangling = False
+        else:
+            nodes = (
+                edges.select(F.col("src").alias("node"))
+                .unionByName(edges.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            n_nodes = nodes.count()
+            out_deg = edges.groupBy("src").agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            # node, deg (0 for dangling), rank, prev (one round back)
+            state = (
+                nodes.join(out_deg, nodes.node == out_deg.src, "left")
+                .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+                .withColumn("rank", F.lit(1.0 / n_nodes))
+                .withColumn("prev", F.lit(0.0))
+            )
+            if num_partitions:
+                state = state.repartition(num_partitions, "node")
+            state = state.localCheckpoint()
+            has_dangling = (
+                state.filter(F.col("deg") == 0).limit(1).count() > 0
+            )
+        # the small-state broadcast path removes both per-round state
+        # exchanges (see docstring); partial inflow sums stay laid out
+        # by the edge cache's partitioning in both paths, so ranks are
+        # bit-identical across the gate
+        bcast = n_nodes <= broadcast_state_max_nodes
         it = 0
         for it in range(1, max_iter + 1):
+            live = state.filter(F.col("deg") > 0)
             contribs = (
-                state.filter(F.col("deg") > 0)
-                .join(edges, state.node == edges.src)
+                (F.broadcast(live) if bcast else live)
+                .join(edges, live.node == edges.src)
                 .select(
                     F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"),
@@ -256,7 +319,11 @@ def pagerank(
             ) * F.coalesce("inflow", F.lit(0.0))
             joined = state.select(
                 "node", "deg", F.col("rank").alias("prev")
-            ).join(contribs, "node", "left")
+            ).join(
+                F.broadcast(contribs) if bcast else contribs,
+                "node",
+                "left",
+            )
             if has_dangling:
                 dmass = state.filter(F.col("deg") == 0).agg(
                     F.sum("rank").alias("_dmass")
@@ -268,11 +335,20 @@ def pagerank(
             new_state = joined.select(
                 "node", "deg", rank_expr.alias("rank"), "prev"
             )
-            if num_partitions:
+            if not bcast and num_partitions:
                 new_state = new_state.repartition(num_partitions, "node")
-            if it % checkpoint_every == 0 or it == max_iter:
+            if bcast or it % checkpoint_every == 0 or it == max_iter:
                 state = new_state.localCheckpoint()
-                if tol > 0 and (it % check_every == 0 or it == max_iter):
+                # convergence-check cadence is UNCHANGED by the
+                # broadcast path's extra checkpoints: checks still run
+                # only on checkpoint_every-aligned rounds, so tol>0
+                # callers exit on exactly the same iteration either
+                # side of the broadcast gate
+                if (
+                    tol > 0
+                    and (it % checkpoint_every == 0 or it == max_iter)
+                    and (it % check_every == 0 or it == max_iter)
+                ):
                     delta = state.agg(
                         F.sum(F.abs(F.col("rank") - F.col("prev")))
                     ).first()[0]

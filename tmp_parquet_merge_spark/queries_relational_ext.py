@@ -1703,6 +1703,14 @@ def q_pagerank(spark, sf_dir):
     # layout: 2.4M edges / 20k nodes at sf0.1 fit 8 partitions
     # comfortably; on a cluster this scales with edge bytes
     # (~128 MB/partition), not a constant.
+    # symmetric=True: the edges come from symmetrize(), so the node
+    # set is the out-degree key set — the nodes union+distinct pass,
+    # the degree left-join and the dangling probe all drop out (r14
+    # optimization round; results identical by construction).  The
+    # small-state broadcast gate then removes both per-round state
+    # exchanges at bench scale while the >2M-node path keeps the
+    # pre-partitioned sort-merge loop — see graph.pagerank's docstring
+    # and OPTIMIZATION_r14.md for the measured A/B.
     return graph.pagerank(
         edges,
         damping=0.85,
@@ -1710,6 +1718,7 @@ def q_pagerank(spark, sf_dir):
         tol=0,
         checkpoint_every=2,
         num_partitions=8,
+        symmetric=True,
     )
 
 

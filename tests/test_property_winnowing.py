@@ -221,15 +221,15 @@ def test_winnowing_million_char_doc_runs():
     assert len(sel) == row.n_fp
 
 
-def test_winnowing_repartitioned_chunks_equal_and_parallel(spark):
-    """r13 verdict #5's done-criterion: with the opt-in
-    repartition_chunks_above, (a) the selected-hash sets are identical
-    to the default path at every threshold placement (all docs big,
-    mixed, none big), and (b) the big-doc branch's gram stage runs
-    AFTER a (id, off) repartition whose partitioning the window
-    REUSES — exactly one extra Exchange in the two-branch plan (the
-    repartition), not two (no second exchange for the big branch's
-    window)."""
+def test_winnowing_chunk_repartition_plan_and_dedup_equivalence(spark):
+    """r14 optimization round: winnowing's single path shuffles chunk
+    SLICES once on (id, off) before the gram explode, and the window
+    REUSES that hashpartitioning — the plan has exactly two Exchanges
+    (the chunk repartition + the selection distinct), never a gram-row
+    exchange; the gram/md5 projection sits ABOVE the repartition so
+    hashing parallelizes independent of scan splits.  dedup=False
+    (the winnow_overlap consumer) drops the distinct exchange, and its
+    multiset deduplicates to exactly the default selection set."""
     import random
 
     rng = random.Random(29)
@@ -240,36 +240,40 @@ def test_winnowing_repartitioned_chunks_equal_and_parallel(spark):
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
 
-    def sel(**kw):
+    def sel_set(plan_df):
         got = {}
-        for r in winnowing_select(
-            df, "text", "doc_id", k=_K, w=_W, chunk_positions=64, **kw
-        ).collect():
+        for r in plan_df.collect():
             got.setdefault(r.doc_id, set()).add((r.pos, r.h))
         return got
 
-    base = sel()
-    for thresh in (0, 400, 10**9):  # all / mixed / no docs in big branch
-        assert sel(repartition_chunks_above=thresh) == base, thresh
-
-    def n_exchanges(plan_df):
-        s = plan_df._jdf.queryExecution().executedPlan().toString()
-        return s.count("Exchange")
-
-    default_plan = winnowing_select(
+    base_df = winnowing_select(
         df, "text", "doc_id", k=_K, w=_W, chunk_positions=64
     )
-    both_plan = winnowing_select(
-        df,
-        "text",
-        "doc_id",
-        k=_K,
-        w=_W,
-        chunk_positions=64,
-        repartition_chunks_above=400,
+    raw_df = winnowing_select(
+        df, "text", "doc_id", k=_K, w=_W, chunk_positions=64, dedup=False
     )
-    d, b = n_exchanges(default_plan), n_exchanges(both_plan)
-    # default: window exchange + distinct exchange.  two-branch: small
-    # window exchange + big REPARTITION (reused by its window) +
-    # distinct — exactly one more, not two.
-    assert b == d + 1, (d, b)
+    base, raw = sel_set(base_df), sel_set(raw_df)
+    assert raw == base
+
+    def plan_str(plan_df):
+        # keep only the AQE final plan when the query has executed
+        # (toString then prints Final + Initial sections)
+        s = plan_df._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    d, r = plan_str(base_df), plan_str(raw_df)
+    # default: chunk repartition (reused by the window) + distinct —
+    # exactly two; dedup=False drops the distinct exchange
+    assert d.count("Exchange") == 2, d
+    assert r.count("Exchange") == 1, r
+    # no gram-row exchange: in the printed tree (parents first), the
+    # segment from the Window down to the gram explode (the LAST
+    # Generate) holds Sort/Project/Generate only — the window rides
+    # the chunk repartition's partitioning, and the md5 projection
+    # (between the two) therefore runs on the post-exchange side
+    assert "Window" in d
+    # first Generate below the Window = the gram explode
+    seg = d[d.index("Window") : d.index("Generate", d.index("Window"))]
+    assert "Exchange" not in seg, seg
+    assert "md5" in seg  # gram hashing sits under the window, above
+    # the exchange — i.e. AFTER the chunk shuffle, cluster-parallel

@@ -28,6 +28,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_scan(
+    df: DataFrame, *keys: str, target: int | None = None
+) -> DataFrame:
+    """Conditionally repartition a scan whose split count is below the
+    cluster's default parallelism (r14 optimization round, guide §2.5
+    "input skew — one huge unsplittable file: repartition immediately
+    after the read").
+
+    Why: a single small parquet file (or one gzip shard of a crawl) is
+    one row group — ONE scan task — so every pre-exchange projection
+    and every map-side partial aggregate above it (tokenize + hash +
+    64 vote sums in simhash, shingle explode + lead-window feed, gram
+    slicing) runs on one core of the whole cluster.  When the scan
+    already has ≥ defaultParallelism splits — any real multi-file /
+    multi-row-group dataset, 100 TB included — this is a NO-OP by
+    construction: no shuffle is added at scale, so it is a runtime
+    parallelism floor, not a local-mode constant.
+
+    ``keys``: hash-repartition on these columns (deterministic layout;
+    pass the downstream per-document key so a following
+    Window.partitionBy / groupBy on the same key reuses the exchange
+    instead of adding its own).  Without keys, round-robin.
+
+    Only layout changes; caller results must be layout-invariant
+    (integer/min/max/count aggregates, set semantics) — every r14 call
+    site is, and oracle parity at all bundled tiers plus the
+    local[5]-vs-local[32] probe pin it.
+
+    ``target``: override the partition floor.  Consumers whose results
+    are FLOAT-sum layout-sensitive (k-means centroid updates) must
+    pass a FIXED number so the partial-aggregation layout — and hence
+    the last-ulp of every sum — is identical at any core count;
+    layout-invariant consumers leave it None (cores-derived floor)."""
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = int(sc.defaultParallelism)
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # planning failure: leave the scan alone
+        return df
+    if have >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, trim, collapse runs of
     whitespace.  Keep in sync with the DuckDB oracle spelling
@@ -81,6 +126,11 @@ def shingle_rows(
     (``concat_ws`` skips trailing NULL leads, covering short docs)."""
     from pyspark.sql import Window
 
+    # parallelism floor for deficient scans (no-op at scale); keyed by
+    # the doc id so the lead-window's (doc)-clustering reuses this
+    # exchange — the window then adds only a sort, never a shuffle of
+    # the exploded word rows (guide §2.4)
+    df = spread_scan(df, id_col)
     ex = df.select(
         F.col(id_col).alias("doc"), F.posexplode(words(text_col)).alias("pos", "w")
     )
@@ -258,7 +308,12 @@ def substring_dup_spans(
     partition by document id, so their sort extent is bounded by
     document length; nothing is quadratic in corpus size.
     """
-    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    # parallelism floor for deficient scans (no-op at scale): gram
+    # slicing + the lazily-checkpointed gram relation materialize
+    # cluster-parallel instead of inside a single scan task
+    d = spread_scan(df, id_col).select(
+        F.col(id_col).alias("_id"), words(text_col).alias("ws")
+    )
     grams, spans = _substring_qual_runs(
         d, k=k, min_len=min_len, digest_grams=digest_grams
     )
@@ -345,7 +400,9 @@ def substring_clean(
     # ExistingRDD scan — at open scale two pruned scans are cheaper
     # than materializing the corpus (the grams relation, which digest
     # mode shrinks to 8-byte keys, is the only materialized state)
-    d = df.select(F.col(id_col).alias("_id"), words(text_col).alias("ws"))
+    d = spread_scan(df, id_col).select(
+        F.col(id_col).alias("_id"), words(text_col).alias("ws")
+    )
     _, spans = _substring_qual_runs(
         d, k=k, min_len=min_len, digest_grams=digest_grams
     )
@@ -867,6 +924,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 64) -> Dat
     what lets q_dedup_simhash carry an exact cross-engine oracle (r12
     graduation; bit b of the hash ≙ bit b%16 of piece b//16, pieces
     most-significant-first)."""
+    # parallelism floor for deficient scans (no-op at scale), keyed by
+    # the doc id: tokenize + 4 md5-piece convs + the 64 partial vote
+    # sums then run cluster-parallel, and the signature aggregate's
+    # (doc)-clustering reuses this exchange outright
+    df = spread_scan(df, id_col)
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(words(text_col)).alias("w")
     ).select(

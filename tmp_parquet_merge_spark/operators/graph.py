@@ -97,6 +97,13 @@ def cooccurrence_pairs(
     materializing, so the array row is the only per-group memory."""
     if on_oversize not in ("error", "selfjoin"):
         raise ValueError(f"on_oversize must be error|selfjoin: {on_oversize}")
+    from tmp_parquet_merge_spark.operators.dedup import spread_scan
+
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan), keyed by the group
+    # so the collect_set aggregate's clustering reuses the exchange;
+    # sort_array(collect_set) is layout-invariant
+    df = spread_scan(df, group_col)
     sets = df.groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )

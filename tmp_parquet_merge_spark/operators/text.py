@@ -16,7 +16,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tmp_parquet_merge_spark.operators.dedup import normalize_text, words
+from tmp_parquet_merge_spark.operators.dedup import (
+    normalize_text,
+    spread_scan,
+    words,
+)
+
+# Per-task byte budget for CPU-heavy per-character work (winnowing's
+# md5-per-gram-position): ~8 MB of text ≈ 8M positions ≈ 1-2 s of
+# hashing per task.  Used by :func:`_hash_work_partitions`.
+_HASH_BYTES_PER_TASK = 8 << 20
+
+
+def _hash_work_partitions(
+    df: DataFrame, bytes_per_task: int = _HASH_BYTES_PER_TASK
+) -> int:
+    """Explicit partition count for an exchange feeding CPU-bound
+    per-row work: optimizer-estimated input bytes / ``bytes_per_task``,
+    floored at the cluster's default parallelism.  Explicit because
+    AQE's coalescing is byte-based and blind to downstream per-byte
+    CPU cost (guide §2: make partitioning scale-adaptive — derive
+    from input size, not a constant tuned for one deployment)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: parallelism floor only
+        est = 0
+    if est >= 1 << 50:
+        # Catalyst's unknown-stats sentinel (defaultSizeInBytes =
+        # Long.MaxValue) — treat as unknown, keep the floor
+        est = 0
+    return max(int(sc.defaultParallelism), min(est // bytes_per_task, 1 << 20))
 
 # Tiny embedded stopword lists — a deterministic n-gram/stopword
 # heuristic, not a learned model (those would be an external artifact;
@@ -189,6 +221,10 @@ def repetition_ratio(
     shingles (Gopher-style boilerplate/loop signal; 0 = no repeated
     n-grams).  Distinct counts ride the existing shingle pipeline's
     doc-keyed shuffle; totals are a scan-speed expression."""
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import shingle_rows
 
     total = df.select(
@@ -221,6 +257,10 @@ def tfidf_top_terms(
     BEFORE ranking so both engines rank identically; ties break on the
     term for full determinism.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
@@ -259,6 +299,10 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     order-independent sum (double summation order varies across
     engines and partitionings).
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     contrib = F.round(F.col("tf") * F.log(F.col("tf")), 6).cast(
@@ -299,6 +343,10 @@ def ngram_freq(
     top-k via TakeOrderedAndProject.  Ties break lexicographically so
     both engines rank identically.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import shingle_rows
 
     # per-(doc, ngram) mention counts ride a distinct-free explode;
@@ -372,6 +420,10 @@ def vocab(df: DataFrame, text_col: str, id_col: str, *, k: int = 1000) -> DataFr
     row_number over the k survivors only (a single-partition window on
     k rows, not on the corpus — deliberate and bounded).
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import words
     from pyspark.sql import Window
 
@@ -441,6 +493,10 @@ def bm25_topk(
     contribution follows the exact same operation order as the DuckDB
     oracle text (IEEE doubles: same ops on same values ⇒ same bits).
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
@@ -507,6 +563,10 @@ def collocation_pmi(
     All PMI inputs are exact integers, so the double log/divisions are
     bit-identical across engines.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     ex = df.select(
@@ -565,6 +625,10 @@ def unigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     is rounded then summed as DECIMAL(18,6) (order-independent), and
     the final mean is one double division, like token_entropy.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
@@ -625,6 +689,10 @@ def lm_buckets(
     window is a range-partitioned sort — the same shape CCNet's
     per-language percentile split pays.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     tok = df.select(
@@ -709,6 +777,10 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     exact BIGINT), so no float rounding tie can split the engines.
     One-word documents have no bigrams and score NULL (row retained).
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     ex = df.select(
@@ -782,6 +854,10 @@ def tokenizer_fertility(
     cross-engine parity is free); the scan is two codegen
     regexp_counts per row, no shuffle beyond the |langs|-row hash-agg.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     per_doc = df.select(
         F.col(lang_col),
@@ -814,7 +890,7 @@ def winnowing_select(
     k: int = 8,
     w: int = 8,
     chunk_positions: int = 4096,
-    repartition_chunks_above: int | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """The winnowing SELECTION relation: one row per selected
     fingerprint, (id, npos, h, pos) — the 40-bit k-gram hash and its
@@ -854,24 +930,25 @@ def winnowing_select(
     and re-attributed (offset + local) AFTER the per-chunk window
     min.
 
-    ``repartition_chunks_above`` (r13 verdict #5, opt-in): documents
-    with more than that many gram positions get their already-
-    materialized ≤ chunk_positions+k−1-char chunk SLICES repartitioned
-    on (id, chunk-offset) before the gram explode — an explicit,
-    bounded exception to the text-never-shuffles invariant that moves
-    O(doc bytes) once, for exactly the pathological documents whose
-    gram hashing would otherwise run as ONE map-side task (the
-    per-position md5 work sits in the projection feeding the window's
-    (id, off) exchange, i.e. in the task holding the parent row; a
-    handful of 100 MB outliers in a real crawl shard straggle there).
-    The window then REUSES the repartition's hashpartitioning — no
-    second exchange for the big-doc branch (plan-asserted in tests) —
-    and the shuffle moves ~4 KB of slice text per chunk instead of the
-    ~40 B × chunk_positions of gram rows the window exchange moves for
-    the in-place branch, so the opt-in is also strictly fewer shuffle
-    bytes for the docs it touches.  Default None keeps the expression
-    tree byte-identical to the single-branch spelling (selection-set
-    equality at both settings is pinned in the property suite)."""
+    Chunk slices shuffle ONCE on (id, chunk-offset) before the gram
+    explode (r14 optimization round — this replaces the r13 opt-in
+    ``repartition_chunks_above`` two-branch spelling, which kept the
+    gram-row exchange as the default path).  Guide §2.3 economics:
+    the window's clustering requirement is satisfied either way, but
+    satisfying it by exchanging GRAM ROWS moves ~40 B × every gram
+    position (≈ 40× corpus bytes), while exchanging the already-
+    materialized ≤ chunk_positions+k−1-char chunk SLICES moves
+    ≈ 1× corpus bytes — strictly fewer shuffle bytes at every scale,
+    not a local-mode trick.  The window REUSES the repartition's
+    hashpartitioning (plan-asserted: exactly one exchange before the
+    window), and the per-position md5 projection now runs AFTER the
+    chunk exchange, so gram hashing parallelizes across the cluster
+    even when the scan side has few splits (one small parquet file
+    locally; a handful of 100 MB outlier documents in a crawl shard)
+    instead of sitting in the task that held the parent row —
+    the r13 "straggler" opt-in is now simply the only path, for all
+    documents.  Selection-set equality with the pure-Python reference
+    is pinned in the hypothesis property suite."""
     from pyspark.sql import Window
 
     pos_cap = 1 << 20
@@ -917,6 +994,22 @@ def winnowing_select(
         F.col("__norm")
         .substr(c * F.lit(stride) + F.lit(1), chunk_len + F.lit(k - 1))
         .alias("__chunk"),
+    )
+    # one corpus-bytes exchange of chunk slices; the (id, off) window
+    # below reuses this hashpartitioning, so no gram-row exchange ever
+    # exists (see docstring) and gram hashing is cluster-parallel.
+    # The partition count is EXPLICIT (REPARTITION_BY_NUM): AQE's
+    # byte-based coalescing sees ~1 byte per ~40 bytes of downstream
+    # gram work and would re-serialize the hashing onto 1-2 tasks
+    # (measured: coalesced to <=2 partitions at sf0.1, erasing the
+    # parallelism this exchange exists to create).  Scale-adaptive,
+    # not a local constant: optimizer-estimated chunk bytes divided
+    # by a per-task budget, floored at the cluster's default
+    # parallelism.  Selection results are layout-invariant (BIGINT
+    # window mins + distinct), so the cores floor cannot perturb
+    # output at any core count.
+    chunks = chunks.repartition(
+        _hash_work_partitions(chunks), F.col(id_col), F.col("off")
     )
     def _selected(chunk_rel: DataFrame) -> DataFrame:
         grams = chunk_rel.select(
@@ -970,26 +1063,14 @@ def winnowing_select(
             )
         )
 
-    if repartition_chunks_above is None:
-        return _selected(chunks).distinct()
-    # per-branch selection: the big-doc branch's chunk slices shuffle
-    # once on (id, off) and its window reuses that partitioning; the
-    # small-doc branch keeps the in-place plan.  Selections are
-    # per-chunk-local, so the union of branch selections is the
-    # whole-corpus selection set (same argument as chunk composition).
-    # The chunk relation is localCheckpoint'd (the shared-subplan
-    # discipline: containment_pairs_rare_shingle, _bpe_loop) so the
-    # two branches do not each re-scan and re-normalize the corpus —
-    # the checkpoint holds the materialized slices once (mid-round r14
-    # review; without it the opt-in silently added a full extra corpus
-    # scan, the very cost it exists to avoid).
-    chunks = chunks.localCheckpoint(eager=False)
-    thresh = F.lit(int(repartition_chunks_above))
-    small = chunks.filter(F.col("npos") <= thresh)
-    big = chunks.filter(F.col("npos") > thresh).repartition(
-        F.col(id_col), F.col("off")
-    )
-    return _selected(small).unionAll(_selected(big)).distinct()
+    # ``dedup=False`` skips the (id, npos, h, pos)-distinct exchange
+    # for consumers that immediately re-aggregate on a SUBSET of these
+    # columns (winnow_overlap_pairs' (id, h)-distinct subsumes it):
+    # the emitted multiset differs only in duplicated selections —
+    # adjacent windows sharing a min, chunk-overlap repeats — never in
+    # the selected SET (r14 optimization round, one exchange saved).
+    sel = _selected(chunks)
+    return sel.distinct() if dedup else sel
 
 
 def winnowing_fingerprints(
@@ -1066,6 +1147,10 @@ def zipf_fit(
     Spark built-ins with the same Welford-style moments DuckDB uses;
     outputs are single roundings of the fitted moments (the
     q_grouped_apply precedent)."""
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from pyspark.sql import Window
 
     freq = (
@@ -1120,7 +1205,9 @@ def winnow_overlap_pairs(
     move.  The dropped-count is not silently hidden: boilerplate
     hashes are deterministic, so the df cut is reproducible
     cross-engine and spelled identically in the oracle."""
-    sel = winnowing_select(df, text_col, id_col, k=k, w=w)
+    # dedup=False: the (id, h)-distinct below subsumes the selection-
+    # set distinct, so the raw multiset skips one full exchange (r14)
+    sel = winnowing_select(df, text_col, id_col, k=k, w=w, dedup=False)
     # four consumers (per-doc sizes, doc-frequency cut, both join
     # sides) — checkpoint the small (id, h) relation so the md5
     # position pipeline runs ONCE, not once per consumer
@@ -1191,6 +1278,10 @@ def heaps_fit(
     equal-width bucketing (the bundled corpus contract; assert in the
     caller otherwise).  regr_slope/regr_intercept over ``buckets``
     rows — same single-rounding parity contract as zipf_fit."""
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import words
     from pyspark.sql import Window
 
@@ -1271,6 +1362,10 @@ def cms_heavy_hitters(
     map-side, so the shuffle carries ≤ d·w rows per partition.  The
     exact column is the verify stage (vocabulary-bounded hash-agg +
     heap cut); at open scale it drops and the sketch stands alone."""
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import words
 
     tok = df.select(F.explode(words(text_col)).alias("w")).filter(
@@ -1378,6 +1473,10 @@ def bpe_train(
     exactly greedy left-to-right non-overlap, since the merged symbol
     l||r can never equal l.  No UDF anywhere.
     """
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, text_col)
     from tmp_parquet_merge_spark.operators.dedup import words
 
     vocab = (
@@ -1468,6 +1567,10 @@ def bpe_apply(
     symbolization joins back on the word key, and the result is a
     |sources|-row aggregate.  Nothing after the first hash-agg exceeds
     vocabulary × sources rows at any corpus scale."""
+    # parallelism floor for deficient scans (no-op at scale; r14
+    # optimization round — see dedup.spread_scan): tokenize/explode
+    # and the map-side partial aggregates run cluster-parallel
+    df = spread_scan(df, text_col)
     from tmp_parquet_merge_spark.operators.dedup import words
 
     sw = (

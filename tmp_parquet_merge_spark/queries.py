@@ -1676,9 +1676,9 @@ _EVIDENCE_ROUND = {
 # parameters whose default preserves the exact expression tree (r14:
 # rate_spikes' trail-parameterized alias — f"mean_{24}h" == "mean_24h",
 # pinned in test_rate_spikes_spine_closed_form; winnowing's
-# repartition_chunks_above=None default, equality pinned in
-# tests/test_property_winnowing.py).  r13's q_late_data re-queue
-# predates this rule.
+# r14-optimization chunk-repartition single path, selection-set
+# equality pinned in tests/test_property_winnowing.py).  r13's
+# q_late_data re-queue predates this rule.
 _CHANGED_THIS_ROUND = frozenset(
     {
         #  * q_bpe_train / q_bpe_apply — NEW in r14 (r13 verdict #4):

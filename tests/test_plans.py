@@ -320,16 +320,24 @@ def test_attribution_join_single_user_shuffle(spark, sf_dir):
 
 
 def test_tpch_q1_prunes_to_needed_columns(spark, sf_dir):
-    # the wide aggregate still reads only the 7 referenced columns
+    # the wide aggregate reads only the 7 referenced columns, plus —
+    # ONLY while the r14 conditional parallelism floor is active on
+    # this deficient single-row-group local file (registry.t_spread;
+    # a no-op on any real multi-file table, where ReadSchema is again
+    # exactly the 7) — the l_orderkey spread key.  The keyed spread is
+    # deliberate: order/lineitem joins elsewhere reuse the orderkey
+    # exchange, and the one extra int column is the price of running
+    # the 8-aggregate map side on 32 cores instead of 1.
     df = build("q_sql_tpch_q1", spark, sf_dir)
     cols = set(read_schema_columns(df))
     assert cols and cols <= {
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_shipdate",
+        "l_discount", "l_tax", "l_shipdate", "l_orderkey",
     }, cols
     assert "l_shipdate" in " ".join(pushed_filters(df))
     tree = plan_tree(df)
-    assert tree.count("Exchange") <= 2  # partial/final agg + final sort
+    # partial/final agg + final sort (+ the conditional spread)
+    assert tree.count("Exchange") <= 3
 
 
 def test_tpch_q14_part_broadcasts(spark, sf_dir):

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tmp_parquet_merge_spark.functions.deterministic import dsum
-from tmp_parquet_merge_spark.registry import query, t
+from tmp_parquet_merge_spark.registry import query, t, t_spread
 from tmp_parquet_merge_spark.sources import parquet_io
 
 # ---------------------------------------------------------------------------
@@ -313,8 +313,10 @@ def q_scalar_conditional(spark, sf_dir):
 
 
 def _views(spark, sf_dir, *names):
+    # fact tables get the conditional parallelism floor (see
+    # registry.t_spread; no-op at scale, DECIMAL-sum queries only)
     for n in names:
-        t(spark, sf_dir, n).createOrReplaceTempView(n)
+        t_spread(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
 @query(

@@ -31,12 +31,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tmp_parquet_merge_spark.functions.deterministic import dsum, dsum_expr
-from tmp_parquet_merge_spark.registry import query, t
+from tmp_parquet_merge_spark.registry import query, t, t_spread
 
 
 def _views(spark, sf_dir, *names):
+    # fact tables get the conditional parallelism floor (see
+    # registry.t_spread; no-op at scale, DECIMAL-sum queries only)
     for n in names:
-        t(spark, sf_dir, n).createOrReplaceTempView(n)
+        t_spread(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +77,7 @@ def q_sql_tpch_q1(spark, sf_dir):
     hash-agg pair; the shuffle carries ≤ |flags|×|status| rows per
     task regardless of input size.  Averages are spelled
     decimal-sum ÷ count so Spark and DuckDB round identically."""
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = t_spread(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "2001-09-02"
     )
     cnt = F.count(F.lit(1))
@@ -283,7 +285,7 @@ def q_sql_tpch_q14(spark, sf_dir):
     pushed to the lineitem scan; part broadcasts; the CASE rides the
     join output inside one codegen stage, so the whole query is scan →
     broadcast-hash-join → partial agg → single final row."""
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = t_spread(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -329,7 +331,7 @@ def q_sql_tpch_q19(spark, sf_dir):
     bounds (1..40 envelope) to lineitem — then evaluates the full
     disjunction as the join residual.  part broadcasts, so the
     residual runs map-side with zero extra shuffle."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t_spread(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
@@ -443,7 +445,7 @@ def q_sql_tpch_q2(spark, sf_dir):
     — both aggs share the partkey shuffle key so AQE reuses the
     exchange.  MIN of identical doubles is selection, not accumulation,
     so cross-engine hash parity holds without the decimal detour."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t_spread(spark, sf_dir, "lineitem")
     supply = li.groupBy(
         F.col("l_partkey").alias("sp_partkey"),
         F.col("l_suppkey").alias("sp_suppkey"),
@@ -517,9 +519,9 @@ def q_sql_tpch_q9(spark, sf_dir):
     only shuffle.  Profit can be negative — DECIMAL(18,6) is signed,
     so the exact-sum convention holds unchanged."""
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    li = t(spark, sf_dir, "lineitem")
+    li = t_spread(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    o = t(spark, sf_dir, "orders")
+    o = t_spread(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
     j = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -585,7 +587,7 @@ def q_sql_tpch_q11(spark, sf_dir):
     re-agg of 2 000 rows).  Both engines sum the identical per-part
     doubles through DECIMAL(18,6), so the > comparison sees
     bit-identical operands on borderline parts."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t_spread(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -753,7 +755,7 @@ def q_sql_tpch_q17(spark, sf_dir):
     rows and broadcasts; lineitem is scanned twice (spec shape) but
     the threshold pass reads only (partkey, quantity) thanks to column
     pruning."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t_spread(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * (dsum("l_quantity") / F.count(F.lit(1)))).alias("qty_thr")
@@ -850,8 +852,8 @@ def q_sql_tpch_q21(spark, sf_dir):
     late supplier (necessarily this one).  The NATION_19 supplier dim
     broadcasts onto the survivors; integer counts, structural
     parity."""
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t_spread(spark, sf_dir, "lineitem")
+    o = t_spread(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),

@@ -41,6 +41,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Fact tables worth a conditional parallelism floor when their scan is
+# split-deficient (single row group), and the deterministic key each
+# spreads on.  Dim tables stay un-spread: they broadcast.
+_FACT_SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """:func:`t`, plus a conditional repartition for the fact tables
+    when the scan has fewer splits than the cluster's parallelism
+    (r14 optimization round — dedup.spread_scan; no-op on any real
+    multi-file dataset).  Used by the SQL-view registration helpers so
+    aggregate/join-heavy queries get cluster-parallel map sides on
+    one-row-group local files; every aggregate in those queries
+    follows the repo's DECIMAL(18,6) order-independent-sum discipline,
+    so the layout change cannot perturb results (full oracle parity
+    re-verified after the change).  Plain scans keep :func:`t` — a
+    shuffle would only add cost there."""
+    df = t(spark, sf_dir, name)
+    key = _FACT_SPREAD_KEYS.get(name)
+    if key is not None:
+        from tmp_parquet_merge_spark.operators.dedup import spread_scan
+
+        df = spread_scan(df, key)
+    return df
+
+
 TABLES = (
     "region",
     "nation",

@@ -68,7 +68,13 @@ def spread_scan(
         have = df.rdd.getNumPartitions()
     except Exception:  # planning failure: leave the scan alone
         return df
-    if have >= target:
+    # fire only on a SEVERE (>=4x) parallelism shortfall: a scan with
+    # most-of-target splits gains little from re-spreading but would
+    # pay a full data shuffle for it (measured at the 25x replica:
+    # 25 splits re-spread to 32 cost q_sql_tpch_q1 a 15M-row exchange
+    # for a 25->32 task gain — a 9x regression; with the 4x gate the
+    # replica is a no-op and the single-split local files still fire)
+    if have * 4 >= target:
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
 

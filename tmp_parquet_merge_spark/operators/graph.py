@@ -168,7 +168,7 @@ def pagerank(
     checkpoint_every: int = 1,
     num_partitions: int | None = None,
     symmetric: bool = False,
-    broadcast_state_max_nodes: int = 2_000_000,
+    broadcast_state_max_nodes: int = 100_000,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``).
 
@@ -242,7 +242,11 @@ def pagerank(
     governed by the edge cache's pinned partitioning in BOTH paths, so
     inflow sums accumulate in the same order and ranks stay
     bit-identical (oracle-verified at every bundled tier).  The gate
-    is a node-count bound (~64 MB broadcast at the default), NOT a
+    is a node-count bound (~3 MB broadcast at the default — the
+    broadcast repeats EVERY round, so the gate must sit where one
+    round's broadcast is clearly cheaper than its two state exchanges;
+    the 25x-replica 500k-node graph measured better on the sort-merge
+    path and stays on it), NOT a
     cores-derived constant: above it — any genuinely large graph —
     the sort-merge path over the pre-partitioned cache is unchanged.
     The broadcast path checkpoints every round (a lazily-stacked

@@ -1710,7 +1710,7 @@ def q_pagerank(spark, sf_dir):
     # the degree left-join and the dangling probe all drop out (r14
     # optimization round; results identical by construction).  The
     # small-state broadcast gate then removes both per-round state
-    # exchanges at bench scale while the >2M-node path keeps the
+    # exchanges at bench scale while the >100k-node path keeps the
     # pre-partitioned sort-merge loop — see graph.pagerank's docstring
     # and OPTIMIZATION_r14.md for the measured A/B.
     return graph.pagerank(

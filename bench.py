@@ -628,9 +628,12 @@ def main() -> None:
     # number at all (BENCH_r03 parsed: null).  The FINAL stdout line is
     # a compact, always-parseable metric JSON with no per-query dict.
     load_end = _loadavg1()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     detail = {
         "queries": timings,
         "n": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
         "regressions": regressions,
         "errors": errors,
         # external-contention context for the noise adjudications:
@@ -645,15 +648,27 @@ def main() -> None:
     }
     print(json.dumps(detail), file=sys.stderr)
     if full_sweep:
-        try:
-            detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or (
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_detail.json")
-            )
-            with open(detail_path, "w") as f:
-                json.dump(detail, f, indent=1, sort_keys=True)
-        except OSError:
-            pass
+        # Per-query timings land in a STABLE COMMITTED ARTIFACT every
+        # full-sweep run (r14 verdict "Next round" #2: the driver's
+        # per-query PERF comparison was blind because only the compact
+        # total survives its 2,000-char stdout tail).  bench_detail.json
+        # is the canonical latest-run record; the cpus-suffixed sidecar
+        # keeps the main-core and low-core runs from clobbering each
+        # other when the driver measures scaling (c32 then c8 in one
+        # checkout).  Additive only: the stdout metric-line contract is
+        # unchanged.
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+        paths = [
+            os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+            or os.path.join(base_dir, "bench_detail.json"),
+            os.path.join(base_dir, f"bench_detail_c{cpus}.json"),
+        ]
+        for detail_path in paths:
+            try:
+                with open(detail_path, "w") as f:
+                    json.dump(detail, f, indent=1, sort_keys=True)
+            except OSError:
+                pass
     # Persist measured times as the next run's best-known baseline
     # (r5 verdict #2): min() keeps the watchlist monotone — a real
     # regression can never RAISE its own threshold, while new queries
@@ -674,10 +689,21 @@ def main() -> None:
                 json.dump(merged, f, indent=1, sort_keys=True)
         except OSError:
             pass
+    # split the real-FS layout-write phases (I/O weather: they swing
+    # 1.4-2x on page-cache/writeback state alone — r14 verdict "What's
+    # wrong" #6) from the plan-compute total, ADDITIVELY: "value" keeps
+    # its exact historical meaning (sum of ALL entries) so the driver's
+    # round-over-round total comparison is unaffected; the two extra
+    # keys let a compute regression show through I/O noise.
+    write_total = round(
+        sum(s for n, s in timings.items() if n.endswith("__write")), 3
+    )
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "value_compute": round(sum(timings.values()) - write_total, 3),
+        "value_write": write_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         # confirmed (isolation-rechecked) >2x regressions only — names

@@ -228,7 +228,13 @@ def pagerank(
     possibly-degree-less nodes, and the dangling probe job all
     disappear (a symmetric graph cannot have a node without
     out-edges).  Results are identical by construction; the generic
-    default keeps the full dangling-aware path.
+    default keeps the full dangling-aware path.  WARNING (r14 advisor):
+    this is an UNCHECKED caller assertion — on a graph that is NOT
+    symmetric, nodes with only in-edges are silently DROPPED from the
+    output (they never appear in the out-degree key set), ``n_nodes``
+    is undercounted, and no error is raised.  Pass it only for edge
+    lists produced by :func:`symmetrize` (or provably closed under
+    reversal); anything else must use the default path.
 
     ``broadcast_state_max_nodes`` (r14 optimization round, guide §3.1
     / §2.4): when the driver-known node count is at or under this gate,
@@ -252,6 +258,18 @@ def pagerank(
     The broadcast path checkpoints every round (a lazily-stacked
     broadcast would re-execute prior rounds inside the broadcast
     build), so ``checkpoint_every`` applies only above the gate.
+
+    Broadcast hygiene (r15, r14 verdict "what's wrong" #4): each
+    broadcast-path round builds two fresh ≤~3 MB broadcast relations
+    (the gate bounds state bytes) that are only reclaimed when the JVM
+    collects the superseded round's plan and the ContextCleaner
+    releases the blocks.  At the default ``max_iter=10`` the transient
+    is ≤ ~60 MB — noise.  A tol-driven run with ``max_iter≈100`` would
+    otherwise stack ~0.5 GB of dead broadcast blocks between GCs, so
+    the loop forces a JVM GC every 16 broadcast rounds — bounding live
+    broadcast memory at ~100 MB regardless of iteration count, off the
+    hot path (never fires at the default), and with zero effect on
+    ranks (memory-only).
     """
     from tmp_parquet_merge_spark.operators._iter_cache import keyed_edge_cache
 
@@ -348,6 +366,14 @@ def pagerank(
             )
             if not bcast and num_partitions:
                 new_state = new_state.repartition(num_partitions, "node")
+            if bcast and it % 16 == 0:
+                # reclaim superseded per-round broadcast blocks (see
+                # docstring "Broadcast hygiene"); never fires at the
+                # default max_iter=10
+                try:
+                    edges.sparkSession.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             if bcast or it % checkpoint_every == 0 or it == max_iter:
                 state = new_state.localCheckpoint()
                 # convergence-check cadence is UNCHANGED by the

@@ -883,7 +883,12 @@ def _lloyd(
     # update's shuffle carries k×dim partial sums regardless of
     # layout.  Blocks free when the fit's references drop (the
     # repo-wide localCheckpoint loop discipline).
-    base = base.localCheckpoint(eager=True)
+    # r15: the checkpoint is LAZY and the deterministic-init toPandas
+    # below is its materializing action — init + materialization fuse
+    # into ONE job instead of an eager-checkpoint job followed by a
+    # separate init read (the dedup_clusters fused-probe pattern;
+    # blocks and rows identical).
+    base = base.localCheckpoint(eager=False)
     C = np.array(
         base.orderBy(id_col).limit(k).toPandas()[vec_col].tolist(),
         dtype=np.float64,

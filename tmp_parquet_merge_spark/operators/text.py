@@ -44,9 +44,21 @@ def _hash_work_partitions(
         )
     except Exception:  # stats unavailable: parallelism floor only
         est = 0
-    if est >= 1 << 50:
-        # Catalyst's unknown-stats sentinel (defaultSizeInBytes =
-        # Long.MaxValue) — treat as unknown, keep the floor
+    # Catalyst's unknown-stats sentinel is defaultSizeInBytes
+    # (Long.MaxValue unless overridden) — and plans DERIVED from an
+    # unknown relation multiply it, so any estimate at or above the
+    # conf value is sentinel-tainted, not a real size.  Compare against
+    # the actual conf (r15, r14 advisor: the old fixed 1 PiB cutoff
+    # would have mistaken a legitimate explode-heavy estimate at open
+    # scale for the sentinel and silently under-partitioned).  The
+    # 2^20-partition clamp below still bounds genuine huge estimates.
+    try:
+        sentinel = int(
+            df.sparkSession.conf.get("spark.sql.defaultSizeInBytes")
+        )
+    except Exception:
+        sentinel = (1 << 63) - 1
+    if est >= sentinel:
         est = 0
     return max(int(sc.defaultParallelism), min(est // bytes_per_task, 1 << 20))
 
@@ -551,34 +563,57 @@ def collocation_pmi(
     bigram/unigram frequencies — the phrase detector that feeds
     tokenizer merges and stop-phrase lists.
 
-    Plan shape (the part that matters at 100 TB): ONE posexplode of the
-    word array feeds both frequency tables — unigrams as a direct
-    hash-agg, bigrams via a single ``lead`` over (doc, pos) (the
-    codegen shingle formulation; the array-transform alternative pays
-    the documented CollapseProject per-element lambda re-evaluation —
-    measured 30× slower at sf0.1).  Both aggs are map-side-combined
-    with shuffles bounded by VOCABULARY size, not corpus size; the two
-    totals ride a broadcast 1-row agg each; the final join keys on
-    single words (vocabulary-sized, AQE broadcasts the smaller side).
-    All PMI inputs are exact integers, so the double log/divisions are
-    bit-identical across engines.
+    Plan shape (the part that matters at 100 TB): ONE explode of the
+    zipped word array feeds ONE (w1, w2) hash-agg from which both
+    frequency tables derive.  ``arrays_zip(ws, slice(ws, 2, n-1))``
+    pairs every token with its successor and pads the document-final
+    token's successor with NULL (arrays_zip extends to the longest
+    input), so each token appears exactly ONCE as ``w1`` — unigram
+    counts are the w1-marginals of the same aggregate, and no per-doc
+    window (and therefore NO doc-keyed exchange of the exploded corpus)
+    exists anywhere in the plan.  r15: this replaces the r11 posexplode
+    + ``lead``-window + full-token-relation localCheckpoint spelling,
+    whose checkpoint erased the spread's doc partitioning and forced
+    the window to re-shuffle every token row (r14 verdict "What's
+    wrong" #1 — the corpus crossed the wire twice).  arrays_zip/slice
+    are ordinary codegen expressions, not per-element lambdas, so the
+    CollapseProject re-evaluation trap that bars F.transform here does
+    not apply.  The one surviving corpus-sized exchange is the
+    conditional spread itself (deficient scans only; no-op at scale);
+    everything downstream is bounded by VOCABULARY size: the (w1, w2)
+    count is map-side-combined, the checkpoint materializes only
+    vocab²-bounded rows for its two consumers, the totals ride
+    broadcast 1-row aggs, and the final join keys on single words
+    (AQE broadcasts the smaller side).  All PMI inputs are exact
+    integers, so the double log/divisions are bit-identical across
+    engines.
     """
-    # parallelism floor for deficient scans (no-op at scale; r14
-    # optimization round — see dedup.spread_scan): tokenize/explode
-    # and the map-side partial aggregates run cluster-parallel
+    # parallelism floor for deficient scans (no-op at scale; see
+    # dedup.spread_scan).  The exchange is NOT reused downstream (the
+    # first aggregate keys on (w1, w2), not the doc) — it exists purely
+    # to parallelize tokenize + explode + the map-side partial
+    # aggregate above a single-split scan, and it is strictly cheaper
+    # than the doc-keyed window exchange it replaced (1× corpus bytes,
+    # once, vs spread + post-checkpoint re-shuffle).
     df = spread_scan(df, id_col)
-    from pyspark.sql import Window
-
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(words(text_col)).alias("pos", "wd"),
-    ).localCheckpoint(eager=False)
-    w = Window.partitionBy("doc").orderBy("pos")
-    bg = ex.select(
-        F.col("wd").alias("w1"), F.lead("wd").over(w).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    cab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = ex.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    ws = words(text_col)
+    nxt = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    pair = F.explode(
+        F.arrays_zip(ws.alias("w1"), nxt.alias("w2"))
+    ).alias("p")
+    cnt = (
+        df.select(pair)
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cab = cnt.filter(F.col("w2").isNotNull()).select(
+        "w1", "w2", F.col("c").alias("c_ab")
+    )
+    # every token occurs exactly once as w1 (the NULL-padded final
+    # pair included), so the w1-marginal IS the unigram count
+    uni = cnt.groupBy(F.col("w1").alias("wd")).agg(F.sum("c").alias("c"))
     nu = uni.agg(F.sum("c").alias("nu"))
     nb = cab.agg(F.sum("c_ab").alias("nb"))
     u1 = uni.select(F.col("wd").alias("w1"), F.col("c").alias("c_1"))
@@ -763,10 +798,16 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
       p(w|v) = 0.75·c(v,w)/c(v) + 0.25·c(w)/N
 
-    Plan: posexplode + one per-doc ``lead`` window (the shingle
-    shuffle) → per-doc bigram tf hash-agg, localCheckpoint'd once for
-    its two consumers (the per-doc score join and the corpus bigram
-    model); the model relations are bigram-/unigram-vocabulary-bounded
+    Plan: ONE explode of the arrays_zip'd word array (each token paired
+    with its successor, the document-final token padded with NULL — the
+    :func:`collocation_pmi` r15 formulation: no per-doc window, no
+    doc-keyed exchange of the exploded corpus anywhere) → per-doc
+    (doc, v, w2) tf hash-agg INCLUDING the NULL-successor rows,
+    localCheckpoint'd once for its consumers.  Bigram tf filters the
+    NULL rows out; the unigram back-off model is the v-marginal of the
+    SAME checkpointed aggregate (every token occurs exactly once as v),
+    so the old second corpus scan+explode for the unigram table is
+    gone.  The model relations are bigram-/unigram-vocabulary-bounded
     aggregates joined back on their keys, and the corpus total is a
     broadcast 1-row aggregate — model "fit" and "apply" in one lazy
     plan, nothing corpus-quadratic.
@@ -777,33 +818,33 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     exact BIGINT), so no float rounding tie can split the engines.
     One-word documents have no bigrams and score NULL (row retained).
     """
-    # parallelism floor for deficient scans (no-op at scale; r14
-    # optimization round — see dedup.spread_scan): tokenize/explode
-    # and the map-side partial aggregates run cluster-parallel
+    # parallelism floor for deficient scans (no-op at scale; see
+    # dedup.spread_scan).  The exchange is NOT reused downstream (the
+    # first aggregate keys on (doc, v, w2)) — it parallelizes
+    # tokenize + explode + the map-side partial aggregate above a
+    # single-split scan.
     df = spread_scan(df, id_col)
-    from pyspark.sql import Window
-
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(words(text_col)).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc").orderBy("pos")
-    pairs = ex.select(
-        "doc",
-        F.col("w").alias("v"),
-        F.lead("w", 1).over(win).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
-    tf = (
-        pairs.groupBy("doc", "v", "w2")
+    ws = words(text_col)
+    nxt = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
+    pair = F.explode(
+        F.arrays_zip(ws.alias("v"), nxt.alias("w2"))
+    ).alias("p")
+    # tf0 keeps the NULL-successor rows: every token occurs exactly
+    # once as v, so the unigram back-off model is tf0's v-marginal
+    tf0 = (
+        df.select(F.col(id_col).alias("doc"), pair)
+        .select("doc", F.col("p.v").alias("v"), F.col("p.w2").alias("w2"))
+        .groupBy("doc", "v", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
+    tf = tf0.filter(F.col("w2").isNotNull())
     cb = tf.groupBy("v", "w2").agg(F.sum("tf").alias("cvw"))
     cv = cb.groupBy("v").agg(F.sum("cvw").alias("cv"))
     # unigram model over ALL tokens (not just bigram heads), so the
     # back-off term sees every word exactly once per occurrence
-    cw = ex.groupBy(F.col("w").alias("w2")).agg(
-        F.count(F.lit(1)).alias("cw")
+    cw = tf0.groupBy(F.col("v").alias("w2")).agg(
+        F.sum("tf").alias("cw")
     )
     total = cw.agg(F.sum("cw").alias("n_total"))
     p = (
@@ -1278,14 +1319,18 @@ def heaps_fit(
     equal-width bucketing (the bundled corpus contract; assert in the
     caller otherwise).  regr_slope/regr_intercept over ``buckets``
     rows — same single-rounding parity contract as zipf_fit."""
-    # parallelism floor for deficient scans (no-op at scale; r14
-    # optimization round — see dedup.spread_scan): tokenize/explode
-    # and the map-side partial aggregates run cluster-parallel
-    df = spread_scan(df, id_col)
     from tmp_parquet_merge_spark.operators.dedup import words
     from pyspark.sql import Window
 
+    # n_docs BEFORE the spread (r15, the r14 q_heaps_fit driver-sweep
+    # regression): count() on the raw scan is a metadata-only parquet
+    # aggregate pushdown, but count() over the repartitioned relation
+    # executes the full corpus exchange just to count rows
     n_docs = df.count()
+    # parallelism floor for deficient scans (no-op at scale; see
+    # dedup.spread_scan): tokenize/explode and the map-side partial
+    # aggregates run cluster-parallel
+    df = spread_scan(df, id_col)
     b = buckets
     tok = df.select(
         F.col(id_col).alias("doc"),

@@ -106,6 +106,158 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def _exact_group_percentiles(
+    df,
+    group_col: str,
+    val_col: str,
+    pcts,
+    *,
+    names=None,
+    n_buckets: int = 1024,
+):
+    """Exact per-group interpolated percentiles computed WITHOUT a
+    per-group total sort — the distributed order-statistics selection
+    that keeps a 3-distinct-value group key from capping the stage at
+    3 tasks (r14 verdict "Next round" #6; guide §2.2/§2.5 skew: a
+    single giant key's sort cannot be split, so don't sort — select).
+
+    Three parallel passes replace ``F.percentile``'s per-group
+    sort-aggregate:
+
+    1. per-group (count, min, max) — a map-side-combined hash-agg;
+    2. a ``n_buckets``-bin histogram over equal-width value buckets
+       (monotone ``floor((v - min)/step)``, so bucket order = value
+       order) — map-side-combined, shuffle bounded by
+       |groups| × n_buckets;
+    3. the cumulative histogram locates, per (group, percentile), the
+       bucket(s) holding sorted positions floor(p·(n−1)) and
+       ceil(p·(n−1)); only THOSE buckets' rows (~2·n/n_buckets per
+       target) are re-read and rank-ordered — a window over a few
+       hundred rows instead of a sort of the whole group.
+
+    The two selected positions' values feed EXACTLY Spark's
+    ``Percentile`` interpolation — ``(higher−pos)·v_lo +
+    (pos−lower)·v_hi`` with ``pos = p·(n−1)``, the value itself when
+    the positions coincide — in the same double arithmetic, so the
+    result is bit-identical to ``F.percentile`` (pinned by
+    tests/test_exact_percentiles.py against the built-in on every
+    bundled tier plus adversarial tie/edge fixtures).  Consecutive
+    sorted positions are contiguous across selected buckets by
+    construction (ranks lo and lo+1 can only straddle bucket
+    boundaries back-to-back), so the window's local rank + the
+    cumulative offset IS the global rank.
+
+    Returns one row per group: ``group_col``, then one ``p<pct>``
+    double column per requested percentile.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(val_col).cast("double")
+    rows = df.select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    # NO spread_scan here (measured r15): a keyless round-robin spread
+    # of the 600k-row value relation cost MORE than the single-task
+    # map passes it parallelized (warm 2.8 -> 3.9 s — the repartition
+    # pays sortBeforeRepartition plus a corpus exchange per consumer
+    # branch).  The passes are already map-side-combined hash-aggs, so
+    # at scale the scan's native splits parallelize them.
+    stats = rows.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__v").alias("__vmin"),
+        F.max("__v").alias("__vmax"),
+    )
+    step = (F.col("__vmax") - F.col("__vmin")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(
+            F.col("__vmax") > F.col("__vmin"),
+            F.least(
+                F.floor((F.col("__v") - F.col("__vmin")) / step),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    hb = rows.join(F.broadcast(stats), "__g").select(
+        "__g", "__v", bucket.alias("__b")
+    )
+    hist = hb.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy("__g").orderBy("__b")
+    cum = hist.select(
+        "__g",
+        "__b",
+        "__c",
+        (F.sum("__c").over(wcum) - F.col("__c")).alias("__before"),
+    )
+    # per (group, percentile): Spark's Percentile positions — pos =
+    # p·(n−1) in double, lower = floor, higher = ceil
+    tg = stats.select(
+        "__g",
+        "__n",
+        F.explode(F.array(*[F.lit(float(p)) for p in pcts])).alias("__p"),
+    )
+    pos = F.col("__p") * (F.col("__n") - 1).cast("double")
+    tg = tg.select(
+        "__g",
+        "__p",
+        pos.alias("__pos"),
+        F.floor(pos).cast("long").alias("__lo"),
+        F.ceil(pos).cast("long").alias("__hi"),
+    )
+    in_bucket = lambda r: (F.col("__before") <= r) & (  # noqa: E731
+        r < F.col("__before") + F.col("__c")
+    )
+    blo = tg.join(cum, "__g").filter(in_bucket(F.col("__lo"))).select(
+        "__g",
+        "__p",
+        "__pos",
+        "__lo",
+        "__hi",
+        F.col("__b").alias("__b_lo"),
+        F.col("__before").alias("__off"),
+    )
+    bhi = (
+        tg.join(cum, "__g")
+        .filter(in_bucket(F.col("__hi")))
+        .select("__g", "__p", F.col("__b").alias("__b_hi"))
+    )
+    sel = blo.join(bhi, ["__g", "__p"])
+    cand = hb.join(
+        F.broadcast(sel.withColumnRenamed("__g", "__sg")),
+        (F.col("__g") == F.col("__sg"))
+        & ((F.col("__b") == F.col("__b_lo")) | (F.col("__b") == F.col("__b_hi"))),
+    )
+    wr = Window.partitionBy("__g", "__p").orderBy("__v")
+    ranked = cand.withColumn(
+        "__r", F.row_number().over(wr) - 1 + F.col("__off")
+    )
+    res = ranked.groupBy("__g", "__p", "__pos", "__lo", "__hi").agg(
+        F.max(F.when(F.col("__r") == F.col("__lo"), F.col("__v"))).alias(
+            "__vlo"
+        ),
+        F.max(F.when(F.col("__r") == F.col("__hi"), F.col("__v"))).alias(
+            "__vhi"
+        ),
+    )
+    # EXACTLY Percentile.getPercentile's arithmetic, double for double
+    val = F.when(F.col("__lo") == F.col("__hi"), F.col("__vlo")).otherwise(
+        (F.col("__hi") - F.col("__pos")) * F.col("__vlo")
+        + (F.col("__pos") - F.col("__lo")) * F.col("__vhi")
+    )
+    out = res.groupBy("__g").pivot(
+        "__p", [float(p) for p in pcts]
+    ).agg(F.first(val))
+    if names is None:
+        names = [f"p{int(p * 100)}" for p in pcts]
+    renames = [F.col("__g").alias(group_col)] + [
+        # backticks: the pivot column is literally "0.5" — a bare
+        # F.col would parse the dot as struct access
+        F.col(f"`{float(p)}`").alias(name) for p, name in zip(pcts, names)
+    ]
+    return out.select(*renames)
+
+
 @query("q_agg_sketch")
 def q_agg_sketch(spark, sf_dir):
     """The 100 TB twins of q_agg_distinct / q_percentiles: HyperLogLog++
@@ -134,9 +286,22 @@ def q_agg_sketch(spark, sf_dir):
     cd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
-    pct = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_exact"),
-        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99_exact"),
+    # r15 (r14 verdict "Next round" #6): F.percentile's per-group
+    # sort-aggregate was capped at 3 tasks by the 3-row group key —
+    # the bucket-selection helper computes bit-identical values (see
+    # its docstring + tests/test_exact_percentiles.py) from three
+    # parallel hash-agg passes and a few-hundred-row window.
+    pct_raw = _exact_group_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        (0.5, 0.99),
+        names=("p50_exact", "p99_exact"),
+    )
+    pct = pct_raw.select(
+        "l_returnflag",
+        F.round(F.col("p50_exact"), 6).alias("p50_exact"),
+        F.round(F.col("p99_exact"), 6).alias("p99_exact"),
     )
     return (
         ap.join(cd, "l_returnflag")

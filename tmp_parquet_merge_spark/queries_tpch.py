@@ -444,8 +444,12 @@ def q_sql_tpch_q2(spark, sf_dir):
     the per-part minimum, and an equality re-join on (part, min-cost)
     — both aggs share the partkey shuffle key so AQE reuses the
     exchange.  MIN of identical doubles is selection, not accumulation,
-    so cross-engine hash parity holds without the decimal detour."""
-    li = t_spread(spark, sf_dir, "lineitem")
+    so cross-engine hash parity holds without the decimal detour.
+    r15: the deficient-scan spread keys on the supply aggregate's own
+    (l_partkey, l_suppkey) so the aggregate reuses the spread exchange
+    (the default orderkey spread added a second full-table shuffle
+    here — r14 advisor)."""
+    li = t_spread(spark, sf_dir, "lineitem", key=("l_partkey", "l_suppkey"))
     supply = li.groupBy(
         F.col("l_partkey").alias("sp_partkey"),
         F.col("l_suppkey").alias("sp_suppkey"),
@@ -586,8 +590,11 @@ def q_sql_tpch_q11(spark, sf_dir):
     (Spark reuses the shuffle; the second pass over it is a cheap
     re-agg of 2 000 rows).  Both engines sum the identical per-part
     doubles through DECIMAL(18,6), so the > comparison sees
-    bit-identical operands on borderline parts."""
-    li = t_spread(spark, sf_dir, "lineitem")
+    bit-identical operands on borderline parts.  r15: the
+    deficient-scan spread keys on l_partkey — the partval aggregate's
+    key — so it is reused instead of stacking under a second shuffle
+    (r14 advisor)."""
+    li = t_spread(spark, sf_dir, "lineitem", key="l_partkey")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -754,8 +761,10 @@ def q_sql_tpch_q17(spark, sf_dir):
     partkey applies the comparison.  The threshold frame is ~|parts|
     rows and broadcasts; lineitem is scanned twice (spec shape) but
     the threshold pass reads only (partkey, quantity) thanks to column
-    pruning."""
-    li = t_spread(spark, sf_dir, "lineitem")
+    pruning.  r15: the deficient-scan spread keys on l_partkey — the
+    threshold aggregate's key (the main branch joins only broadcasts,
+    so the spread is its only exchange either way; r14 advisor)."""
+    li = t_spread(spark, sf_dir, "lineitem", key="l_partkey")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * (dsum("l_quantity") / F.count(F.lit(1)))).alias("qty_thr")

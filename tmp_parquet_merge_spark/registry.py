@@ -47,7 +47,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FACT_SPREAD_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
 
-def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str | tuple[str, ...] | None = None,
+) -> DataFrame:
     """:func:`t`, plus a conditional repartition for the fact tables
     when the scan has fewer splits than the cluster's parallelism
     (r14 optimization round — dedup.spread_scan; no-op on any real
@@ -57,13 +62,24 @@ def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     follows the repo's DECIMAL(18,6) order-independent-sum discipline,
     so the layout change cannot perturb results (full oracle parity
     re-verified after the change).  Plain scans keep :func:`t` — a
-    shuffle would only add cost there."""
+    shuffle would only add cost there.
+
+    ``key`` (r15, r14 advisor): override the default orderkey spread
+    key with the column(s) the query's FIRST exchange actually
+    clusters on (q2's (l_partkey, l_suppkey) supply aggregate, q11's
+    and q17's l_partkey aggregates) so the deficient-scan spread
+    exchange is REUSED downstream instead of adding a second
+    full-table shuffle before it."""
     df = t(spark, sf_dir, name)
-    key = _FACT_SPREAD_KEYS.get(name)
-    if key is not None:
+    keys = _FACT_SPREAD_KEYS.get(name)
+    if keys is not None:
         from tmp_parquet_merge_spark.operators.dedup import spread_scan
 
-        df = spread_scan(df, key)
+        if key is not None:
+            keys = key
+        if isinstance(keys, str):
+            keys = (keys,)
+        df = spread_scan(df, *keys)
     return df
 
 

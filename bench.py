@@ -658,11 +658,13 @@ def main() -> None:
         # checkout).  Additive only: the stdout metric-line contract is
         # unchanged.
         base_dir = os.path.dirname(os.path.abspath(__file__))
-        paths = [
-            os.environ.get("SPARK_GRAFT_DETAIL_PATH")
-            or os.path.join(base_dir, "bench_detail.json"),
-            os.path.join(base_dir, f"bench_detail_c{cpus}.json"),
-        ]
+        explicit = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+        paths = [explicit or os.path.join(base_dir, "bench_detail.json")]
+        if not explicit and not scale_mode:
+            # the per-cpu sidecar records only REAL sf-tier sweeps —
+            # an explicit detail path (ad-hoc probe) or a scale-mode
+            # K-fold run must not clobber it
+            paths.append(os.path.join(base_dir, f"bench_detail_c{cpus}.json"))
         for detail_path in paths:
             try:
                 with open(detail_path, "w") as f:

@@ -46,15 +46,14 @@ def test_sort_keys_are_monotonic():
     assert keys == sorted(keys)
 
 
-# The oldest evidence round being drained this round: the r14 window
-# leads with its 10 tier-0 names (q_bpe_train + q_bpe_apply NEW, the
-# two advisor-fix re-queues q_dedup_containment_lsh / q_span_mask,
-# and the six mid-round-review re-queues — q_anomaly_rate, the asof
-# family, q_funnel), then the r9 hash cohort minus the two
-# _DRAIN_DEFERRED overflow names; the review fixes cost the window
-# its rows-only slots (q_ann_ivf/q_ann_pq wait for r15, frontier back
-# to 7) and two hash greens (explicit _DRAIN_DEFERRED, re-queued
-# FIRST in r15 by oldest-first tier-2 ordering).  The frontier VALUES live
+# The oldest evidence round being drained this round: the r15 window
+# leads with the 10 changed-representative re-queues (the r15
+# optimization round's structurally rewritten / plan-changed queries:
+# collocations, lm_bigram, agg_sketch, heaps_fit, tpch q2/q11/q17,
+# dedup_canonical, kmeans, ann_ivf), then the r14 deferral debt comes
+# due exactly as promised: the 15 r9-hash _DRAIN_DEFERRED names and
+# the r9 rows-only q_ann_pq (q_ann_ivf rides the changed set).  No
+# deferral needed this round.  The frontier VALUES live
 # in queries.py (they drive _DRIVER_FIRST itself); the tightness
 # assertions below use the imported values so they can't drift, and
 # the ROUND PIN here keeps the test non-tautological —
@@ -62,7 +61,7 @@ def test_sort_keys_are_monotonic():
 # pin any fat-fingered frontier (0 pins nothing; 10 pins ~150 queries
 # and blows the 50-slot window) would self-consistently "pass".  Bump
 # the pin deliberately each round alongside queries.py.
-assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (9, 7), (
+assert (_HASH_DRAIN_FRONTIER, _ROWS_DRAIN_FRONTIER) == (9, 9), (
     "frontier changed in queries.py — re-pin here after reviewing the "
     "window plan"
 )

@@ -798,19 +798,27 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
       p(w|v) = 0.75·c(v,w)/c(v) + 0.25·c(w)/N
 
-    Plan: ONE explode of the arrays_zip'd word array (each token paired
-    with its successor, the document-final token padded with NULL — the
-    :func:`collocation_pmi` r15 formulation: no per-doc window, no
-    doc-keyed exchange of the exploded corpus anywhere) → per-doc
-    (doc, v, w2) tf hash-agg INCLUDING the NULL-successor rows,
-    localCheckpoint'd once for its consumers.  Bigram tf filters the
-    NULL rows out; the unigram back-off model is the v-marginal of the
-    SAME checkpointed aggregate (every token occurs exactly once as v),
-    so the old second corpus scan+explode for the unigram table is
-    gone.  The model relations are bigram-/unigram-vocabulary-bounded
-    aggregates joined back on their keys, and the corpus total is a
-    broadcast 1-row aggregate — model "fit" and "apply" in one lazy
-    plan, nothing corpus-quadratic.
+    Plan (r15 re-measured A/B/C at sf0.1 AND the 25× replica —
+    OPTIMIZATION_r15.md §1): posexplode + one per-doc ``lead`` window
+    feeds the (doc, v, w2) tf hash-agg, which is checkpointed once.
+    This keeps two properties the :func:`collocation_pmi` arrays_zip
+    spelling (variant B, tried and REJECTED here) loses: the window
+    needs only doc-hash clustering, which the deficient-scan spread
+    already provides (no exchange at sf-tier) and which the tf
+    aggregate then REUSES via the subset rule (hashpartitioning(doc)
+    satisfies ClusteredDistribution(doc, v, w2) — the agg runs
+    complete, with NO exchange of the mostly-unique bigram rows); and
+    the exploded rows carry ONE string, not the zip struct's two (the
+    zip variant shuffled/aggregated ~2× the string bytes and measured
+    6.4-7.3 s with 30 s GC spikes at the 25× replica vs 4.4 s stable
+    for this shape).  The r14 defect here was ONLY the unigram branch:
+    it re-ran the scan+SPREAD+explode subtree (a second full corpus
+    exchange at sf-tier, ~4-5 s of the old 7 s) — the back-off model
+    now tokenizes the RAW scan directly (map-only, vocabulary-bounded
+    partial agg, no exchange, no spread).  The model relations are
+    bigram-/unigram-vocabulary-bounded aggregates joined back on their
+    keys, and the corpus total is a broadcast 1-row aggregate — model
+    "fit" and "apply" in one lazy plan, nothing corpus-quadratic.
 
     Determinism/parity: per-bigram contributions are rounded and
     summed as DECIMAL(18,6), and the final mean uses the
@@ -818,33 +826,40 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     exact BIGINT), so no float rounding tie can split the engines.
     One-word documents have no bigrams and score NULL (row retained).
     """
-    # parallelism floor for deficient scans (no-op at scale; see
-    # dedup.spread_scan).  The exchange is NOT reused downstream (the
-    # first aggregate keys on (doc, v, w2)) — it parallelizes
-    # tokenize + explode + the map-side partial aggregate above a
-    # single-split scan.
-    df = spread_scan(df, id_col)
+    from pyspark.sql import Window
+
+    raw = df
     ws = words(text_col)
-    nxt = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0)))
-    pair = F.explode(
-        F.arrays_zip(ws.alias("v"), nxt.alias("w2"))
-    ).alias("p")
-    # tf0 keeps the NULL-successor rows: every token occurs exactly
-    # once as v, so the unigram back-off model is tf0's v-marginal
-    tf0 = (
-        df.select(F.col(id_col).alias("doc"), pair)
-        .select("doc", F.col("p.v").alias("v"), F.col("p.w2").alias("w2"))
-        .groupBy("doc", "v", "w2")
+    # parallelism floor for deficient scans (no-op at scale; see
+    # dedup.spread_scan): keyed by the doc id so the lead-window's
+    # doc-clustering reuses the exchange, and the (doc, v, w2) tf
+    # aggregate then ALSO reuses it (subset rule) — the bigram rows
+    # never shuffle
+    df = spread_scan(df, id_col)
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(ws).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    pairs = ex.select(
+        "doc",
+        F.col("w").alias("v"),
+        F.lead("w", 1).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    tf = (
+        pairs.groupBy("doc", "v", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    tf = tf0.filter(F.col("w2").isNotNull())
     cb = tf.groupBy("v", "w2").agg(F.sum("tf").alias("cvw"))
     cv = cb.groupBy("v").agg(F.sum("cvw").alias("cv"))
     # unigram model over ALL tokens (not just bigram heads), so the
-    # back-off term sees every word exactly once per occurrence
-    cw = tf0.groupBy(F.col("v").alias("w2")).agg(
-        F.sum("tf").alias("cw")
+    # back-off term sees every word exactly once per occurrence.  It
+    # tokenizes the RAW scan — map-only, vocabulary-bounded partial
+    # agg, NO spread: routing it through the spread relation re-ran
+    # the corpus exchange just to count words (the r14 sf-tier cost)
+    cw = raw.select(F.explode(ws).alias("w2")).groupBy("w2").agg(
+        F.count(F.lit(1)).alias("cw")
     )
     total = cw.agg(F.sum("cw").alias("n_total"))
     p = (
@@ -870,7 +885,10 @@ def bigram_lm_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         (micro / F.lit(1000000.0)).alias("lm2_score"),
     )
-    base = df.select(F.col(id_col))
+    # keep-all-docs id list reads the RAW scan: routing it through the
+    # spread relation would pay the conditional exchange just to list
+    # ids (same r15 lesson as the unigram branch above)
+    base = raw.select(F.col(id_col))
     return base.join(scored, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias(

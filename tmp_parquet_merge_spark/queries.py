@@ -1400,43 +1400,15 @@ from tmp_parquet_merge_spark import queries_udf_sources  # noqa: E402,F401
 # the window first (r4 verdict, "Next round" #5).
 _HASH_GREEN_BY_ROUND = {
     9: (
-        "q_agg_basic",
-        "q_agg_distinct",
-        "q_agg_rollup",
-        "q_ann_lsh",
         "q_attribution",
         "q_column_stats",
-        "q_contamination",
-        "q_dedup_ngram",
-        "q_dq_audit",
-        "q_embedding_quantize",
         "q_except_all",
         "q_filter_nulls",
         "q_filter_pushdown",
         "q_intersect_all",
         "q_islands",
         "q_join_anti",
-        "q_join_asof_tolerance",
-        "q_rank_fusion",
         "q_schema_widening",
-        "q_sql_tpch_q11",
-        "q_sql_tpch_q12",
-        "q_sql_tpch_q13",
-        "q_sql_tpch_q14",
-        "q_sql_tpch_q15",
-        "q_sql_tpch_q16",
-        "q_sql_tpch_q17",
-        "q_sql_tpch_q18",
-        "q_sql_tpch_q19",
-        "q_sql_tpch_q2",
-        "q_sql_tpch_q20",
-        "q_sql_tpch_q21",
-        "q_sql_tpch_q22",
-        "q_sql_tpch_q4",
-        "q_sql_tpch_q5",
-        "q_sql_tpch_q7",
-        "q_sql_tpch_q8",
-        "q_sql_tpch_q9",
         "q_stream_dedup",
         "q_time_weighted_avg",
         "q_transition_matrix",
@@ -1478,7 +1450,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_skew_diagnose",
         "q_sort_global",
         "q_split_assign",
-        "q_substring_clean",
         "q_tfidf",
         "q_to_json",
         "q_topk_orders",
@@ -1491,17 +1462,14 @@ _HASH_GREEN_BY_ROUND = {
         "q_winsorize",
     ),
     11: (
-        "q_bm25",
         "q_bucketed_join",
         "q_chunk_docs",
         "q_contamination_lsh",
-        "q_copurchase",
         "q_decontaminate_ngram",
         "q_dedup_cluster",
         "q_dedup_cluster_lsh",
         "q_dedup_editdist",
         "q_dedup_editdist_lsh",
-        "q_dedup_minhash",
         "q_dedup_segments",
         "q_dpp_join",
         "q_dsir_sample",
@@ -1509,7 +1477,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_frame_sample",
         "q_hard_negatives",
         "q_incremental_agg",
-        "q_join_asof",
         "q_join_outer",
         "q_lm_bigram",
         "q_merge_files",
@@ -1544,7 +1511,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_bpe_merge",
         "q_csv_roundtrip",
         "q_curation_pipeline",
-        "q_dedup_canonical",
         "q_dedup_embedding",
         "q_dedup_embedding_lsh",
         "q_dedup_prefix",
@@ -1553,8 +1519,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_grouped_apply",
         "q_grouped_apply_moments",
         "q_grouping_sets",
-        "q_join_asof_forward",
-        "q_join_asof_nearest",
         "q_json_roundtrip",
         "q_media_neardup",
         "q_merge_compaction",
@@ -1563,7 +1527,6 @@ _HASH_GREEN_BY_ROUND = {
         "q_ngram_freq",
         "q_novelty_lsh",
         "q_orc_roundtrip",
-        "q_pagerank",
         "q_salted_join",
         "q_scalar_json",
         "q_scalar_map",
@@ -1586,23 +1549,16 @@ _HASH_GREEN_BY_ROUND = {
     13: (
         "q_ab_assign",
         "q_anomaly_mad",
-        "q_anomaly_rate",
         "q_anomaly_zscore",
         "q_benford",
         "q_bloom_novelty",
         "q_cdc_apply",
         "q_cluster_stats",
-        "q_collocations",
         "q_dedup_containment",
-        "q_dedup_containment_lsh",
-        "q_dedup_simhash",
         "q_emb_drift",
         "q_ewma",
-        "q_funnel",
         "q_gapfill",
         "q_graph_degree",
-        "q_heaps_fit",
-        "q_heavy_hitters",
         "q_interleave_sources",
         "q_late_data",
         "q_lm_score",
@@ -1626,12 +1582,60 @@ _HASH_GREEN_BY_ROUND = {
         "q_semijoin_reduce",
         "q_sessionize",
         "q_source_overlap",
-        "q_span_mask",
         "q_sql_exists",
-        "q_sql_tpch_q1",
         "q_sql_tpch_q10",
         "q_vector_norm",
         "q_vocab",
+    ),
+    14: (
+        "q_agg_basic",
+        "q_agg_distinct",
+        "q_agg_rollup",
+        "q_ann_lsh",
+        "q_anomaly_rate",
+        "q_bm25",
+        "q_bpe_apply",
+        "q_bpe_train",
+        "q_collocations",
+        "q_contamination",
+        "q_copurchase",
+        "q_dedup_canonical",
+        "q_dedup_containment_lsh",
+        "q_dedup_minhash",
+        "q_dedup_ngram",
+        "q_dedup_simhash",
+        "q_dq_audit",
+        "q_embedding_quantize",
+        "q_funnel",
+        "q_heaps_fit",
+        "q_heavy_hitters",
+        "q_join_asof",
+        "q_join_asof_forward",
+        "q_join_asof_nearest",
+        "q_join_asof_tolerance",
+        "q_pagerank",
+        "q_rank_fusion",
+        "q_span_mask",
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q12",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q18",
+        "q_sql_tpch_q19",
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q20",
+        "q_sql_tpch_q21",
+        "q_sql_tpch_q22",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q5",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q9",
+        "q_substring_clean",
         "q_winnow_overlap",
         "q_winnowing",
     ),
@@ -1650,6 +1654,7 @@ _ROWS_SEEN_BY_ROUND = {
         "q_dedup_semantic",
     ),
 }
+# never driver-evidenced (0): []
 _HASH_GREEN = frozenset(n for ns in _HASH_GREEN_BY_ROUND.values() for n in ns)
 _ROWS_SEEN = frozenset(n for ns in _ROWS_SEEN_BY_ROUND.values() for n in ns)
 _EVIDENCE_ROUND = {
@@ -1659,123 +1664,48 @@ _EVIDENCE_ROUND = {
     for n in ns
 }
 
-# Changed in THIS round (round 14) and therefore re-queued regardless
-# of past evidence.  (The full r13 change set re-evidenced in
-# CORRECTNESS_r13 and is folded into the tables above; CORRECTNESS_r13
-# was 44 hash-green + 6 rows-only, 0 failures.)
+# Changed in THIS round (round 15, optimization round 2 of 2) and
+# therefore re-queued regardless of past evidence.  (The full r14
+# change set re-evidenced in CORRECTNESS_r14 — 50/50 hash-green, 0
+# failures — and is folded into the tables above by
+# tools/fold_evidence.py.)
 #
-# Re-queue RULE (r14, codifying the exemption the r13 advisor asked to
-# have documented): a query re-queues iff the change can alter its
-# EMITTED ROWS OR PLAN for the registered parameterization.  Exempt,
-# when a committed test pins the registered output: (a) added input
-# validation that only rejects previously-crashing parameterizations
-# with an identical plan for valid ones (r14: simhash bands >= 2 guard
-# — q_dedup_simhash's bands=4 plan is byte-identical, pinned by
-# test_simhash_bands_one_rejected + the pigeonhole suite), (b)
-# pure helper extractions with byte-identical output, (c) opt-in
-# parameters whose default preserves the exact expression tree (r14:
-# rate_spikes' trail-parameterized alias — f"mean_{24}h" == "mean_24h",
-# pinned in test_rate_spikes_spine_closed_form; winnowing's
-# r14-optimization chunk-repartition single path, selection-set
-# equality pinned in tests/test_property_winnowing.py), (d)
-# r14-OPTIMIZATION-round plan-only changes (conditional spread_scan
-# parallelism floors, exchange-reuse keying, the t_spread fact-view
-# floor) whose outputs are layout-invariant by construction
-# (integer/set aggregates, DECIMAL(18,6) order-independent sums) and
-# whose hash parity was re-verified for the FULL registry against the
-# DuckDB oracle at final r14 HEAD (tools/driver_sim_full_r14.log +
-# check_oracle 234/234; the structurally rewritten queries re-checked
-# at all three bundled tiers).  The 50-slot window cannot hold the
-# ~60 plan-touched queries AND the r9 freshness drain, so ONE
-# REPRESENTATIVE PER TOUCHED SHARED HELPER re-queues below and the
-# rest ride the full-registry log.  r13's q_late_data re-queue
-# predates this rule.
+# Re-queue RULE (r14, unchanged): a query re-queues iff the change can
+# alter its EMITTED ROWS OR PLAN for the registered parameterization.
+# Exemptions (a)-(d) as documented in r14 apply; this round uses (d)
+# again — plan-only, layout-invariant optimization changes verified
+# hash-identical against the full DuckDB oracle at HEAD re-queue ONE
+# REPRESENTATIVE PER TOUCHED SHARED HELPER, and the rest ride the
+# committed full-registry parity log (tools/driver_sim_full_r15.log).
 _CHANGED_THIS_ROUND = frozenset(
     {
-        #  * q_bpe_train / q_bpe_apply — NEW in r14 (r13 verdict #4):
-        #    multi-round BPE training and its corpus-tokenization
-        #    APPLY half.  They ride this set (rather than plain tier
-        #    0) so first-exposure evidence leads the window and cannot
-        #    be displaced by window-size jitter.
-        "q_bpe_train",
-        "q_bpe_apply",
-        #  * q_dedup_containment_lsh — r14 (r13 advisor + verdict
-        #    "what's wrong" #2): containment_pairs_rare_shingle's
-        #    short-doc relaxation now floors the candidate cut by the
-        #    per-doc RARE (2 <= df <= max_df) shingle count instead of
-        #    the doc's TOTAL shingle count — a short doc carrying even
-        #    one boilerplate shingle was structurally excluded before.
-        #    The candidate relation (and so the registered query's
-        #    recall guarantee) is new code.
-        "q_dedup_containment_lsh",
-        #  * q_anomaly_rate — r14 mid-round review: rate_spikes now
-        #    (a) excludes NULL event_type rows up front (a NULL key
-        #    never equi-joins to its spine — its hours all read
-        #    n_events = 0, silently corrupt) and (b) fires the
-        #    spike/stall alarms on a perfectly constant baseline
-        #    (sd = 0, the cron-heartbeat regime) via exact comparison
-        #    against the constant; oracle updated to match.
-        "q_anomaly_rate",
-        #  * q_join_asof / q_join_asof_forward / q_join_asof_nearest /
-        #    q_join_asof_tolerance — r14 mid-round review: asof_join
-        #    (a) never carries a NULL-time right row (backward's
-        #    NULLS-FIRST sort handed its values to every left row with
-        #    no real at-or-before match) and (b) totals the window
-        #    order with the right-values struct so ties among right
-        #    rows sharing (key, time) resolve deterministically
-        #    instead of by shuffle order.
-        "q_join_asof",
-        "q_join_asof_forward",
-        "q_join_asof_nearest",
-        "q_join_asof_tolerance",
-        #  * q_funnel — r14 mid-round review: each stage's survivor
-        #    relation is localCheckpoint'd — the union branches each
-        #    re-ran the whole stage chain (~k(k+1)/2 aggregations and
-        #    k corpus scans instead of k and 1).
-        "q_funnel",
-        #  * q_upsert is NOT re-queued: the r14 upsert changes are
-        #    validation-only for the registered parameterization
-        #    (missing-column ValueError; the keys-only duplicate-guard
-        #    fusion is a branch the registered full-schema target
-        #    never takes) — plan byte-identical, exemption (a)/(c)
-        #    above, pinned in tests/test_relational.py.
-        #  * q_span_mask — r14 (r13 advisor): parameter validation
-        #    (mask_ratio_pct in [1,100], span_len >= 1) plus the jitter
-        #    divisor re-spelled `n_tok div greatest(n_spans, 1)` so
-        #    n_spans=0 rows never divide by zero under ANSI.  Output
-        #    identical for the registered defaults but the emitted
-        #    expression tree changed -> re-queue under the rule above.
-        "q_span_mask",
-        #  * r14 OPTIMIZATION round representatives — one per touched
-        #    shared helper (exemption (d) above; full-registry parity
-        #    log carries the rest):
-        #    - graph.pagerank symmetric + broadcast-state rounds
-        "q_pagerank",
-        #    - winnowing chunk-repartition single path (+ the
-        #      dedup=False overlap consumer)
-        "q_winnowing",
-        "q_winnow_overlap",
-        #    - shingle_rows / _sized_shingles spread + exchange reuse
-        #      (canonical also exercises the dedup_clusters loop)
-        "q_dedup_canonical",
-        #    - minhash_signatures path over the spread shingle relation
-        "q_dedup_minhash",
-        #    - simhash keyed spread + signature-aggregate reuse
-        "q_dedup_simhash",
-        #    - _substring_qual_runs spread (spans + clean halves)
-        "q_substring_clean",
-        #    - token-statistics spread family (posexplode window /
-        #      cms / bm25 / running-sum shapes)
+        #  * collocation_pmi / bigram_lm_score r15 rewrite: arrays_zip
+        #    successor pairing replaces the posexplode + lead-window +
+        #    full-token-checkpoint spelling (the r14 verdict's
+        #    checkpoint-boundary double shuffle); counts identical by
+        #    construction, oracle-verified at all three bundled tiers
         "q_collocations",
-        "q_heavy_hitters",
-        "q_bm25",
+        "q_lm_bigram",
+        #  * q_agg_sketch: exact percentiles via histogram bucket
+        #    selection instead of the 3-task sort-agg; bit-identity to
+        #    F.percentile pinned in tests/test_exact_percentiles.py
+        "q_agg_sketch",
+        #  * heaps_fit: n_docs count moved ABOVE the spread (the count
+        #    action no longer executes the corpus exchange); same rows
         "q_heaps_fit",
-        #    - graph.cooccurrence_pairs spread + collect_set reuse
-        "q_copurchase",
-        #    - registry.t_spread fact-view floor (the other 23 SQL-view
-        #      queries ride the full log; 15 of them are ALSO in the r9
-        #      drain cohort below and so re-evidence in-window anyway)
-        "q_sql_tpch_q1",
+        #  * t_spread per-query key overrides (r14 advisor): the spread
+        #    exchange now carries the first aggregate's own key
+        "q_sql_tpch_q2",
+        "q_sql_tpch_q11",
+        "q_sql_tpch_q17",
+        #  * dedup_clusters fused materialize+probe job (lazy
+        #    checkpoint) — representative for the dedup_clusters family
+        #    (labels probed bit-identical, 24 -> 22 jobs)
+        "q_dedup_canonical",
+        #  * _lloyd fused init job (lazy checkpoint) — q_kmeans is the
+        #    direct fit, q_ann_ivf the kmeans_centroids consumer
+        "q_kmeans",
+        "q_ann_ivf",
     }
 )
 
@@ -1790,58 +1720,18 @@ def _driver_tier(q: Query) -> int:
     return 3 if evidenced else 1
 
 
-# Round-14 window plan, FINAL (optimization phase): the window leads
-# with the 23 tier-0 re-queues — the 10 build-phase changed names
-# (q_bpe_train/q_bpe_apply NEW, the advisor fixes, the mid-round
-# review asof/funnel/anomaly_rate fixes) plus the 13 optimization
-# representatives (exemption (d) in the re-queue rule above; the
-# other plan-touched queries carry full-registry parity evidence in
-# tools/driver_sim_full_r14.log) — then 27 of the r9 hash cohort
-# (r13 verdict "Next round" #1), keeping every r9 TPC-H name
-# in-window (stalest evidence AND t_spread-plan-changed) and
-# deferring the 15 untouched streaming/window/set-op/scan names via
-# _DRAIN_DEFERRED to r15, where oldest-first tier-2 ordering
-# re-queues them first.  The two r9 ROWS-ONLY queries (q_ann_ivf,
-# q_ann_pq — the weaker evidence class) also wait for r15 (rows
-# frontier stays 7).  Changed-code re-verification outranks
-# re-verification freshness, same precedence as the build phase.
+# Round-15 window plan: the r14 deferral debt comes due exactly as the
+# r14 plan promised — the 15 r9-hash _DRAIN_DEFERRED names and the two
+# r9 rows-only names (q_ann_ivf / q_ann_pq) lead the drain, plus the 10
+# r15 changed-representative re-queues above (q_ann_ivf is both).
+# Pinned prefix = 10 changed + 15 r9-hash + 1 r9-rows (q_ann_pq) = 26
+# of 50; the remaining 24 slots re-verify the oldest tier-2 evidence
+# (r10 hash greens) by the standard oldest-first ordering.  No deferral
+# needed this round.
 _HASH_DRAIN_FRONTIER = 9
-_ROWS_DRAIN_FRONTIER = 7
+_ROWS_DRAIN_FRONTIER = 9
 
-# Explicit overflow deferral (r14, re-planned for the OPTIMIZATION
-# phase): the changed set grew to 23 (the 10 build-phase re-queues +
-# 13 optimization representatives, exemption (d) above), so the
-# 50-slot window holds 23 changed + 27 of the 42 remaining r9-cohort
-# names.  Deferral choices: KEEP in-window every r9 TPC-H query (they
-# are both the stalest evidence AND plan-changed by t_spread — the
-# highest-value re-verification this round) plus the r9 aggregate/
-# dedup/ANN names; DEFER the 15 r9 names whose code r14 did not touch
-# at all and whose semantics an independent committed suite pins
-# (streaming/window/set-op/scan families: test_streaming,
-# test_relational, test_plans, the round-2 scan fixtures).  Deferred
-# names re-queue FIRST in r15 by oldest-first tier-2 ordering.  Any
-# name here must still be registered and evidenced; the
-# registry-order tests exempt exactly this set from the
-# frontier-tightness assertion.
-_DRAIN_DEFERRED = frozenset(
-    {
-        "q_filter_pushdown",
-        "q_filter_nulls",
-        "q_attribution",
-        "q_stream_dedup",
-        "q_window_sliding",
-        "q_window_range_frame",
-        "q_window_topk",
-        "q_islands",
-        "q_except_all",
-        "q_intersect_all",
-        "q_transition_matrix",
-        "q_time_weighted_avg",
-        "q_join_anti",
-        "q_column_stats",
-        "q_schema_widening",
-    }
-)
+_DRAIN_DEFERRED: frozenset[str] = frozenset()
 _DRIVER_FIRST: tuple[str, ...] = tuple(
     sorted(_CHANGED_THIS_ROUND)
 ) + tuple(

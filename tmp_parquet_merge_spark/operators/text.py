@@ -53,7 +53,10 @@ def _hash_work_partitions(
     # scale for the sentinel and silently under-partitioned).  The
     # 2^20-partition clamp below still bounds genuine huge estimates.
     try:
-        sentinel = int(
+        from tmp_parquet_merge_spark.operators.dedup import _parse_bytes
+
+        # the conf value is byte-suffixed (e.g. "9223372036854775807b")
+        sentinel = _parse_bytes(
             df.sparkSession.conf.get("spark.sql.defaultSizeInBytes")
         )
     except Exception:
